@@ -1,0 +1,174 @@
+"""CdcEngine — the public facade (rook's ``ReplicationStream`` analog).
+
+API ergonomics mirror the reference
+(``rook-api/.../ReplicationStream.java:24-33``: connect / registerListener
+/ disconnect; usage ``readme.md:29-34``) but Spark-idiomatic:
+
+    engine = (CdcEngine(spark, target_path)
+              .tracking("rook.repos")
+              .ignoring_servers(99)
+              .with_sink("metrics", fn))          # registerListener analog
+    engine.replay(events_df)                      # batch replay
+    q = engine.stream(source_dir, checkpoint_dir) # connect() analog
+    q.processAllAvailable(); q.stop()             # disconnect() analog
+
+Listener fan-out with per-sink error isolation (K1,
+``MySQLReplicationStream.java:161-179``): each registered sink runs per
+batch inside try/except; a failing sink is logged to a dead-letter
+parquet table and never stops the stream or the primary MERGE sink.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from rook_spark.cdc import schema as cdc_schema
+from rook_spark.cdc.apply import ApplyStats, apply_batch
+from rook_spark.cdc.normalize import normalize
+from rook_spark.lake.table import LakeTable
+
+SinkFn = Callable[[DataFrame, int], Any]
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_path: str,
+        key_cols: tuple[str, ...] = cdc_schema.KEY_COLS,
+        n_buckets: int = 32,
+        salted: bool = False,
+        n_salts: int = 16,
+        dead_letter_path: str | None = None,
+    ):
+        self.spark = spark
+        self.target_path = target_path
+        self.key_cols = tuple(key_cols)
+        self.n_buckets = n_buckets
+        self.salted = salted
+        self.n_salts = n_salts
+        self.dead_letter_path = dead_letter_path or os.path.join(target_path, "_dead_letter")
+        self.tracked_tables: tuple[str, ...] = ("rook.repos",)
+        self.ignored_server_ids: tuple[int, ...] = ()
+        self.sinks: dict[str, SinkFn] = {}
+        self.stats: list[ApplyStats] = []
+
+    # ------------------------------------------------------------ configure
+
+    def tracking(self, *tables: str) -> "CdcEngine":
+        self.tracked_tables = tuple(tables)
+        return self
+
+    def ignoring_servers(self, *server_ids: int) -> "CdcEngine":
+        """P1 filter config (``MySQLReplicationStream.java:90-92``)."""
+        self.ignored_server_ids = tuple(server_ids)
+        return self
+
+    def with_sink(self, name: str, fn: SinkFn) -> "CdcEngine":
+        """Register an auxiliary listener (K1/K2 fan-out). ``fn`` gets the
+        *normalized* batch DataFrame and the batch id."""
+        self.sinks[name] = fn
+        return self
+
+    # --------------------------------------------------------------- target
+
+    def target(self, payload_schema=None) -> LakeTable:
+        if LakeTable.exists(self.target_path):
+            return LakeTable.load(self.spark, self.target_path)
+        return LakeTable.create(
+            self.spark,
+            self.target_path,
+            payload_schema or cdc_schema.repos_schema(),
+            key_cols=self.key_cols,
+            n_buckets=self.n_buckets,
+        )
+
+    # ---------------------------------------------------------------- apply
+
+    def _apply(self, events: DataFrame, batch_id: int) -> ApplyStats:
+        flat = normalize(
+            events,
+            tracked_tables=self.tracked_tables,
+            ignored_server_ids=self.ignored_server_ids,
+            key_cols=self.key_cols,
+        )
+        # cache: the normalized batch feeds lineage agg + LWW + sinks
+        flat.persist()
+        try:
+            stats = apply_batch(
+                self.target(),
+                flat,
+                batch_id,
+                key_cols=self.key_cols,
+                salted=self.salted,
+                n_salts=self.n_salts,
+            )
+            self._fan_out(flat, batch_id)
+        finally:
+            flat.unpersist()
+        self.stats.append(stats)
+        return stats
+
+    def _fan_out(self, flat: DataFrame, batch_id: int) -> None:
+        """Per-sink error isolation + dead-letter
+        (``MySQLReplicationStream.java:167-176``)."""
+        for name, fn in self.sinks.items():
+            try:
+                fn(flat, batch_id)
+            except Exception as exc:  # noqa: BLE001 — isolation is the point
+                dead = self.spark.createDataFrame(
+                    [(int(batch_id), name, str(exc), traceback.format_exc())],
+                    "batch_id long, sink string, error string, trace string",
+                ).withColumn("ts", F.current_timestamp())
+                dead.write.mode("append").parquet(self.dead_letter_path)
+
+    # ---------------------------------------------------------------- batch
+
+    def replay(self, events: DataFrame, start_batch_id: int | None = None) -> ApplyStats:
+        """Batch-mode replay: apply one event DataFrame as one epoch."""
+        bid = (
+            self.target().last_committed_batch() + 1
+            if start_batch_id is None
+            else start_batch_id
+        )
+        return self._apply(events, bid)
+
+    # ------------------------------------------------------------ streaming
+
+    def stream(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        evolved: bool = False,
+    ) -> StreamingQuery:
+        """Tail a directory of event parquet files as a Structured
+        Streaming source (the sandbox stand-in for the binlog/Kafka tail,
+        SURVEY.md S1) and apply each micro-batch via foreachBatch.
+
+        Schema-evolution stance (SURVEY.md §7.4): the read schema is
+        **pre-widened** (``evolved=True``) so files that do not yet carry
+        the new column null-fill it — a new column appearing mid-stream
+        never breaks the running query; the target table widens on the
+        first batch where the column is non-null-typed.
+        Exactly-once: checkpoint tracks file offsets; re-delivered
+        batches hit the batch-id fence; re-delivered *events* (source
+        duplicates) hit the lineage watermark filter.
+        """
+        src = (
+            self.spark.readStream.schema(cdc_schema.event_schema(evolved))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        return (
+            src.writeStream.foreachBatch(lambda df, bid: self._apply(df, bid))
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )

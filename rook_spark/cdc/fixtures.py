@@ -1,0 +1,196 @@
+"""Deterministic synthetic CDC log generator + independent replay oracle.
+
+Mirrors the reference's test strategy (SURVEY.md §5): deterministic
+mutation scripts replayed against the sink, asserted by golden final
+state (``h4com/IntegrationTest.java:187-197`` mutates on master and
+asserts sink state on slave). Here the "mutation script" is a seeded
+event log and the golden state is computed independently by DuckDB.
+
+Everything is generated **Spark-natively from ``spark.range``** with
+hash-derived pseudo-randomness — no driver-side loops, no ``collect`` —
+so the same generator that makes 10k test events makes 10^10 bench
+events by changing one argument; generation parallelism = Spark
+parallelism.
+
+Covered fixture scenarios (FIXTURES.md §2):
+  1/2/3. insert / update-chains / delete mix (op drawn per event)
+  4. D-then-I and I-then-D on the same key within a batch (ops are
+     independent draws per key occurrence; ordinal decides survivor)
+  5. duplicate replay — ``with_replayed_suffix`` re-delivers a suffix
+  6. ignored tables / server ids — decoy fraction of events
+  7. tx groups — contiguous offsets share tx_id
+  8. additive schema evolution — ``size_bytes`` appears after a cutoff
+  9. skew — top repo draws >~50% of events (power-law repo assignment)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.schema import event_schema
+
+LANGS = ["py", "java", "md", "rs", "go"]
+IGNORED_SERVER_ID = 99
+DECOY_TABLE = "decoy_table"
+
+
+def _u(seed: int, salt: int, *cols: Column) -> Column:
+    """Deterministic uniform [0, 1) derived from xxhash64."""
+    h = F.xxhash64(F.lit(seed), F.lit(salt), *cols)
+    return (F.pmod(h, F.lit(2**61)) / F.lit(float(2**61))).cast("double")
+
+
+def _image(repo: Column, path: Column, ordinal: Column, evolved: bool) -> Column:
+    """Deterministic row image for (key, ordinal) — content is a pure
+    function of the key and ordinal so any independent replayer derives
+    identical bytes (the sha256 invariant's foundation)."""
+    base = F.concat_ws("|", repo, path, ordinal.cast("string"))
+    content = F.concat(F.lit("content:"), base, F.lit(":"), F.sha2(base, 256))
+    fields = [
+        repo.alias("repo"),
+        path.alias("path"),
+        F.substring(F.sha2(F.concat(base, F.lit("#c")), 256), 1, 12).alias("commit"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in LANGS]),
+            (F.pmod(F.xxhash64(repo, path), F.lit(len(LANGS))) + 1).cast("int"),
+        ).alias("lang"),
+        content.alias("content"),
+    ]
+    if evolved:
+        fields.append(F.length(content).cast("long").alias("size_bytes"))
+    return F.struct(*fields)
+
+
+def generate_events(
+    spark: SparkSession,
+    n_events: int,
+    seed: int = 42,
+    n_repos: int = 50,
+    paths_per_repo: int = 1000,
+    skew_exponent: float = 6.0,
+    tx_size: int = 8,
+    n_source_partitions: int = 8,
+    decoy_frac: float = 0.05,
+    ignored_server_frac: float = 0.05,
+    evolve_after_frac: float | None = None,
+    op_weights: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the canonical change-event DataFrame (cdc_events fixture).
+
+    ``skew_exponent=6`` puts ~(1/n_repos)^(1/6) ≈ 52% of events on repo 0
+    for n_repos=50 — the hot-repo scenario (north_rule skew gate).
+    """
+    df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    off = F.col("id")
+
+    u_repo = _u(seed, 1, off)
+    repo_idx = F.floor(F.lit(n_repos) * F.pow(u_repo, F.lit(skew_exponent))).cast("int")
+    repo = F.concat(F.lit("repo-"), F.lpad(repo_idx.cast("string"), 4, "0"))
+    path_idx = F.pmod(F.xxhash64(F.lit(seed), F.lit(2), off), F.lit(paths_per_repo))
+    path = F.concat(
+        F.lit("src/"), F.lpad(F.pmod(path_idx, 37).cast("string"), 2, "0"),
+        F.lit("/f"), F.lpad(path_idx.cast("string"), 6, "0"), F.lit(".txt"),
+    )
+
+    u_op = _u(seed, 3, off)
+    w_i, w_u, _ = op_weights
+    op = (
+        F.when(u_op < w_i, F.lit("I"))
+        .when(u_op < w_i + w_u, F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+
+    u_tbl = _u(seed, 4, off)
+    table_name = F.when(u_tbl < decoy_frac, F.lit(DECOY_TABLE)).otherwise(F.lit("repos"))
+    u_srv = _u(seed, 5, off)
+    server_id = (
+        F.when(u_srv < ignored_server_frac, F.lit(IGNORED_SERVER_ID))
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+
+    ordinal = off  # commit ordinal == log position in the base fixture
+    evolved = evolve_after_frac is not None
+    cutoff = int(n_events * evolve_after_frac) if evolved else None
+    after_img = _image(repo, path, ordinal, evolved)
+    before_img = _image(repo, path, ordinal - 1, evolved)
+    if evolved:
+        # the column "appears" mid-stream: null before the cutoff offset
+        def gate(img: Column) -> Column:
+            return F.when(
+                off >= F.lit(cutoff), img
+            ).otherwise(img.withField("size_bytes", F.lit(None).cast("long")))
+        after_img = gate(after_img)
+        before_img = gate(before_img)
+
+    ev = df.select(
+        off.alias("offset"),
+        (off / F.lit(tx_size)).cast("long").alias("tx_id"),
+        server_id.alias("server_id"),
+        F.lit("rook").alias("schema_name"),
+        table_name.alias("table_name"),
+        op.alias("op"),
+        before_img.alias("_b"),
+        after_img.alias("_a"),
+        off.alias("commit_ordinal"),
+        F.pmod(F.xxhash64(repo), F.lit(n_source_partitions)).cast("int").alias("source_partition"),
+        F.timestamp_seconds(F.lit(1700000000) + off).alias("ts"),
+    )
+    # insert: after only; update: before+after; delete: before only
+    # (the three event subclasses, rook-api event/*.java)
+    ev = ev.select(
+        "offset", "tx_id", "server_id", "schema_name", "table_name", "op",
+        F.when(F.col("op") != "I", F.col("_b")).alias("before"),
+        F.when(F.col("op") != "D", F.col("_a")).alias("after"),
+        "commit_ordinal", "source_partition", "ts",
+    )
+    return ev
+
+
+def with_replayed_suffix(events: DataFrame, n_events: int, replay_frac: float = 0.2) -> DataFrame:
+    """At-least-once source simulation: re-deliver the last ``replay_frac``
+    of the log verbatim (duplicate offsets). Exactly-once gate: final
+    table state must equal the non-duplicated replay."""
+    cutoff = int(n_events * (1 - replay_frac))
+    return events.unionByName(events.where(F.col("offset") >= cutoff))
+
+
+def write_events(events: DataFrame, path: str, n_files: int = 8) -> None:
+    """Materialize the log as parquet, ordered-ish into n_files chunks
+    (file-per-micro-batch for the streaming source)."""
+    events.repartitionByRange(n_files, "offset").write.mode("overwrite").parquet(path)
+
+
+# --------------------------------------------------------------------- oracle
+
+def oracle_final_state_sql(events_parquet_glob: str, evolved: bool = False) -> str:
+    """DuckDB SQL computing the golden final state of the `repos` table
+    from the raw event log — an independent replay implementation
+    (LWW by (commit_ordinal, offset), delete drops the key, ignored
+    tables/servers filtered; duplicates collapse because replayed rows
+    are byte-identical)."""
+    extra = ', img.size_bytes AS size_bytes' if evolved else ""
+    return f"""
+WITH filtered AS (
+  SELECT * FROM read_parquet('{events_parquet_glob}')
+  WHERE lower(schema_name || '.' || table_name) = 'rook.repos'
+    AND server_id NOT IN ({IGNORED_SERVER_ID})
+),
+keyed AS (
+  SELECT "offset", op, commit_ordinal,
+         CASE WHEN op = 'D' THEN before ELSE after END AS img
+  FROM filtered
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY img.repo, img.path
+           ORDER BY commit_ordinal DESC, "offset" DESC) AS rn
+  FROM keyed
+)
+SELECT img.repo AS repo, img.path AS path, img.commit AS commit,
+       img.lang AS lang, img.content AS content{extra}
+FROM ranked WHERE rn = 1 AND op <> 'D'
+ORDER BY repo, path
+"""

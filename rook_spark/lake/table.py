@@ -1,0 +1,413 @@
+"""A minimal transactional, bucket-partitioned lake table.
+
+The target environment has no Iceberg/Delta jars, so the engine ships its
+own Iceberg-style table format with exactly the properties the CDC apply
+path needs (SURVEY.md §2.9 K5/K6; reference semantics:
+``DefaultRowsMutationIndexer.java:44-58`` — one transaction per batch,
+commit-or-rollback):
+
+- **Snapshot isolation + atomic commit**: table state is an immutable
+  JSON snapshot (list of data files per bucket + schema + lineage
+  watermarks + batch fence). A commit writes the new snapshot file and
+  atomically flips a ``LATEST`` pointer via ``os.replace`` (POSIX-atomic).
+  A crash anywhere before the flip leaves the table at the old snapshot —
+  orphaned data files are invisible. This is the same commit protocol as
+  Iceberg's metadata pointer swap, minus the catalog.
+- **Bucket partitioning**: rows are hash-bucketed on the key columns
+  (``pmod(xxhash64(*key), n_buckets)``). A MERGE only reads and rewrites
+  the buckets actually touched by the batch — at 100 TB with e.g. 2^16
+  buckets, a batch touching 1% of keys rewrites ~1% of the table, and the
+  merge join shuffles only that slice, never the full table. (With real
+  Iceberg this maps 1:1 onto ``bucket(N, repo, path)`` partition specs and
+  storage-partitioned joins.) The bucket id is *derivable* from the key,
+  so it is never stored — files stay pure payload.
+- **Lineage in the same epoch**: per-source-partition offset watermarks
+  (``partition_id -> last_applied_offset, rows_applied, bytes``,
+  north_rule) are fields of the snapshot JSON itself, so the data MERGE
+  and the lineage write are ONE atomic commit — the "pair the snapshot
+  with the offset-lineage write in one transactional epoch" requirement
+  is satisfied structurally rather than by a two-phase protocol.
+- **Batch-id fencing**: each snapshot records the streaming ``batch_id``
+  it applied; re-delivery of an already-committed batch (foreachBatch
+  replay after crash) is detected and skipped, giving exactly-once table
+  state on top of Structured Streaming's at-least-once foreachBatch.
+- **Additive schema evolution**: the snapshot stores the table schema;
+  ``merge`` widens it when the batch carries new columns, and old data
+  files are read through the widened schema (missing columns → null),
+  mirroring north_rule's "new columns appear mid-stream and are
+  back-filled as nulls" (the reference punts on this:
+  ``MySQLReplicationStream.java:212`` "todo: do something about schema
+  changes").
+
+Single-writer assumption: one streaming query owns the table (true for
+the reference too — one binlog client per stream). Readers are never
+blocked and always see a consistent snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META = "_meta"
+_DATA = "data"
+_LATEST = "LATEST"
+
+
+def bucket_expr(key_cols: list[str] | tuple[str, ...], n_buckets: int):
+    """Deterministic bucket id for a row: pmod(xxhash64(*key), n)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    batch_id: int  # -1 before any batch
+    schema_json: str
+    key_cols: list[str]
+    n_buckets: int
+    # bucket id (as str, JSON keys are strings) -> list of file paths
+    # relative to the table root
+    buckets: dict[str, list[str]] = field(default_factory=dict)
+    # partition_id (str) -> {last_applied_offset, rows_applied, bytes}
+    lineage: dict[str, dict[str, int]] = field(default_factory=dict)
+    committed_at: float = 0.0
+    parent: int = -1
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "batch_id": self.batch_id,
+                "schema_json": self.schema_json,
+                "key_cols": self.key_cols,
+                "n_buckets": self.n_buckets,
+                "buckets": self.buckets,
+                "lineage": self.lineage,
+                "committed_at": self.committed_at,
+                "parent": self.parent,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+class LakeTable:
+    """Transactional bucketed table; see module docstring for guarantees."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta_dir = os.path.join(self.path, _META)
+
+    # ---------------------------------------------------------------- create
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str] | tuple[str, ...],
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        if t.current_version() >= 0:
+            raise ValueError(f"table already exists at {path}")
+        snap = Snapshot(
+            version=0,
+            batch_id=-1,
+            schema_json=json.dumps(schema.jsonValue()),
+            key_cols=list(key_cols),
+            n_buckets=n_buckets,
+            committed_at=time.time(),
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_version() < 0:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), _META, _LATEST))
+
+    # ------------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self._meta_dir, _LATEST)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self._meta_dir, f"v{v:010d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Write snapshot file, then atomically flip the LATEST pointer."""
+        snap_path = os.path.join(self._meta_dir, f"v{snap.version:010d}.json")
+        tmp = snap_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, snap_path)
+        ptr_tmp = os.path.join(self._meta_dir, f".latest.tmp.{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(snap.version))
+            f.flush()
+            os.fsync(f.fileno())
+        # the commit point: everything before this is invisible to readers
+        os.replace(ptr_tmp, os.path.join(self._meta_dir, _LATEST))
+
+    # ----------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read the table (optionally a past version / a subset of buckets).
+
+        File-level pruning: when ``buckets`` is given only those buckets'
+        files are even listed — stronger than predicate pushdown, and the
+        mechanism the MERGE uses to avoid scanning untouched data.
+        Old files are read through the *current* schema, so columns added
+        by schema evolution are null-backfilled for pre-evolution rows.
+        """
+        snap = self.snapshot(version)
+        schema = snap.schema()
+        wanted = snap.buckets
+        if buckets is not None:
+            keys = {str(b) for b in buckets}
+            wanted = {b: fs for b, fs in snap.buckets.items() if b in keys}
+        files = [os.path.join(self.path, f) for fs in wanted.values() for f in fs]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def lineage(self, version: int | None = None) -> DataFrame:
+        """The per-partition offset-watermark table (north_rule lineage)."""
+        snap = self.snapshot(version)
+        rows = [
+            (int(p), int(m["last_applied_offset"]), int(m["rows_applied"]), int(m["bytes"]),
+             int(snap.batch_id), float(snap.committed_at))
+            for p, m in snap.lineage.items()
+        ]
+        schema = (
+            "partition_id int, last_applied_offset long, rows_applied long, "
+            "bytes long, batch_id long, committed_at double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def last_committed_batch(self) -> int:
+        return self.snapshot().batch_id
+
+    # ----------------------------------------------------------------- merge
+
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        op_col: str = "op",
+        lineage_update: dict[int, dict[str, int]] | None = None,
+        validate_cardinality: bool = True,
+    ) -> dict[str, Any]:
+        """Apply a deduplicated change set in one atomic snapshot commit.
+
+        ``changes`` must carry the key columns, payload columns, and an
+        ``op`` column ('U'-like upsert rows and 'D' delete rows; inserts
+        are upserts that match nothing) and must already be reduced to at
+        most ONE row per key (the caller runs the LWW reduce — same
+        cardinality contract as Iceberg/Delta MERGE). Semantics mirror the
+        canonical CDC MERGE (SURVEY.md K5):
+
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
+
+        Exactly-once: if ``batch_id`` <= the last committed batch id the
+        call is a no-op (fencing for foreachBatch re-delivery).
+        """
+        snap = self.snapshot()
+        if batch_id <= snap.batch_id:
+            return {"skipped": True, "reason": "batch already committed",
+                    "version": snap.version, "batch_id": snap.batch_id}
+
+        key_cols = snap.key_cols
+        cur_schema = snap.schema()
+
+        # --- additive schema evolution: widen table schema with new payload cols
+        payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
+        new_fields = [f for f in payload_cols if f.name not in cur_schema.fieldNames()]
+        target_schema = T.StructType(list(cur_schema.fields) + new_fields)
+        target_cols = [f.name for f in target_schema.fields]
+
+        changes = changes.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+
+        if validate_cardinality:
+            # same contract as Iceberg/Delta MERGE: at most one source row
+            # per target key. One small aggregate over the (post-LWW) batch.
+            dup = (
+                changes.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE source has multiple rows for key "
+                    f"{tuple(dup[0][k] for k in key_cols)}; run an LWW reduce first "
+                    "(rook_spark.cdc.reduce.lww_reduce)"
+                )
+
+        # --- which buckets does this batch touch? (tiny collect: <= n_buckets ints)
+        touched = sorted(
+            r["__bucket"] for r in changes.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+            self._write_snapshot(new_snap)
+            return {"skipped": False, "version": new_snap.version, "touched_buckets": 0,
+                    "buckets_rewritten": 0}
+
+        # --- current state of ONLY the touched buckets, read through the
+        #     (possibly widened) target schema: old files null-fill new cols
+        files = [os.path.join(self.path, f)
+                 for b in touched for f in snap.buckets.get(str(b), [])]
+        if files:
+            current = self.spark.read.schema(target_schema).parquet(*files)
+        else:
+            current = self.spark.createDataFrame([], target_schema)
+
+        # --- MERGE as a full-outer join on the key.
+        # Both sides are only touched-bucket data; on a real cluster with
+        # Iceberg bucket specs this join is storage-partitioned (no shuffle);
+        # here Catalyst shuffles just the touched slice.
+        src = changes
+        for f in cur_schema.fields:  # old cols missing from the batch → null
+            if f.name not in src.columns:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(*key_cols, op_col,
+                         *[c for c in target_cols if c not in key_cols])
+
+        t = current.alias("t")
+        s = src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+        joined = t.join(s, cond, "full_outer")
+
+        matched = F.col(f"s.{op_col}").isNotNull()
+        is_delete = matched & (F.col(f"s.{op_col}") == "D")
+        out_cols = []
+        for c in target_cols:
+            if c in key_cols:
+                out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            else:
+                out_cols.append(
+                    F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+        merged = joined.where(~is_delete).select(*out_cols)
+        merged = merged.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+
+        # --- write new files for touched buckets (copy-on-write)
+        new_version = snap.version + 1
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            merged.repartition(max(len(touched) // 4, 1), "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        new_buckets = dict(snap.buckets)
+        buckets_rewritten = 0
+        for b in touched:
+            bdir = os.path.join(out_dir, f"__bucket={b}")
+            if os.path.isdir(bdir):
+                fs = sorted(
+                    os.path.join(out_dir_rel, f"__bucket={b}", fn)
+                    for fn in os.listdir(bdir) if fn.endswith(".parquet")
+                )
+            else:
+                fs = []  # bucket emptied out (all rows deleted)
+            if fs:
+                new_buckets[str(b)] = fs
+                buckets_rewritten += 1
+            else:
+                new_buckets.pop(str(b), None)
+
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+        new_snap.buckets = new_buckets
+        self._write_snapshot(new_snap)
+        return {"skipped": False, "version": new_snap.version,
+                "touched_buckets": len(touched), "buckets_rewritten": buckets_rewritten}
+
+    def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
+        """Replace the whole table content (bulk load / test setup)."""
+        snap = self.snapshot()
+        schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
+        new_version = snap.version + 1
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        with_bucket = df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.n_buckets))
+        with_bucket.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("__bucket="):
+                b = entry.split("=", 1)[1]
+                fs = sorted(
+                    os.path.join(out_dir_rel, entry, fn)
+                    for fn in os.listdir(os.path.join(out_dir, entry))
+                    if fn.endswith(".parquet")
+                )
+                if fs:
+                    buckets[b] = fs
+        new_snap = self._child_snapshot(
+            snap, snap.batch_id if batch_id is None else batch_id, schema, None
+        )
+        new_snap.buckets = buckets
+        self._write_snapshot(new_snap)
+
+    def _child_snapshot(
+        self,
+        parent: Snapshot,
+        batch_id: int,
+        schema: T.StructType,
+        lineage_update: dict[int, dict[str, int]] | None,
+    ) -> Snapshot:
+        lineage = {k: dict(v) for k, v in parent.lineage.items()}
+        for p, m in (lineage_update or {}).items():
+            prev = lineage.get(str(p), {"last_applied_offset": -1, "rows_applied": 0, "bytes": 0})
+            lineage[str(p)] = {
+                "last_applied_offset": max(
+                    int(m.get("last_applied_offset", -1)), int(prev["last_applied_offset"])
+                ),
+                "rows_applied": int(prev["rows_applied"]) + int(m.get("rows_applied", 0)),
+                "bytes": int(prev["bytes"]) + int(m.get("bytes", 0)),
+            }
+        return Snapshot(
+            version=parent.version + 1,
+            batch_id=batch_id,
+            schema_json=json.dumps(schema.jsonValue()),
+            key_cols=parent.key_cols,
+            n_buckets=parent.n_buckets,
+            buckets=dict(parent.buckets),
+            lineage=lineage,
+            committed_at=time.time(),
+            parent=parent.version,
+        )

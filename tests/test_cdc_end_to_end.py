@@ -1,0 +1,148 @@
+"""The minimum end-to-end slice (SURVEY.md §7.2 step 1) and its
+extensions: generate seeded event log → normalize → LWW reduce → MERGE
+→ final table state equals the independent DuckDB replay oracle,
+per-row sha256(content) included.
+
+Reference test style being mirrored: deterministic mutations + golden
+final sink state (``h4com/IntegrationTest.java:187-197``).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import (
+    generate_events,
+    oracle_final_state_sql,
+    with_replayed_suffix,
+    write_events,
+)
+
+N_EVENTS = 4000
+
+
+def _oracle_df(events_path: str, evolved: bool = False):
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            oracle_final_state_sql(f"{events_path}/*.parquet", evolved=evolved)
+        ).fetch_df()
+    finally:
+        con.close()
+
+
+def _final_state_pdf(table):
+    df = table.read()
+    cols = [c for c in df.columns]
+    return (
+        df.withColumn("content_sha", F.sha2("content", 256))
+        .select(*cols, "content_sha")
+        .orderBy("repo", "path")
+        .toPandas()
+    )
+
+
+def _assert_matches_oracle(table, events_path: str, evolved: bool = False):
+    import hashlib
+
+    got = _final_state_pdf(table)
+    want = _oracle_df(events_path, evolved=evolved)
+    want["content_sha"] = want["content"].map(
+        lambda s: hashlib.sha256(s.encode()).hexdigest()
+    )
+    assert len(got) == len(want), f"row count {len(got)} != oracle {len(want)}"
+    got = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    want = want.sort_values(["repo", "path"]).reset_index(drop=True)
+    for col in ["repo", "path", "commit", "lang", "content", "content_sha"]:
+        assert got[col].tolist() == want[col].tolist(), f"mismatch in column {col}"
+    return got
+
+
+@pytest.fixture(scope="module")
+def event_log(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events") / "log")
+    ev = generate_events(spark, N_EVENTS, seed=42)
+    write_events(ev, path, n_files=4)
+    return path
+
+
+def test_batch_replay_matches_duckdb_oracle(spark, event_log, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    stats = engine.replay(events)
+    assert not stats.skipped and stats.rows_in > 0
+    got = _assert_matches_oracle(engine.target(), event_log)
+    assert len(got) > 100
+
+
+def test_replay_in_epochs_matches_oracle(spark, event_log, tmp_path):
+    """Multiple sequential epochs (micro-batch analog) converge to the
+    same state as one big batch."""
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2500), (2500, N_EVENTS)]):
+        engine.replay(events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    _assert_matches_oracle(engine.target(), event_log)
+
+
+def test_duplicate_replay_is_exactly_once(spark, event_log, tmp_path):
+    """At-least-once source: a re-delivered suffix (duplicate offsets in a
+    LATER batch) must not change final state — the lineage watermark
+    anti-filter drops already-applied offsets (north_rule exactly-once)."""
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    engine.replay(events, 0)
+    v1 = engine.target().current_version()
+    # batch 1 re-delivers the last 20% verbatim
+    dup = events.where(F.col("offset") >= int(N_EVENTS * 0.8))
+    stats = engine.replay(dup, 1)
+    assert stats.rows_in == 0  # all fenced by watermark
+    _assert_matches_oracle(engine.target(), event_log)
+    assert engine.target().snapshot().lineage == engine.target().snapshot(v1).lineage
+
+
+def test_duplicates_within_one_batch(spark, event_log, tmp_path):
+    """Duplicates inside a single batch collapse via LWW tie-break."""
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    engine.replay(with_replayed_suffix(events, N_EVENTS, 0.2), 0)
+    _assert_matches_oracle(engine.target(), event_log)
+
+
+def test_batch_id_fencing(spark, event_log, tmp_path):
+    """Re-delivery of an already-committed batch id is a no-op (K6
+    idempotence; foreachBatch crash-retry contract)."""
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    engine.replay(events, 7)
+    v = engine.target().current_version()
+    stats = engine.replay(events, 7)
+    assert stats.skipped
+    assert engine.target().current_version() == v
+    _assert_matches_oracle(engine.target(), event_log)
+
+
+def test_decoy_tables_and_ignored_servers_are_inert(spark, event_log, tmp_path):
+    """P1/P2: decoy-table and ignored-server events exist in the log but
+    must not affect the target (``h4com/IntegrationTest.java:154-169``,
+    multi-database isolation ``:301-353``)."""
+    events = spark.read.parquet(event_log)
+    n_decoy = events.where(F.col("table_name") != "repos").count()
+    n_ignored = events.where(F.col("server_id") == 99).count()
+    assert n_decoy > 0 and n_ignored > 0  # fixture really contains them
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    engine.replay(events)
+    _assert_matches_oracle(engine.target(), event_log)
+
+
+def test_lineage_watermarks_advance(spark, event_log, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    events = spark.read.parquet(event_log)
+    engine.replay(events)
+    lin = engine.target().lineage().toPandas()
+    assert lin["rows_applied"].sum() > 0
+    assert lin["bytes"].sum() > 0
+    assert (lin["last_applied_offset"] >= 0).all()
