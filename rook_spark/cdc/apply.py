@@ -44,6 +44,17 @@ class ApplyStats:
 def watermark_filter(flat: DataFrame, lineage: dict[str, dict[str, int]]) -> DataFrame:
     """Drop events at-or-below the per-source-partition applied watermark.
 
+    ORDERING CONTRACT: within one source partition, offsets must arrive
+    non-decreasing across batches — exactly what a binlog or one Kafka
+    partition provides (the reference preserves it via single-threaded
+    dispatch, ``MySQLReplicationStream.java:161-179``). Under that
+    contract, everything at-or-below the watermark is a duplicate and
+    dropping it is exactly-once dedup (north_rule). A source that
+    violates the contract loses events here by design; cross-partition
+    disorder is always fine (watermarks are per partition), and
+    *overlapping re-delivery* of already-applied suffixes is additionally
+    made harmless by the conditional-ordinal MERGE (LakeTable.merge).
+
     The watermark map is tiny (one entry per source partition), so it is
     inlined as a literal ``map`` expression — evaluated JVM-side inside
     whole-stage codegen, no join, no shuffle, no Python.
@@ -114,9 +125,16 @@ def apply_batch(
     reducible = fresh.drop(*drop)
     reducer = salted_lww_reduce if salted else lww_reduce
     kwargs: dict[str, Any] = {"n_salts": n_salts} if salted else {}
-    changes = reducer(
-        reducible, key_cols=key_cols, ordinal_col=ordinal_col, offset_col=offset_col, **kwargs
-    ).drop(ordinal_col, offset_col)
+    # keep the winning (ordinal, offset) as internal target columns: the
+    # MERGE compares them against stored state so cross-batch replay of
+    # older changes can never regress a row (see LakeTable.merge)
+    changes = (
+        reducer(
+            reducible, key_cols=key_cols, ordinal_col=ordinal_col, offset_col=offset_col, **kwargs
+        )
+        .withColumnRenamed(ordinal_col, "__ordinal")
+        .withColumnRenamed(offset_col, "__offset")
+    )
 
     result = table.merge(changes, batch_id, op_col="op", lineage_update=lineage_update)
     return ApplyStats(

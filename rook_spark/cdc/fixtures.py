@@ -158,23 +158,40 @@ def with_replayed_suffix(events: DataFrame, n_events: int, replay_frac: float = 
 
 
 def write_events(events: DataFrame, path: str, n_files: int = 8) -> None:
-    """Materialize the log as parquet, ordered-ish into n_files chunks
-    (file-per-micro-batch for the streaming source)."""
+    """Materialize the log as parquet chunks that a file-stream source
+    delivers in OFFSET ORDER — the engine's source contract is
+    "offsets non-decreasing per source partition" (what a binlog or a
+    Kafka partition provides; ``MySQLReplicationStream.java:161-179``
+    preserves it by single-threaded dispatch). Spark's FileStreamSource
+    picks oldest-mtime-first, so chunks are renamed into range order
+    with strictly increasing mtimes."""
+    import os
+    import time
+
     events.repartitionByRange(n_files, "offset").write.mode("overwrite").parquet(path)
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    base = time.time() - len(parts) * 2
+    for i, f in enumerate(parts):
+        dst = os.path.join(path, f"chunk-{i:05d}.parquet")
+        os.rename(os.path.join(path, f), dst)
+        os.utime(dst, (base + i * 2, base + i * 2))
 
 
 # --------------------------------------------------------------------- oracle
 
-def oracle_final_state_sql(events_parquet_glob: str, evolved: bool = False) -> str:
+def oracle_final_state_sql(
+    events_parquet_glob: str, evolved: bool = False, union_by_name: bool = False
+) -> str:
     """DuckDB SQL computing the golden final state of the `repos` table
     from the raw event log — an independent replay implementation
     (LWW by (commit_ordinal, offset), delete drops the key, ignored
     tables/servers filtered; duplicates collapse because replayed rows
     are byte-identical)."""
     extra = ', img.size_bytes AS size_bytes' if evolved else ""
+    ubn = ", union_by_name=true" if union_by_name else ""
     return f"""
 WITH filtered AS (
-  SELECT * FROM read_parquet('{events_parquet_glob}')
+  SELECT * FROM read_parquet('{events_parquet_glob}'{ubn})
   WHERE lower(schema_name || '.' || table_name) = 'rook.repos'
     AND server_id NOT IN ({IGNORED_SERVER_ID})
 ),

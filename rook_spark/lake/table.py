@@ -183,7 +183,12 @@ class LakeTable:
 
     # ----------------------------------------------------------------- reads
 
-    def read(self, version: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
         File-level pruning: when ``buckets`` is given only those buckets'
@@ -200,8 +205,12 @@ class LakeTable:
             wanted = {b: fs for b, fs in snap.buckets.items() if b in keys}
         files = [os.path.join(self.path, f) for fs in wanted.values() for f in fs]
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_internal:
+            df = df.drop(*[c for c in df.columns if c.startswith("__")])
+        return df
 
     def lineage(self, version: int | None = None) -> DataFrame:
         """The per-partition offset-watermark table (north_rule lineage)."""
@@ -229,6 +238,8 @@ class LakeTable:
         op_col: str = "op",
         lineage_update: dict[int, dict[str, int]] | None = None,
         validate_cardinality: bool = True,
+        ordinal_col: str = "__ordinal",
+        tiebreak_col: str = "__offset",
     ) -> dict[str, Any]:
         """Apply a deduplicated change set in one atomic snapshot commit.
 
@@ -305,22 +316,42 @@ class LakeTable:
         src = src.select(*key_cols, op_col,
                          *[c for c in target_cols if c not in key_cols])
 
-        t = current.alias("t")
+        t = current.withColumn("__t_present", F.lit(True)).alias("t")
         s = src.alias("s")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
         joined = t.join(s, cond, "full_outer")
 
-        matched = F.col(f"s.{op_col}").isNotNull()
-        is_delete = matched & (F.col(f"s.{op_col}") == "D")
+        s_present = F.col(f"s.{op_col}").isNotNull()
+        t_present = F.coalesce(F.col("t.__t_present"), F.lit(False))
+        if ordinal_col in src.columns:
+            # LWW against the STORED ordinal: a change only wins if its
+            # (ordinal, offset) is >= the target row's. Makes the apply
+            # commutative per key across batches — replay or out-of-order
+            # re-delivery of an older change can never clobber newer state
+            # (cross-batch generalization of W1; rook gets the same
+            # guarantee by re-reading final DB state per key,
+            # DefaultRowsMutationIndexer.java:75-81).
+            s_ord = F.struct(
+                F.coalesce(F.col(f"s.{ordinal_col}"), F.lit(-1)).alias("o"),
+                F.coalesce(F.col(f"s.{tiebreak_col}"), F.lit(-1)).alias("t"),
+            )
+            t_ord = F.struct(
+                F.coalesce(F.col(f"t.{ordinal_col}"), F.lit(-1)).alias("o"),
+                F.coalesce(F.col(f"t.{tiebreak_col}"), F.lit(-1)).alias("t"),
+            )
+            s_wins = s_present & (~t_present | (s_ord >= t_ord))
+        else:
+            s_wins = s_present
+        drop_row = s_wins & (F.col(f"s.{op_col}") == "D")
         out_cols = []
         for c in target_cols:
             if c in key_cols:
                 out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
             else:
                 out_cols.append(
-                    F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                    F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
                 )
-        merged = joined.where(~is_delete).select(*out_cols)
+        merged = joined.where(~drop_row).select(*out_cols)
         merged = merged.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
 
         # --- write new files for touched buckets (copy-on-write)

@@ -1,0 +1,117 @@
+"""LakeTable unit semantics: MERGE matrix, atomicity, time travel,
+bucket pruning, cardinality contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rook_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, op string"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=8)
+
+
+def test_merge_matrix(spark, table):
+    """The canonical CDC MERGE truth table (K5):
+    not-matched+I→insert, matched+U→update, matched+D→delete,
+    not-matched+D→no-op, not-matched+U→insert (upsert)."""
+    table.merge(_changes(spark, [("r1", "a", "v1", "I"), ("r1", "b", "v1", "I")]), 0)
+    table.merge(
+        _changes(
+            spark,
+            [
+                ("r1", "a", "v2", "U"),   # matched update
+                ("r1", "b", None, "D"),   # matched delete
+                ("r1", "c", "v1", "U"),   # unmatched upsert -> insert
+                ("r1", "z", None, "D"),   # unmatched delete -> no-op
+            ],
+        ),
+        1,
+    )
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert state == {("r1", "a"): "v2", ("r1", "c"): "v1"}
+
+
+def test_time_travel_and_atomicity(spark, table):
+    table.merge(_changes(spark, [("r1", "a", "v1", "I")]), 0)
+    v1 = table.current_version()
+    table.merge(_changes(spark, [("r1", "a", "v2", "U")]), 1)
+    assert table.read(version=v1).first()["content"] == "v1"
+    assert table.read().first()["content"] == "v2"
+
+
+def test_crash_before_pointer_flip_is_invisible(spark, table, tmp_path):
+    """Simulate a crash after data files are written but before the
+    LATEST pointer flips: readers still see the old snapshot (the
+    rollback half of K6, ``DefaultRowsMutationIndexer.java:52-55``)."""
+    table.merge(_changes(spark, [("r1", "a", "v1", "I")]), 0)
+    v = table.current_version()
+    # orphan data: write files the snapshot never references
+    junk = _changes(spark, [("r9", "q", "junk", "I")]).drop("op")
+    junk.write.parquet(os.path.join(table.path, "data", "orphan"))
+    assert table.current_version() == v
+    assert table.read().where("repo = 'r9'").count() == 0
+
+
+def test_bucket_pruning_reads_only_touched_files(spark, table):
+    """File-level pruning: reading one bucket lists only that bucket's
+    files (the mechanism that bounds MERGE I/O at 100 TB)."""
+    rows = [(f"r{i}", f"p{i}", "v", "I") for i in range(50)]
+    table.merge(_changes(spark, rows), 0)
+    snap = table.snapshot()
+    assert len(snap.buckets) > 1
+    some_bucket = int(next(iter(snap.buckets)))
+    pruned = table.read(buckets=[some_bucket])
+    full = table.read()
+    assert 0 < pruned.count() < full.count()
+    # the pruned scan's file list really is a subset
+    pruned_files = {f for f in pruned.inputFiles()}
+    full_files = {f for f in full.inputFiles()}
+    assert pruned_files < full_files
+
+
+def test_merge_cardinality_guard(spark, table):
+    with pytest.raises(ValueError, match="LWW"):
+        table.merge(
+            _changes(spark, [("r", "p", "x1", "U"), ("r", "p", "x2", "U")]), 0
+        )
+
+
+def test_untouched_buckets_files_carried_forward(spark, table):
+    """COW: a merge touching one key must not rewrite other buckets'
+    files (scan-amplification guard at scale)."""
+    rows = [(f"r{i}", f"p{i}", "v", "I") for i in range(50)]
+    table.merge(_changes(spark, rows), 0)
+    before = dict(table.snapshot().buckets)
+    table.merge(_changes(spark, [("r0", "p0", "v2", "U")]), 1)
+    after = dict(table.snapshot().buckets)
+    changed = [b for b in before if before[b] != after.get(b)]
+    unchanged = [b for b in before if before[b] == after.get(b)]
+    assert len(changed) == 1 and len(unchanged) == len(before) - 1
+
+
+def test_overwrite_and_lineage_defaults(spark, table):
+    df = spark.createDataFrame([("r", "p", "v")], SCHEMA)
+    table.overwrite(df)
+    assert table.read().count() == 1
+    assert table.lineage().count() == 0

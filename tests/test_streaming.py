@@ -1,0 +1,119 @@
+"""Structured Streaming wrapper: S1 source analog + kill/resume
+exactly-once (SURVEY.md §2.10; rook's reconnect scenario re-expressed as
+checkpoint resume)."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events, oracle_final_state_sql
+
+N_EVENTS = 3000
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Event log split into 6 ordered files — file == micro-batch feed."""
+    d = tmp_path_factory.mktemp("stream_src")
+    ev = generate_events(spark, N_EVENTS, seed=11)
+    from rook_spark.cdc.fixtures import write_events
+
+    write_events(ev, str(d / "log"), n_files=6)
+    return str(d / "log")
+
+
+def _oracle(source_dir):
+    con = duckdb.connect()
+    try:
+        return con.execute(oracle_final_state_sql(f"{source_dir}/*.parquet")).fetch_df()
+    finally:
+        con.close()
+
+
+def _assert_state(table, source_dir):
+    got = table.read().orderBy("repo", "path").toPandas()
+    want = _oracle(source_dir)
+    assert len(got) == len(want)
+    assert got["content"].tolist() == want["content"].tolist()
+
+
+def test_stream_end_to_end(spark, source_dir, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # really ran as multiple micro-batches
+    _assert_state(engine.target(), source_dir)
+
+
+def test_stream_kill_and_resume(spark, source_dir, tmp_path):
+    """Stop mid-log, restart from the same checkpoint: no loss, no dup.
+    Then restart from a FRESH checkpoint over the full source: batch +
+    watermark fences keep the state identical (at-least-once replay →
+    exactly-once state, north_rule)."""
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(staged)
+    files = sorted(
+        f for f in os.listdir(source_dir) if f.endswith(".parquet")
+    )
+    # stage only half the files, run, "crash" (stop)
+    for f in files[:3]:
+        shutil.copy2(os.path.join(source_dir, f), os.path.join(staged, f))
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(staged, ckpt, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    v_mid = engine.target().current_version()
+    assert v_mid >= 1
+
+    # deliver the rest, resume from the same checkpoint
+    for f in files[3:]:
+        shutil.copy2(os.path.join(source_dir, f), os.path.join(staged, f))
+    engine2 = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q2 = engine2.stream(staged, ckpt, max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+    _assert_state(engine2.target(), source_dir)
+
+    # fresh checkpoint => Spark replays ALL files; state must not change
+    engine3 = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q3 = engine3.stream(staged, str(tmp_path / "ckpt2"), max_files_per_trigger=2)
+    q3.processAllAvailable()
+    q3.stop()
+    _assert_state(engine3.target(), source_dir)
+
+
+def test_stream_sink_fanout_and_error_isolation(spark, source_dir, tmp_path):
+    """K1: a failing auxiliary sink must not stop the stream or the MERGE;
+    failures land in the dead-letter table
+    (``MySQLReplicationStream.java:167-176``)."""
+    seen = []
+
+    def counting_sink(df, bid):
+        seen.append((bid, df.where(F.col("op") == "D").count()))
+
+    def broken_sink(df, bid):
+        raise RuntimeError("sink exploded")
+
+    engine = (
+        CdcEngine(spark, str(tmp_path / "repos"))
+        .ignoring_servers(99)
+        .with_sink("counts", counting_sink)
+        .with_sink("broken", broken_sink)
+    )
+    q = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=3)
+    q.processAllAvailable()
+    q.stop()
+    _assert_state(engine.target(), source_dir)  # MERGE unaffected
+    assert len(seen) >= 2  # healthy sink saw every batch
+    dead = spark.read.parquet(engine.dead_letter_path)
+    assert dead.where(F.col("sink") == "broken").count() >= 2
+    assert "sink exploded" in dead.first()["error"]
