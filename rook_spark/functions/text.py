@@ -1,0 +1,108 @@
+"""Text analysis for large-scale corpus pipelines.
+
+Every function here is a pure Column expression (JVM-side, whole-stage
+codegen) EXCEPT the mandated pandas-UDF sha256, and each has an
+ANSI/DuckDB-SQL twin in ``rook_spark.queries`` so the driver's oracle
+can verify it value-for-value. Operating column: ``documents.text``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# word-boundary stopword probes per language (tiny by design — a
+# deterministic n-gram/stopword heuristic, not a trained model)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "y", "que", "las"],
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single other symbols
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@F.pandas_udf(T.StringType())
+def sha256_udf(s: pd.Series) -> pd.Series:
+    """Vectorized Arrow sha256 — the mandated invariant kernel
+    (BASELINE.json input_hint: pandas/Arrow UDF, no per-row Python in
+    the JVM loop; batches cross once via Arrow). Cross-checked against
+    the built-in ``F.sha2(col, 256)`` in tests."""
+    return s.map(lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest() if x is not None else None)
+
+
+def sha256_builtin(col: str | Column) -> Column:
+    """JVM-side sha256 — the fast path for production; bit-identical to
+    :data:`sha256_udf` (tests assert it)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count. Matches DuckDB
+    ``length(regexp_split_to_array(trim(text), '\\s+'))`` with the
+    empty-string guard."""
+    t = F.trim(F.col(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+"))).alias("n_tokens")
+
+
+def bpe_token_estimate(col: str = "text") -> Column:
+    """Sub-word-ish token estimate: count of BPE_PATTERN matches."""
+    return F.regexp_count(F.col(col), F.lit(BPE_PATTERN)).alias("n_bpe_tokens")
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    c = F.col(col)
+    return {lang: _stopword_hits(c, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: str = "text") -> Column:
+    """Deterministic language-ID heuristic: argmax of per-language
+    stopword hit counts; 'und' when nothing matches. Ties break by the
+    fixed language order (en, de, fr, es) — mirrored exactly in the SQL
+    oracle so values compare equal."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_STOPWORDS)):  # earlier langs win ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr.alias("lang_pred")
+
+
+def quality_score(col: str = "text") -> Column:
+    """Deterministic quality heuristic in [0,1]: length saturation +
+    alphabetic ratio + stopword density. Rounded to 4 decimals so the
+    float compares exactly against the SQL oracle."""
+    c = F.col(col)
+    length = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
+    ntok = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(F.split(F.trim(c), "\\s+")))
+    stop_ratio = F.when(
+        ntok > 0, F.least(_stopword_hits(c, LANG_STOPWORDS["en"]).cast("double") / ntok, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(length / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * stop_ratio
+    )
+    return F.round(score, 4).alias("quality")
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (md5 is available bit-identically in Spark and DuckDB, unlike
+    xxhash64 — parity matters more than speed for the oracle; swap in
+    ``F.xxhash64`` at scale)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(col), "\\s+", " ")))
+    return F.md5(norm).alias("fingerprint")

@@ -1,0 +1,866 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 plus
+the training-data pipeline ops, each as a (spark_fn, duckdb_oracle_sql)
+pair with IDENTICAL output column names (the driver hash-compares values
+after sorting columns by name).
+
+Conventions for engine/oracle parity:
+- every float is ``round(x, 4)`` on both sides;
+- timestamps are emitted as NTZ-formatted strings (tz-independent);
+- hashes are sha256/md5 (bit-identical in Spark and DuckDB);
+- DuckDB lacks ``regexp_count`` → ``length(regexp_extract_all(...))``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rook_spark.functions import ann, dedup, multimodal, text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC core semantics (SURVEY.md §2 operators over the driver's `events`
+# stream table: event_id = offset/ordinal, user_id = key,
+# event_type = op source, 'error' plays the delete)
+# =====================================================================
+
+_CDC_OP = "CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+
+
+@register(
+    "cdc_lww_state",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             {_CDC_OP} AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           round(value, 4) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the engine's MERGE semantics as one declarative plan:
+    last-writer-wins per key by ordinal (W1), delete drops the key (K5).
+    Mirrors ``DefaultRowsMutationIndexer.java:64-88``."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "cdc_op_demux",
+    f"""
+    SELECT {_CDC_OP} AS op, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_op_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A4 — event-type demux as a column + counting aggregate
+    (``MySQLReplicationStream.java:210-253``; CountDownReplicationListener)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"), "user_id")
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "cdc_filter_pruning",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE event_type NOT IN ('error', 'view') AND user_id % 10 <> 7
+    GROUP BY event_type
+    """,
+)
+def cdc_filter_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P6 — ignored-set filters, pushed into the parquet scan
+    (``MySQLReplicationStream.java:196-202``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(~F.col("event_type").isin("error", "view") & (F.col("user_id") % 10 != 7))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cdc_tx_group",
+    """
+    SELECT CAST(floor(event_id / 100) AS BIGINT) AS tx_id,
+           count(*) AS n_events,
+           max(event_id) AS max_offset,
+           count(DISTINCT user_id) AS n_keys
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_tx_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — transaction grouping: contiguous offsets share a tx
+    (``MySQLReplicationStream.java:234-249``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("event_id") / 100).cast("long").alias("tx_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_offset"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+
+
+@register(
+    "cdc_distinct_spaces",
+    "SELECT DISTINCT event_type AS space FROM events WHERE event_type <> 'error'",
+)
+def cdc_distinct_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — distinct invalidation-space set per epoch
+    (``QueryCacheSynchronizer.java:47-64``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select(F.col("event_type").alias("space"))
+        .distinct()
+    )
+
+
+@register(
+    "cdc_lineage_watermarks",
+    """
+    SELECT CAST(user_id % 8 AS INT) AS partition_id,
+           max(event_id) AS last_applied_offset,
+           count(*) AS rows_applied,
+           round(sum(value), 4) AS bytes_proxy
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_lineage_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4/north_rule — per-partition offset watermark + metrics rollup."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 8).cast("int").alias("partition_id"))
+        .agg(
+            F.max("event_id").alias("last_applied_offset"),
+            F.count(F.lit(1)).alias("rows_applied"),
+            F.round(F.sum("value"), 4).alias("bytes_proxy"),
+        )
+    )
+
+
+@register(
+    "cdc_key_extraction",
+    """
+    SELECT CAST(user_id % 50 AS BIGINT) AS key_shard, event_type AS key_type,
+           count(*) AS n, max(event_id) AS max_ordinal
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cdc_key_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — composite-key extraction as named struct fields (flattened
+    here for oracle comparison; ``PrimaryKey.java:81-96``)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 50).cast("long").alias("key_shard"),
+            F.col("event_type").alias("key_type"),
+            "event_id",
+        )
+        .groupBy("key_shard", "key_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_ordinal"))
+    )
+
+
+@register(
+    "cdc_broadcast_policy_join",
+    """
+    WITH policy(event_type, action) AS (
+      VALUES ('click','evict'), ('view','evict'), ('purchase','index'),
+             ('signup','index'), ('error','purge')
+    )
+    SELECT p.action AS action, count(*) AS n_events,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN policy p USING (event_type)
+    GROUP BY p.action
+    """,
+)
+def cdc_broadcast_policy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — event→directive lookup as an explicit broadcast hash join
+    (``targetsByTable``, ``SynchronizationContext.java:131-138``)."""
+    policy = spark.createDataFrame(
+        [
+            ("click", "evict"),
+            ("view", "evict"),
+            ("purchase", "index"),
+            ("signup", "index"),
+            ("error", "purge"),
+        ],
+        "event_type string, action string",
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .join(F.broadcast(policy), "event_type")
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "cdc_fk_propagation",
+    """
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 4) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def cdc_fk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — container/parent FK propagation: changed child → parent
+    chain, two broadcast joins up the hierarchy
+    (``DefaultRowsMutationIndexer.java:90-123``)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "cdc_schema_evolution_union",
+    """
+    WITH old_era AS (
+      SELECT event_id, user_id, CAST(NULL AS BIGINT) AS size_bytes
+      FROM events WHERE event_id < 5000
+    ), new_era AS (
+      SELECT event_id, user_id, length(props) AS size_bytes
+      FROM events WHERE event_id >= 5000
+    ), unioned AS (
+      SELECT * FROM old_era UNION ALL SELECT * FROM new_era
+    )
+    SELECT CASE WHEN size_bytes IS NULL THEN 'pre' ELSE 'post' END AS era,
+           count(*) AS n, count(size_bytes) AS n_with_size
+    FROM unioned GROUP BY 1
+    """,
+)
+def cdc_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7/north_rule — additive evolution via unionByName with missing
+    columns null-backfilled."""
+    ev = _t(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") < 5000).select("event_id", "user_id")
+    new = ev.where(F.col("event_id") >= 5000).select(
+        "event_id", "user_id", F.length("props").cast("long").alias("size_bytes")
+    )
+    unioned = old.unionByName(new, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.when(F.col("size_bytes").isNull(), "pre").otherwise("post").alias("era")
+    ).agg(F.count(F.lit(1)).alias("n"), F.count("size_bytes").alias("n_with_size"))
+
+
+@register(
+    "cdc_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-adjacent sessionization (gap > 1h) via lag window —
+    the batch shape of `session_window`."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 3600),
+            1,
+        ).otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (§2.8): regex field extraction + agg."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(F.regexp_extract("props", "([0-9]+)", 1).cast("long")), 4
+            ).alias("avg_k")
+        )
+    )
+
+
+# =====================================================================
+# Analytic coverage (agg / join / window / rollup / pivot / top-k)
+# =====================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice, 4) AS totalprice, rk AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "tpch_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(t)
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "set_ops_nations",
+    """
+    SELECT n_nationkey AS nationkey FROM
+      (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+       INTERSECT
+       SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return c.intersect(s)
+
+
+@register(
+    "semi_anti_join_orders",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_with_orders,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_without_orders
+    """,
+)
+def semi_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return c.sparkSession.createDataFrame(
+        [(with_orders, without)], "n_with_orders long, n_without_orders long"
+    )
+
+
+# =====================================================================
+# Text analysis (documents)
+# =====================================================================
+
+
+@register("doc_sha256", "SELECT doc_id, sha256(text) AS content_sha FROM documents")
+def doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invariant kernel, JVM path (F.sha2)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.sha256_builtin("text").alias("content_sha")
+    )
+
+
+@register("doc_sha256_pandas_udf", "SELECT doc_id, sha256(text) AS content_sha FROM documents")
+def doc_sha256_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The invariant kernel, mandated vectorized-Arrow path (pandas UDF,
+    BASELINE.json input_hint) — same oracle, proving both paths agree."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.sha256_udf("text").alias("content_sha")
+    )
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+           END AS n_tokens,
+           CAST(length(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.token_count("text").cast("int").alias("n_tokens"),
+        text.bpe_token_estimate("text").cast("int").alias("n_bpe_tokens"),
+    )
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            f"CAST(length(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(ws)})\\b')) AS INT)"
+        )
+        for lang, ws in text.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for lang in text.LANG_STOPWORDS:
+        case += f"WHEN {hits[lang]} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, {case} AS lang_pred
+    FROM (SELECT doc_id, text, {best} AS best FROM documents)
+    """
+
+
+@register("doc_lang_id", _lang_sql())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", text.lang_id("text"))
+
+
+@register(
+    "doc_quality",
+    f"""
+    SELECT doc_id,
+      round(
+        0.4 * least(length(text) / 500.0, 1.0)
+        + 0.3 * CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1.0 / length(text)
+                     ELSE 0 END
+        + 0.3 * CASE WHEN trim(text) <> ''
+                     THEN least(
+                       CAST(length(regexp_extract_all(lower(text),
+                         '\\b({'|'.join(text.LANG_STOPWORDS['en'])})\\b')) AS DOUBLE)
+                       / length(regexp_split_to_array(trim(text), '\\s+')), 1.0)
+                     ELSE 0 END,
+      4) AS quality
+    FROM documents
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", text.quality_score("text"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", text.fingerprint("text"))
+
+
+# =====================================================================
+# Deduplication (documents)
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS group_size
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.3
+    )
+
+
+def _minhash_sig_sql(n_hashes: int) -> str:
+    sigs = ", ".join(
+        f"min(md5(concat_ws('|', '{i}', shingle))) AS sig_{i}" for i in range(n_hashes)
+    )
+    return f"WITH {_SHINGLE_CTE} SELECT id, {sigs} FROM sh GROUP BY id"
+
+
+@register("dedup_minhash_signatures", _minhash_sig_sql(8))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
+
+
+def _minhash_lsh_sql(n_hashes: int, n_bands: int) -> str:
+    rows = n_hashes // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        + ")) AS key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sig_base AS ({_minhash_sig_sql(n_hashes)}),
+    sigs AS (SELECT * FROM sig_base),
+    banded AS ({band_selects})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    """
+
+
+@register("dedup_minhash_lsh_pairs", _minhash_lsh_sql(16, 8))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=16, n_bands=8
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = []
+    for bit in range(bits):
+        pos = bit // 4 + 1
+        shift = 3 - bit % 4
+        nib = f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        votes.append(f"sum((({nib} >> {shift}) & 1) * 2 - 1) AS v{bit}")
+    assemble = " + ".join(
+        f"CASE WHEN v{bit} > 0 THEN CAST({2 ** bit} AS BIGINT) ELSE 0 END"
+        for bit in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT id, md5(tok) AS h FROM toks),
+    votes AS (SELECT id, {', '.join(votes)} FROM hashed GROUP BY id)
+    SELECT id, {assemble} AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", _simhash_sql(32))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+_COS_SQL = """
+    round(
+      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+    4)
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos
+      FROM q, embeddings b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 3 fixed queries — the ANN
+    baseline (broadcast query side; corpus never shuffles)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk(embs, queries_df, k=10)
+    return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.99
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.99
+    )
+
+
+@register("ann_lsh_topk")  # approximate + hash-derived hyperplanes: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.lsh_topk(embs, queries_df, dim=64, k=10, n_planes=6)
+
+
+# =====================================================================
+# Multimodal plumbing + the CDC engine itself (rows-only checks)
+# =====================================================================
+
+
+@register("multimodal_features")  # synthesized media, no driver table: rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.extract_features(media, feature_dim=8).select(
+        "media_id", "kind", "n_bytes", "frames"
+    )
+
+
+@register("cdc_engine_replay")  # full engine end-to-end: rows-only
+def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replays a deterministic 2k-event CDC log through the actual engine
+    (normalize → LWW → transactional MERGE) and returns the final table
+    with the sha256 invariant column. SQL-oracle equivalence of these
+    semantics is covered by `cdc_lww_state`; byte-level equivalence by
+    the pytest suite's DuckDB replay oracle."""
+    import tempfile
+
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    d = tempfile.mkdtemp(prefix="rook_entry_")
+    engine = CdcEngine(spark, f"{d}/repos").ignoring_servers(99)
+    engine.replay(generate_events(spark, 2000, seed=42))
+    return engine.target().read().withColumn("content_sha", F.sha2("content", 256))

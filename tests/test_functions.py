@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: text / dedup / ANN / multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rook_spark.functions import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------- text
+
+def test_sha256_udf_matches_builtin_and_python(spark, docs):
+    """The mandated pandas-UDF sha256 is bit-identical to F.sha2 and to
+    hashlib (the invariant kernel, BASELINE.json input_hint)."""
+    out = docs.select(
+        "doc_id",
+        "text",
+        text.sha256_udf("text").alias("udf_sha"),
+        text.sha256_builtin("text").alias("jvm_sha"),
+    ).collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        want = hashlib.sha256(r["text"].encode()).hexdigest()
+        assert r["udf_sha"] == want and r["jvm_sha"] == want
+    assert all(r["udf_sha"] == r["jvm_sha"] for r in out)
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("  ",), ("one",), ("two words",), (" padded  tokens  here ",)],
+        "text string",
+    )
+    got = [r["n_tokens"] for r in df.select(text.token_count()).collect()]
+    assert got == [0, 0, 1, 2, 3]
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist hier"),
+            (3, "le chat et la maison les arbres"),
+            (4, "el perro y los gatos que corren"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in df.select("doc_id", text.lang_id()).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+    q = df.select(text.quality_score().alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in q)
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], "text string"
+    )
+    fps = [r["fingerprint"] for r in df.select(text.fingerprint()).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  b C"), (3, "unique text")], "doc_id long, text string"
+    )
+    groups = {r["keep_id"]: r["group_size"] for r in dedup.exact_dedup(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w6"),  # shares 2 of its 3 shingles' neighbors
+            (3, "x1 x2 x3 x4 x5"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(df, k=3)
+    assert sh.where("id = 1").count() == 3  # 5 tokens -> 3 tri-shingles
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    # |A∩B| = 2 tri-shingles, |A∪B| = 4 -> 0.5
+    assert pairs[0]["jaccard"] == 0.5
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    """Near-identical docs collide in at least one band; candidates are a
+    superset-filter verified by exact Jaccard on a sample."""
+    base = docs.limit(40)
+    # make guaranteed near-dups: copy docs with one appended token
+    dups = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    both = base.select("doc_id", "text").unionByName(dups)
+    cand = dedup.minhash_lsh_pairs(both, k=3, n_hashes=16, n_bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    planted = {(i, i + 100000) for i in [r["doc_id"] for r in base.collect()]}
+    # banded LSH at b=8,r=2 catches the overwhelming majority of ~0.95-sim pairs
+    assert len(planted & got) >= int(0.8 * len(planted))
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine for big data processing"),
+            (2, "spark query engine for big data processing extra"),
+            (3, "completely unrelated words about cooking pasta recipes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+    assert all(0 <= v < 2 ** 32 for v in out.values())
+
+
+def test_embedding_near_dup(spark, embs):
+    dups = embs.limit(5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = embs.unionByName(dups)
+    pairs = dedup.embedding_near_dup_pairs(both, threshold=0.9999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(5)} <= got
+
+
+# -------------------------------------------------------------------- ann
+
+def test_brute_force_topk(spark, embs):
+    queries = embs.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = ann.brute_force_topk(embs, queries, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        # the query vector itself is rank 1 with cos == 1
+        assert rows[0]["vec_id"] == qid and rows[0]["cos"] == 1.0
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_lsh_topk_recall_vs_exact(spark, embs):
+    queries = embs.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.brute_force_topk(embs, queries, k=5).collect()
+    approx = ann.lsh_topk(embs, queries, dim=64, k=5, n_planes=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # self-match always survives (query is in its own bucket)
+    for qid, s in approx_sets.items():
+        assert qid in s
+    recall = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets
+    ) / len(exact_sets)
+    assert recall >= 0.2  # approximate, but must find a real fraction
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synthesize_media(spark, n=48)
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    payload = media.first()["payload"]
+    assert isinstance(payload, bytearray | bytes) and len(payload) == 64  # sha2-512 bytes
+
+    feats = multimodal.extract_features(media, feature_dim=8).collect()
+    assert len(feats) == 48
+    for r in feats[:5]:
+        assert len(r["feature"]) == 8 and r["n_bytes"] == 64
+    # determinism: same input -> same features
+    again = multimodal.extract_features(media, feature_dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+
+    sizes = multimodal.resize_images(media, max_side=128).collect()
+    for r in sizes:
+        assert max(r["target_width"], r["target_height"]) <= 128
+
+    frames = multimodal.sample_frames(media, every_ms=10000)
+    assert frames.count() > 0
+    assert frames.first()["frame_ts_ms"][0] == 0
+
+
+def test_multimodal_real_codec_path_raises(spark):
+    media = multimodal.synthesize_media(spark, n=2)
+    with pytest.raises(Exception, match="codecs are not available"):
+        multimodal.extract_features(media, use_fake=False).collect()

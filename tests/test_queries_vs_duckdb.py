@@ -1,0 +1,88 @@
+"""Mirror of the driver's correctness gate: run every registered query
+on Spark AND its DuckDB oracle at sf=0.01, compare row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from rook_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLED = sorted(set(q.oracle_sql()))
+ROWS_ONLY = sorted(set(q.queries()) - set(q.oracle_sql()))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style value normalization; queries already round(…,4)
+        return f"{v:.4f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = q.queries()[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(q.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sc, dc = _canon(srows, scols), _canon(drows, dcols)
+    mism = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+    assert sc == dc, f"{name}: value mismatch, first diffs: {mism}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = q.queries()[name](spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.queries()) >= set(mod.oracle_sql())
