@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): change-events/sec applied end-to-end
+(read → filter → narrow lineage job → flatten → LWW reduce →
+transactional COW MERGE into the bucketed lake table), replaying a
+deterministic synthetic CDC log over the source-code-repos table at
+bench scale. Also times the registered headline queries at
+$SPARK_GRAFT_SF_DIR.
+
+Usage:
+    python bench.py                 # headline replay + query timings
+    python bench.py --scaling       # adds the N-vs-4N-parallelism run
+                                    # (local[1] vs local[4], interleaved
+                                    # reps, medians — see BENCH.md for
+                                    # why 1/4 and the host-noise data)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     ROOK_BENCH_EVENTS (default 4_000_000), ROOK_BENCH_EPOCHS (4),
+     ROOK_BENCH_SCALE_LEVELS ("1,4"), ROOK_BENCH_SCALE_REPS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("ROOK_SPARK_DRIVER_MEM", "48g")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+N_EVENTS = int(os.environ.get("ROOK_BENCH_EVENTS", 4_000_000))
+N_EPOCHS = int(os.environ.get("ROOK_BENCH_EPOCHS", 2))
+SCALE_LEVELS = [int(x) for x in os.environ.get("ROOK_BENCH_SCALE_LEVELS", "1,4").split(",")]
+SCALE_REPS = int(os.environ.get("ROOK_BENCH_SCALE_REPS", 3))
+N_BUCKETS = 64
+
+BENCH_QUERIES = [
+    "cdc_lww_state",
+    "cdc_sessionize",
+    "cdc_broadcast_policy_join",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "doc_sha256_pandas_udf",
+    "dedup_minhash_lsh_pairs",
+    "emb_cosine_topk",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_spark(cores: int):
+    """Bench session profile: zstd data files (CPU-for-bandwidth trade, the
+    production-lake default), task-side commit (v2 — the v1 driver-side
+    sequential rename is a serial bottleneck at high parallelism), AQE off
+    (plan sizes are known here; AQE's per-stage re-planning is driver-serial
+    latency that Amdahl charges against scaling)."""
+    from rook_spark.session import get_spark
+
+    return get_spark(
+        f"rook_bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 4),
+        extra_conf={
+            "spark.sql.parquet.compression.codec": "zstd",
+            "spark.hadoop.parquet.compression.codec.zstd.level": "3",
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+
+
+def materialize_log(spark, path: str, n_events: int) -> None:
+    """Write the bench CDC log once (not timed) — same bytes for every
+    parallelism level."""
+    from rook_spark.cdc.fixtures import generate_events
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    ev = generate_events(
+        spark, n_events, seed=42, n_repos=200, paths_per_repo=20000,
+        num_partitions=max(CPUS, 8),
+    )
+    ev.write.mode("overwrite").parquet(path)
+
+
+def run_replay(spark, log_path: str, n_events: int, n_buckets: int = N_BUCKETS,
+               n_epochs: int = N_EPOCHS) -> dict:
+    """The timed unit: replay the full log in epochs through the engine
+    into a fresh lake table. Returns timings + rows."""
+    from pyspark.sql import functions as F
+
+    from rook_spark.cdc.engine import CdcEngine
+
+    target = tempfile.mkdtemp(prefix="rook_bench_target_")
+    engine = CdcEngine(spark, os.path.join(target, "repos"), n_buckets=n_buckets).ignoring_servers(99)
+    events = spark.read.parquet(log_path)
+    step = n_events // n_epochs
+    t0 = time.time()
+    for i in range(n_epochs):
+        lo, hi = i * step, (i + 1) * step if i < n_epochs - 1 else n_events
+        engine.replay(events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    elapsed = time.time() - t0
+    final_rows = engine.target().read().count()
+    shutil.rmtree(target, ignore_errors=True)
+    return {
+        "seconds": round(elapsed, 2),
+        "events_per_sec": round(n_events / elapsed),
+        "final_rows": final_rows,
+    }
+
+
+def warmup(spark, log_path: str) -> None:
+    """Untimed small replay: JIT-compiles the whole code path so the
+    timed run isn't measuring interpreter warmup as serial time."""
+    run_replay(spark, log_path, min(300_000, N_EVENTS), n_epochs=1)
+
+
+def run_queries(spark) -> dict[str, float]:
+    from rook_spark import queries as q
+
+    out = {}
+    reg = q.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = reg[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 2)
+        log(f"  query {name}: {out[name]}s ({n} rows)")
+    return out
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    log_dir = os.path.join(tempfile.gettempdir(), f"rook_bench_log_{N_EVENTS}")
+
+    spark = make_spark(CPUS)
+    log(f"materializing {N_EVENTS} events at {log_dir} ...")
+    materialize_log(spark, log_dir, N_EVENTS)
+    log("warmup ...")
+    warmup(spark, log_dir)
+
+    log(f"headline replay at local[{CPUS}] ...")
+    head = run_replay(spark, log_dir, N_EVENTS)
+    log(f"  {head}")
+
+    log("query timings ...")
+    queries = run_queries(spark)
+
+    result = {
+        "metric": "change-events/sec applied (end-to-end MERGE throughput)",
+        "value": head["seconds"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "n_events": N_EVENTS,
+        "n_epochs": N_EPOCHS,
+        "events_per_sec": head["events_per_sec"],
+        "final_rows": head["final_rows"],
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        spark.stop()
+        lo, hi = min(SCALE_LEVELS), max(SCALE_LEVELS)
+        runs: dict[int, list[int]] = {lo: [], hi: []}
+        # interleaved reps: host-load noise (documented in BENCH.md) hits
+        # both levels symmetrically; medians reported
+        for rep in range(SCALE_REPS):
+            for cores in (lo, hi):
+                s = make_spark(cores)
+                if rep == 0:
+                    warmup(s, log_dir)
+                r = run_replay(s, log_dir, N_EVENTS)
+                runs[cores].append(r["events_per_sec"])
+                log(f"scaling rep {rep} local[{cores}]: {r}")
+                s.stop()
+        med = {c: statistics.median(v) for c, v in runs.items()}
+        eff = (med[hi] / med[lo]) / (hi / lo)
+        best_eff = (max(runs[hi]) / max(runs[lo])) / (hi / lo)
+        result["scaling"] = {
+            "levels": [lo, hi],
+            "events_per_sec_all": runs,
+            "median_low": med[lo],
+            "median_high": med[hi],
+            "efficiency_median": round(eff, 3),
+            "efficiency_best": round(best_eff, 3),
+        }
+
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -16,19 +16,30 @@ Reference semantics being re-expressed:
 - at-least-once delivery → exactly-once table state via per-partition
   offset watermarks (anti-filter of already-applied offsets) + batch-id
   fencing, both stored in the same atomic snapshot (north_rule).
+
+Job structure per epoch (tuned for 10^10-event scale):
+
+1. **Narrow lineage job** — per-source-partition ``max(offset)``, row
+   count, and the touched-bucket set, computed over ONLY the key/offset
+   columns (nested-schema pruning keeps the heavy ``content`` column out
+   of the scan entirely).
+2. **The write job** — watermark filter → flatten → LWW reduce → COW
+   MERGE write. Byte accounting for the lineage table rides this job as
+   a ``DataFrame.observe`` metric (zero extra passes), and lands in the
+   same atomic snapshot commit.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from itertools import chain
-from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from rook_spark.cdc.normalize import flatten_events
 from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
-from rook_spark.lake.table import LakeTable
+from rook_spark.lake.table import LakeTable, bucket_expr
 
 
 @dataclass
@@ -41,7 +52,7 @@ class ApplyStats:
     version: int
 
 
-def watermark_filter(flat: DataFrame, lineage: dict[str, dict[str, int]]) -> DataFrame:
+def watermark_filter(df: DataFrame, lineage: dict[str, dict[str, int]]) -> DataFrame:
     """Drop events at-or-below the per-source-partition applied watermark.
 
     ORDERING CONTRACT: within one source partition, offsets must arrive
@@ -60,7 +71,7 @@ def watermark_filter(flat: DataFrame, lineage: dict[str, dict[str, int]]) -> Dat
     whole-stage codegen, no join, no shuffle, no Python.
     """
     if not lineage:
-        return flat
+        return df
     pairs = list(
         chain.from_iterable(
             (F.lit(int(p)), F.lit(int(m["last_applied_offset"]))) for p, m in lineage.items()
@@ -69,12 +80,12 @@ def watermark_filter(flat: DataFrame, lineage: dict[str, dict[str, int]]) -> Dat
     wm = F.coalesce(
         F.element_at(F.create_map(*pairs), F.col("source_partition")), F.lit(-1)
     )
-    return flat.where(F.col("offset") > wm)
+    return df.where(F.col("offset") > wm)
 
 
 def apply_batch(
     table: LakeTable,
-    flat: DataFrame,
+    events: DataFrame,
     batch_id: int,
     key_cols: tuple[str, ...] = ("repo", "path"),
     ordinal_col: str = "commit_ordinal",
@@ -82,61 +93,103 @@ def apply_batch(
     salted: bool = False,
     n_salts: int = 16,
     content_col: str = "content",
+    observe_bytes: bool = True,
 ) -> ApplyStats:
-    """Apply one normalized micro-batch to the target table.
-
-    ``flat`` is the output of :func:`rook_spark.cdc.normalize.normalize`:
-    key cols + payload cols + op + commit_ordinal + offset +
-    source_partition (+ tx_id).
-    """
+    """Apply one FILTERED micro-batch (output of
+    :func:`rook_spark.cdc.normalize.filter_events` — still in raw
+    before/after event shape) to the target table."""
     snap = table.snapshot()
     if batch_id <= snap.batch_id:  # foreachBatch re-delivery fence
         return ApplyStats(batch_id, True, 0, 0, 0, snap.version)
 
-    fresh = watermark_filter(flat, snap.lineage)
+    fresh_raw = watermark_filter(events, snap.lineage)
 
-    # lineage accounting per source partition (one small aggregate; the
-    # collect returns <= n_source_partitions rows)
-    bytes_expr = (
-        F.coalesce(F.sum(F.length(F.col(content_col))), F.lit(0))
-        if content_col in fresh.columns
-        else F.lit(0)
+    # --- job 1: narrow lineage + touched buckets (no content decode;
+    # nested-schema pruning reads only key/offset/partition columns).
+    # Buckets of BOTH images are collected so key-changing updates touch
+    # the old key's bucket too.
+    keys = list(key_cols)
+    b_before = bucket_expr([f"before.{k}" for k in keys], snap.n_buckets)
+    b_after = bucket_expr([f"after.{k}" for k in keys], snap.n_buckets)
+    # observe_bytes=False (the streaming path — foreachBatch executions
+    # don't notify Observation listeners, .get would block forever):
+    # byte accounting joins this aggregate instead, at the cost of
+    # decoding content here too.
+    byte_agg = (
+        F.lit(0)
+        if observe_bytes
+        else F.coalesce(
+            F.sum(F.length(F.coalesce(F.col(f"after.{content_col}"), F.col(f"before.{content_col}")))),
+            F.lit(0),
+        )
     )
     lin_rows = (
-        fresh.groupBy("source_partition")
+        fresh_raw.groupBy("source_partition")
         .agg(
             F.max(offset_col).alias("max_off"),
             F.count(F.lit(1)).alias("n"),
-            bytes_expr.alias("b"),
+            F.collect_set(F.when(F.col("before").isNotNull(), b_before)).alias("bk_b"),
+            F.collect_set(F.when(F.col("after").isNotNull(), b_after)).alias("bk_a"),
+            byte_agg.alias("b"),
         )
         .collect()
     )
+    touched_buckets = sorted(
+        {b for r in lin_rows for b in (list(r["bk_b"]) + list(r["bk_a"])) if b is not None}
+    )
+    partitions = [int(r["source_partition"]) for r in lin_rows]
     lineage_update = {
         int(r["source_partition"]): {
             "last_applied_offset": int(r["max_off"]),
             "rows_applied": int(r["n"]),
+            # batch path: filled from the write job's observation
             "bytes": int(r["b"]),
         }
         for r in lin_rows
     }
     rows_in = sum(int(r["n"]) for r in lin_rows)
 
-    drop = [c for c in ("source_partition", "tx_id") if c in fresh.columns]
-    reducible = fresh.drop(*drop)
+    # --- job 2: flatten → LWW → MERGE write, with byte accounting
+    # observed in-flight (one heavy pass total)
+    flat = flatten_events(fresh_raw, keys)
+    obs: Observation | None = None
+    if observe_bytes and content_col in flat.columns and partitions:
+        obs = Observation(f"lineage_bytes_{batch_id}")
+        byte_exprs = [
+            F.sum(
+                F.when(F.col("source_partition") == p, F.length(F.col(content_col))).otherwise(0)
+            ).alias(f"b_{p}")
+            for p in partitions
+        ]
+        flat = flat.observe(obs, *byte_exprs)
+
+    drop = [c for c in ("source_partition", "tx_id") if c in flat.columns]
+    reducible = flat.drop(*drop)
     reducer = salted_lww_reduce if salted else lww_reduce
-    kwargs: dict[str, Any] = {"n_salts": n_salts} if salted else {}
-    # keep the winning (ordinal, offset) as internal target columns: the
-    # MERGE compares them against stored state so cross-batch replay of
-    # older changes can never regress a row (see LakeTable.merge)
+    kwargs = {"n_salts": n_salts} if salted else {}
     changes = (
         reducer(
             reducible, key_cols=key_cols, ordinal_col=ordinal_col, offset_col=offset_col, **kwargs
         )
+        # keep the winning (ordinal, offset) as internal target columns:
+        # the MERGE compares them against stored state so cross-batch
+        # replay of older changes can never regress a row
         .withColumnRenamed(ordinal_col, "__ordinal")
         .withColumnRenamed(offset_col, "__offset")
     )
 
-    result = table.merge(changes, batch_id, op_col="op", lineage_update=lineage_update)
+    def finalize_lineage(lin: dict) -> dict:
+        if obs is not None:
+            got = obs.get  # available: the write action has completed
+            for p in partitions:
+                lin[p]["bytes"] = int(got.get(f"b_{p}") or 0)
+        return lin
+
+    result = table.merge(
+        changes, batch_id, op_col="op", lineage_update=lineage_update,
+        validate_cardinality=False, touched_buckets=touched_buckets,
+        post_write_lineage=finalize_lineage if touched_buckets else None,
+    )
     return ApplyStats(
         batch_id=batch_id,
         skipped=bool(result.get("skipped")),

@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from rook_spark.cdc import schema as cdc_schema
 from rook_spark.cdc.apply import ApplyStats, apply_batch
-from rook_spark.cdc.normalize import normalize
+from rook_spark.cdc.normalize import filter_events, flatten_events
 from rook_spark.lake.table import LakeTable
 
 SinkFn = Callable[[DataFrame, int], Any]
@@ -47,6 +47,7 @@ class CdcEngine:
         salted: bool = False,
         n_salts: int = 16,
         dead_letter_path: str | None = None,
+        cache_batches: bool = False,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -59,6 +60,12 @@ class CdcEngine:
         self.ignored_server_ids: tuple[int, ...] = ()
         self.sinks: dict[str, SinkFn] = {}
         self.stats: list[ApplyStats] = []
+        # caching the normalized batch trades a full in-memory
+        # materialization (~row-size × batch, bandwidth-heavy) against
+        # re-running the normalize scan per action. The scan is columnar
+        # + codegen and usually CHEAPER than the materialization, so the
+        # default is off; turn on when auxiliary sinks make many passes.
+        self.cache_batches = cache_batches
 
     # ------------------------------------------------------------ configure
 
@@ -92,27 +99,29 @@ class CdcEngine:
 
     # ---------------------------------------------------------------- apply
 
-    def _apply(self, events: DataFrame, batch_id: int) -> ApplyStats:
-        flat = normalize(
+    def _apply(self, events: DataFrame, batch_id: int, observe_bytes: bool = True) -> ApplyStats:
+        ev = filter_events(
             events,
             tracked_tables=self.tracked_tables,
             ignored_server_ids=self.ignored_server_ids,
-            key_cols=self.key_cols,
         )
-        # cache: the normalized batch feeds lineage agg + LWW + sinks
-        flat.persist()
+        if self.cache_batches or self.sinks:
+            ev.persist()
         try:
             stats = apply_batch(
                 self.target(),
-                flat,
+                ev,
                 batch_id,
                 key_cols=self.key_cols,
                 salted=self.salted,
                 n_salts=self.n_salts,
+                observe_bytes=observe_bytes,
             )
-            self._fan_out(flat, batch_id)
+            if self.sinks:
+                self._fan_out(flatten_events(ev, self.key_cols), batch_id)
         finally:
-            flat.unpersist()
+            if self.cache_batches or self.sinks:
+                ev.unpersist()
         self.stats.append(stats)
         return stats
 
@@ -168,7 +177,9 @@ class CdcEngine:
             .parquet(source_dir)
         )
         return (
-            src.writeStream.foreachBatch(lambda df, bid: self._apply(df, bid))
+            # observe_bytes=False: foreachBatch executions do not notify
+            # Observation listeners, so bytes ride the lineage aggregate
+            src.writeStream.foreachBatch(lambda df, bid: self._apply(df, bid, observe_bytes=False))
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )

@@ -41,12 +41,30 @@ def _u(seed: int, salt: int, *cols: Column) -> Column:
     return (F.pmod(h, F.lit(2**61)) / F.lit(float(2**61))).cast("double")
 
 
+WORDS = ["def", "return", "import", "class", "self", "value", "table", "merge",
+         "offset", "commit", "stream", "batch", "index", "apply", "state", "query"]
+
+
 def _image(repo: Column, path: Column, ordinal: Column, evolved: bool) -> Column:
     """Deterministic row image for (key, ordinal) — content is a pure
     function of the key and ordinal so any independent replayer derives
-    identical bytes (the sha256 invariant's foundation)."""
+    identical bytes (the sha256 invariant's foundation). The body is
+    word-based (compressible, like real source code) with a short hash
+    suffix for uniqueness."""
     base = F.concat_ws("|", repo, path, ordinal.cast("string"))
-    content = F.concat(F.lit("content:"), base, F.lit(":"), F.sha2(base, 256))
+    words = F.array(*[F.lit(w) for w in WORDS])
+    body = F.concat_ws(
+        " ",
+        *[
+            F.element_at(
+                words,
+                (F.pmod(F.xxhash64(base, F.lit(i)), F.lit(len(WORDS))) + 1).cast("int"),
+            )
+            for i in range(24)
+        ],
+    )
+    content = F.concat(F.lit("content:"), base, F.lit(":"), body, F.lit(":"),
+                       F.substring(F.sha2(base, 256), 1, 16))
     fields = [
         repo.alias("repo"),
         path.alias("path"),

@@ -63,20 +63,61 @@ def split_key_changing_updates(events: DataFrame, key_cols: Iterable[str]) -> Da
     untouched; the rewrite is a flatMap-shaped select + explode with no
     shuffle."""
     keys = list(key_cols)
-    key_changed = (
+    key_changed = F.coalesce(
         (F.col("op") == "U")
         & F.col("before").isNotNull()
         & ~F.struct(*[F.col(f"before.{k}") for k in keys]).eqNullSafe(
             F.struct(*[F.col(f"after.{k}") for k in keys])
-        )
+        ),
+        F.lit(False),
     )
-    stable = events.where(~F.coalesce(key_changed, F.lit(False)))
-    changed = events.where(F.coalesce(key_changed, F.lit(False)))
-    # D keeps the same offset; the synthetic I gets the same ordinal so
-    # LWW ordering between the pair and other events is unaffected.
-    as_delete = changed.withColumn("op", F.lit("D")).withColumn("after", F.lit(None).cast(changed.schema["after"].dataType))
-    as_insert = changed.withColumn("op", F.lit("I")).withColumn("before", F.lit(None).cast(changed.schema["before"].dataType))
-    return stable.unionByName(as_delete).unionByName(as_insert)
+    # SINGLE-PASS rewrite (a union of filtered branches would scan the
+    # batch 3×): each row becomes an array of 1 event (common case) or 2
+    # (D@before-key + I@after-key, same ordinal so LWW ordering against
+    # other events is unaffected), then one explode.
+    other_cols = [c for c in events.columns if c not in ("op", "before", "after")]
+    ev_struct = F.struct(F.col("op"), F.col("before"), F.col("after"))
+    null_after = F.lit(None).cast(events.schema["after"].dataType)
+    null_before = F.lit(None).cast(events.schema["before"].dataType)
+    as_delete = F.struct(F.lit("D").alias("op"), F.col("before").alias("before"), null_after.alias("after"))
+    as_insert = F.struct(F.lit("I").alias("op"), null_before.alias("before"), F.col("after").alias("after"))
+    arr = F.when(key_changed, F.array(as_delete, as_insert)).otherwise(F.array(ev_struct))
+    return events.select(*other_cols, F.explode(arr).alias("__e")).select(
+        *other_cols,
+        F.col("__e.op").alias("op"),
+        F.col("__e.before").alias("before"),
+        F.col("__e.after").alias("after"),
+    )
+
+
+def filter_events(
+    events: DataFrame,
+    tracked_tables: Iterable[str] = ("rook.repos",),
+    ignored_server_ids: Iterable[int] = (),
+) -> DataFrame:
+    """P1 → P2/P6 → S2 demux-as-filter: the cheap narrow filters, all
+    pushed into the scan."""
+    ev = filter_ignored_servers(events, ignored_server_ids)
+    ev = filter_tracked_tables(ev, tracked_tables)
+    return ev.where(F.col("op").isin("I", "U", "D"))
+
+
+def flatten_events(ev: DataFrame, key_cols: Iterable[str] = ("repo", "path")) -> DataFrame:
+    """Key-changing-update split + flatten to key + payload columns
+    (after-image for I/U, before-image for D)."""
+    keys = list(key_cols)
+    ev = split_key_changing_updates(ev, keys)
+    img = affected_image()
+    payload_fields = ev.schema["after"].dataType.fieldNames()
+    return ev.select(
+        *[img.getField(k).alias(k) for k in keys],
+        *[img.getField(c).alias(c) for c in payload_fields if c not in keys],
+        F.col("op"),
+        F.col("commit_ordinal"),
+        F.col("offset"),
+        F.col("source_partition"),
+        F.col("tx_id"),
+    )
 
 
 def normalize(
@@ -92,20 +133,6 @@ def normalize(
     after-image for I/U, before-image for D) + op + commit_ordinal +
     offset + source_partition + tx_id.
     """
-    keys = list(key_cols)
-    ev = filter_ignored_servers(events, ignored_server_ids)
-    ev = filter_tracked_tables(ev, tracked_tables)
-    ev = ev.where(F.col("op").isin("I", "U", "D"))  # S2 demux-as-filter
-    ev = split_key_changing_updates(ev, keys)
-    img = affected_image()
-    payload_fields = events.schema["after"].dataType.fieldNames()
-    flat = ev.select(
-        *[img.getField(k).alias(k) for k in keys],
-        *[img.getField(c).alias(c) for c in payload_fields if c not in keys],
-        F.col("op"),
-        F.col("commit_ordinal"),
-        F.col("offset"),
-        F.col("source_partition"),
-        F.col("tx_id"),
+    return flatten_events(
+        filter_events(events, tracked_tables, ignored_server_ids), key_cols
     )
-    return flat

@@ -240,8 +240,15 @@ class LakeTable:
         validate_cardinality: bool = True,
         ordinal_col: str = "__ordinal",
         tiebreak_col: str = "__offset",
+        touched_buckets: list[int] | None = None,
+        post_write_lineage: Any = None,
     ) -> dict[str, Any]:
         """Apply a deduplicated change set in one atomic snapshot commit.
+
+        ``post_write_lineage``: optional callable invoked with
+        ``lineage_update`` AFTER the data files are written but BEFORE
+        the snapshot commit — lets callers fill metrics observed during
+        the write job (still inside the same atomic epoch).
 
         ``changes`` must carry the key columns, payload columns, and an
         ``op`` column ('U'-like upsert rows and 'D' delete rows; inserts
@@ -272,7 +279,41 @@ class LakeTable:
         target_cols = [f.name for f in target_schema.fields]
 
         changes = changes.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        # cache only when the change set feeds >1 action (guard and/or
+        # touched-bucket listing besides the COW write); on the engine
+        # fast path (cardinality guaranteed by LWW, buckets piggybacked
+        # on the lineage job) the single write needs no materialization
+        do_persist = validate_cardinality or touched_buckets is None
+        if do_persist:
+            changes.persist()
+        try:
+            return self._merge_inner(
+                changes, snap, batch_id, op_col, lineage_update,
+                validate_cardinality, ordinal_col, tiebreak_col,
+                target_schema, target_cols, cur_schema, key_cols,
+                touched_buckets, post_write_lineage,
+            )
+        finally:
+            if do_persist:
+                changes.unpersist()
 
+    def _merge_inner(
+        self,
+        changes: DataFrame,
+        snap: Snapshot,
+        batch_id: int,
+        op_col: str,
+        lineage_update: dict[int, dict[str, int]] | None,
+        validate_cardinality: bool,
+        ordinal_col: str,
+        tiebreak_col: str,
+        target_schema: T.StructType,
+        target_cols: list[str],
+        cur_schema: T.StructType,
+        key_cols: list[str],
+        touched_buckets: list[int] | None = None,
+        post_write_lineage: Any = None,
+    ) -> dict[str, Any]:
         if validate_cardinality:
             # same contract as Iceberg/Delta MERGE: at most one source row
             # per target key. One small aggregate over the (post-LWW) batch.
@@ -286,10 +327,15 @@ class LakeTable:
                     "(rook_spark.cdc.reduce.lww_reduce)"
                 )
 
-        # --- which buckets does this batch touch? (tiny collect: <= n_buckets ints)
-        touched = sorted(
-            r["__bucket"] for r in changes.select("__bucket").distinct().collect()
-        )
+        # --- which buckets does this batch touch? (tiny collect: <= n_buckets
+        #     ints; callers that already know — e.g. apply_batch piggybacks it
+        #     on the lineage aggregate — pass it in and skip this job)
+        if touched_buckets is not None:
+            touched = sorted(touched_buckets)
+        else:
+            touched = sorted(
+                r["__bucket"] for r in changes.select("__bucket").distinct().collect()
+            )
         if not touched:
             new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
             self._write_snapshot(new_snap)
@@ -358,8 +404,12 @@ class LakeTable:
         new_version = snap.version + 1
         out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
         out_dir = os.path.join(self.path, out_dir_rel)
+        # one shuffle partition per bucket value: write parallelism scales
+        # with n_buckets (≥ cores at scale), and each task writes whole
+        # buckets so the per-bucket file count stays ~1 (no small-file
+        # explosion; hash collisions of bucket ids give ≤2-3 buckets/task)
         (
-            merged.repartition(max(len(touched) // 4, 1), "__bucket")
+            merged.repartition(snap.n_buckets, "__bucket")
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_dir)
@@ -382,6 +432,8 @@ class LakeTable:
             else:
                 new_buckets.pop(str(b), None)
 
+        if post_write_lineage is not None:
+            lineage_update = post_write_lineage(lineage_update)
         new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
         new_snap.buckets = new_buckets
         self._write_snapshot(new_snap)
