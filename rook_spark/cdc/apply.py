@@ -179,10 +179,33 @@ def apply_batch(
     )
 
     def finalize_lineage(lin: dict) -> dict:
-        if obs is not None:
+        if obs is None:
+            return lin
+        try:
             got = obs.get  # available: the write action has completed
-            for p in partitions:
-                lin[p]["bytes"] = int(got.get(f"b_{p}") or 0)
+        except Exception:
+            # PySpark defect: Observation.get raises (toPyRow assertion)
+            # when the observed plan feeds a partitionBy write whose final
+            # result is EMPTY (e.g. a batch that deletes every matched
+            # row). Rare — recompute the byte metric with a small
+            # aggregate instead.
+            got = {
+                f"b_{r['source_partition']}": r["b"]
+                for r in fresh_raw.groupBy("source_partition")
+                .agg(
+                    F.sum(
+                        F.length(
+                            F.coalesce(
+                                F.col(f"after.{content_col}"),
+                                F.col(f"before.{content_col}"),
+                            )
+                        )
+                    ).alias("b")
+                )
+                .collect()
+            }
+        for p in partitions:
+            lin[p]["bytes"] = int(got.get(f"b_{p}") or 0)
         return lin
 
     result = table.merge(

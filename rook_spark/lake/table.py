@@ -466,6 +466,86 @@ class LakeTable:
         new_snap.buckets = buckets
         self._write_snapshot(new_snap)
 
+    # ----------------------------------------------------------- maintenance
+
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Delete data files unreferenced by the last ``keep_last``
+        snapshots (and drop older snapshot metadata). COW writes one new
+        file set per touched bucket per epoch, so without vacuum a
+        long-running stream accumulates every historical version. Safe
+        with concurrent readers of retained versions only — same
+        contract as Iceberg's expire_snapshots.
+        """
+        import glob
+
+        current = self.current_version()
+        keep_versions = list(range(max(0, current - keep_last + 1), current + 1))
+        referenced: set[str] = set()
+        for v in keep_versions:
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                continue
+            for fs in snap.buckets.values():
+                referenced.update(fs)
+        removed_files = 0
+        data_root = os.path.join(self.path, _DATA)
+        for f in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, self.path)
+            if rel not in referenced:
+                os.remove(f)
+                removed_files += 1
+        # prune now-empty version dirs and expired snapshot json
+        for d in glob.glob(os.path.join(data_root, "v*")):
+            for sub in glob.glob(os.path.join(d, "__bucket=*")):
+                if not os.listdir(sub):
+                    os.rmdir(sub)
+            if not any(os.scandir(d)):
+                os.rmdir(d)
+        removed_snaps = 0
+        for f in glob.glob(os.path.join(self._meta_dir, "v*.json")):
+            v = int(os.path.basename(f)[1:-5])
+            if v < keep_versions[0]:
+                os.remove(f)
+                removed_snaps += 1
+        return {"removed_files": removed_files, "removed_snapshots": removed_snaps,
+                "kept_versions": len(keep_versions)}
+
+    def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None) -> dict[str, int]:
+        """Rewrite buckets whose file count exceeds the threshold into one
+        file each (bin-packing compaction). The rewrite is a new snapshot
+        — readers are never blocked; vacuum reclaims the old files."""
+        snap = self.snapshot()
+        fat = [int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket]
+        if not fat:
+            return {"compacted_buckets": 0}
+        df = self.read(buckets=fat, include_internal=True).withColumn(
+            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+        )
+        new_version = snap.version + 1
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            df.repartition(len(fat), "__bucket")
+            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        )
+        new_buckets = dict(snap.buckets)
+        for b in fat:
+            bdir = os.path.join(out_dir, f"__bucket={b}")
+            fs = sorted(
+                os.path.join(out_dir_rel, f"__bucket={b}", fn)
+                for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
+                if fn.endswith(".parquet")
+            )
+            if fs:
+                new_buckets[str(b)] = fs
+        new_snap = self._child_snapshot(
+            snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
+        )
+        new_snap.buckets = new_buckets
+        self._write_snapshot(new_snap)
+        return {"compacted_buckets": len(fat), "version": new_snap.version}
+
     def _child_snapshot(
         self,
         parent: Snapshot,

@@ -864,3 +864,118 @@ def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = CdcEngine(spark, f"{d}/repos").ignoring_servers(99)
     engine.replay(generate_events(spark, 2000, seed=42))
     return engine.target().read().withColumn("content_sha", F.sha2("content", 256))
+
+
+# =====================================================================
+# Temporal / statistical extensions
+# =====================================================================
+
+
+@register(
+    "asof_join_orders_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id < 500
+    ),
+    o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.orderkey AS asof_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id + 1 = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def asof_join_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + single window pass — one shuffle, no
+    range cross-product) vs DuckDB's native ASOF JOIN oracle."""
+    from rook_spark.functions.asof import asof_join
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 500)
+        .select("event_id", "user_id", "ts", (F.col("user_id") + 1).alias("k"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+        .select("k", "o_orderdate", "asof_orderkey")
+    )
+    joined = asof_join(
+        e, o, key_cols=["k"], left_time="ts", right_time="o_orderdate",
+        value_cols=["asof_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "asof_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    )
+
+
+@register(
+    "events_value_slope",
+    """
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts)), 4) + 0.0 AS slope,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def events_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear-regression slope — covar_pop/var_pop composition
+    (JVM-side exact algebra; no UDAF needed) vs DuckDB regr_slope."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", F.unix_timestamp("ts").cast("double")
+    )
+    return ev.groupBy("user_id").agg(
+        (F.round(F.covar_pop("value", "x") / F.var_pop("x"), 4) + F.lit(0.0)).alias("slope"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "tpch_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 4) AS total
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); at 100 TB swap for `percentile_approx` (sketch)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+    )

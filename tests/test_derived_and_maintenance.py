@@ -1,0 +1,95 @@
+"""J3 derived rollup (incremental == full recompute) and lake
+maintenance (vacuum / compaction)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.derived import attach_rollup
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rollup_incremental_matches_full_recompute(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    rollup = attach_rollup(engine, str(tmp_path / "rollup"))
+    ev = generate_events(spark, 3000, seed=13, n_repos=20, paths_per_repo=50)
+    # three epochs, each refreshing only touched repos
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    got = _canon(rollup.read())
+    want = _canon(rollup.full_recompute())
+    assert got == want and len(got) > 5
+
+
+def test_rollup_deletes_vanished_repos(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos"))
+    rollup = attach_rollup(engine, str(tmp_path / "rollup"))
+    img = "struct<repo string, path string, commit string, lang string, content string>"
+    schema = (
+        "offset long, tx_id long, server_id long, schema_name string, table_name string, "
+        f"op string, before {img}, after {img}, commit_ordinal long, "
+        "source_partition int, ts timestamp"
+    )
+    ins = spark.createDataFrame(
+        [(1, 1, 1, "rook", "repos", "I", None, ("r1", "p1", "c1", "py", "xyz"), 1, 0, None)],
+        schema,
+    )
+    dele = spark.createDataFrame(
+        [(2, 1, 1, "rook", "repos", "D", ("r1", "p1", "c1", "py", "xyz"), None, 2, 0, None)],
+        schema,
+    )
+    engine.replay(ins, 0)
+    assert rollup.read().where("repo = 'r1'").count() == 1
+    engine.replay(dele, 1)
+    assert rollup.read().where("repo = 'r1'").count() == 0  # parent purged
+
+
+def test_vacuum_reclaims_old_versions(spark, tmp_path):
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    ev = generate_events(spark, 1200, seed=17, n_repos=5, paths_per_repo=20)
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    t = engine.target()
+    before_state = _canon(t.read())
+    n_files_before = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+    res = t.vacuum(keep_last=1)
+    assert res["removed_files"] > 0
+    n_files_after = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"), recursive=True))
+    assert n_files_after < n_files_before
+    # current state untouched
+    assert _canon(t.read()) == before_state
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from rook_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+         T.StructField("content", T.StringType())]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["repo", "path"], n_buckets=2)
+    # force multi-file buckets by lying in the snapshot? No — merge writes
+    # one file per bucket; simulate fragmentation via repeated overwrite
+    # merges then verify compact() no-ops (1 file) and after manual
+    # fragmentation compacts back to 1.
+    rows = [(f"r{i}", f"p{i}", "v") for i in range(40)]
+    # bulk load from many input partitions: partitionBy writes one file
+    # per (task, bucket) -> real multi-file buckets
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    t.overwrite(df)
+    assert any(len(fs) > 1 for fs in t.snapshot().buckets.values())
+    state_before = _canon(t.read())
+    res = t.compact()
+    assert res["compacted_buckets"] >= 1
+    assert all(len(fs) == 1 for fs in t.snapshot().buckets.values())
+    assert _canon(t.read()) == state_before  # content preserved
