@@ -41,6 +41,7 @@ N_EPOCHS = int(os.environ.get("ROOK_BENCH_EPOCHS", 2))
 SCALE_LEVELS = [int(x) for x in os.environ.get("ROOK_BENCH_SCALE_LEVELS", "1,4").split(",")]
 SCALE_REPS = int(os.environ.get("ROOK_BENCH_SCALE_REPS", 3))
 N_BUCKETS = 64
+WRITE_MODE = os.environ.get("ROOK_BENCH_MODE", "cow")
 
 BENCH_QUERIES = [
     "cdc_lww_state",
@@ -102,7 +103,10 @@ def run_replay(spark, log_path: str, n_events: int, n_buckets: int = N_BUCKETS,
     from rook_spark.cdc.engine import CdcEngine
 
     target = tempfile.mkdtemp(prefix="rook_bench_target_")
-    engine = CdcEngine(spark, os.path.join(target, "repos"), n_buckets=n_buckets).ignoring_servers(99)
+    engine = CdcEngine(
+        spark, os.path.join(target, "repos"), n_buckets=n_buckets,
+        write_mode=WRITE_MODE, compact_every=8 if WRITE_MODE == "mor" else None,
+    ).ignoring_servers(99)
     events = spark.read.parquet(log_path)
     step = n_events // n_epochs
     t0 = time.time()
@@ -117,6 +121,34 @@ def run_replay(spark, log_path: str, n_events: int, n_buckets: int = N_BUCKETS,
         "events_per_sec": round(n_events / elapsed),
         "final_rows": final_rows,
     }
+
+
+def run_steady_state(spark, log_path: str) -> dict:
+    """Steady-state apply: small batches (2×100k) over a pre-loaded
+    ~1.15M-row table, COW vs MOR. This is where the write modes diverge:
+    COW cost ∝ touched-bucket content (≈ table at full key coverage),
+    MOR cost ∝ batch."""
+    from pyspark.sql import functions as F
+
+    from rook_spark.cdc.engine import CdcEngine
+
+    events = spark.read.parquet(log_path)
+    out = {}
+    for mode in ("cow", "mor"):
+        target = tempfile.mkdtemp(prefix=f"rook_steady_{mode}_")
+        eng = CdcEngine(
+            spark, os.path.join(target, "repos"), n_buckets=N_BUCKETS, write_mode=mode
+        ).ignoring_servers(99)
+        eng.replay(events.where(F.col("offset") < N_EVENTS - 200_000), 0)
+        t0 = time.time()
+        eng.replay(events.where(
+            (F.col("offset") >= N_EVENTS - 200_000) & (F.col("offset") < N_EVENTS - 100_000)), 1)
+        eng.replay(events.where(F.col("offset") >= N_EVENTS - 100_000), 2)
+        dt = time.time() - t0
+        out[mode] = {"seconds": round(dt, 2), "events_per_sec": round(200_000 / dt)}
+        shutil.rmtree(target, ignore_errors=True)
+        log(f"  steady-state {mode}: {out[mode]}")
+    return out
 
 
 def warmup(spark, log_path: str) -> None:
@@ -152,6 +184,9 @@ def main() -> None:
     head = run_replay(spark, log_dir, N_EVENTS)
     log(f"  {head}")
 
+    log("steady-state small-batch apply (cow vs mor) ...")
+    steady = run_steady_state(spark, log_dir)
+
     log("query timings ...")
     queries = run_queries(spark)
 
@@ -166,6 +201,8 @@ def main() -> None:
         "events_per_sec": head["events_per_sec"],
         "final_rows": head["final_rows"],
         "cpus": CPUS,
+        "write_mode": WRITE_MODE,
+        "steady_state_100k_batches": steady,
     }
 
     if scaling:

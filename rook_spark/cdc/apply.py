@@ -94,6 +94,7 @@ def apply_batch(
     n_salts: int = 16,
     content_col: str = "content",
     observe_bytes: bool = True,
+    write_mode: str = "cow",
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
@@ -208,11 +209,18 @@ def apply_batch(
             lin[p]["bytes"] = int(got.get(f"b_{p}") or 0)
         return lin
 
-    result = table.merge(
-        changes, batch_id, op_col="op", lineage_update=lineage_update,
-        validate_cardinality=False, touched_buckets=touched_buckets,
-        post_write_lineage=finalize_lineage if touched_buckets else None,
-    )
+    if write_mode == "mor":
+        result = table.merge_mor(
+            changes, batch_id, op_col="op", lineage_update=lineage_update,
+            touched_buckets=touched_buckets,
+            post_write_lineage=finalize_lineage if touched_buckets else None,
+        )
+    else:
+        result = table.merge(
+            changes, batch_id, op_col="op", lineage_update=lineage_update,
+            validate_cardinality=False, touched_buckets=touched_buckets,
+            post_write_lineage=finalize_lineage if touched_buckets else None,
+        )
     return ApplyStats(
         batch_id=batch_id,
         skipped=bool(result.get("skipped")),

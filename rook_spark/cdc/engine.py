@@ -48,6 +48,8 @@ class CdcEngine:
         n_salts: int = 16,
         dead_letter_path: str | None = None,
         cache_batches: bool = False,
+        write_mode: str = "cow",
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -60,6 +62,13 @@ class CdcEngine:
         self.ignored_server_ids: tuple[int, ...] = ()
         self.sinks: dict[str, SinkFn] = {}
         self.stats: list[ApplyStats] = []
+        # "cow" rewrites touched buckets per epoch (read-optimized);
+        # "mor" appends delta files and resolves at read (write cost
+        # O(batch) — the 10^10-event path), bounded by compaction every
+        # `compact_every` epochs (None = manual compact()).
+        self.write_mode = write_mode
+        self.compact_every = compact_every
+        self._epochs_since_compact = 0
         # caching the normalized batch trades a full in-memory
         # materialization (~row-size × batch, bandwidth-heavy) against
         # re-running the normalize scan per action. The scan is columnar
@@ -116,7 +125,13 @@ class CdcEngine:
                 salted=self.salted,
                 n_salts=self.n_salts,
                 observe_bytes=observe_bytes,
+                write_mode=self.write_mode,
             )
+            if self.write_mode == "mor" and self.compact_every:
+                self._epochs_since_compact += 1
+                if self._epochs_since_compact >= self.compact_every:
+                    self.target().compact()
+                    self._epochs_since_compact = 0
             if self.sinks:
                 self._fan_out(flatten_events(ev, self.key_cols), batch_id)
         finally:

@@ -81,6 +81,9 @@ class Snapshot:
     lineage: dict[str, dict[str, int]] = field(default_factory=dict)
     committed_at: float = 0.0
     parent: int = -1
+    # merge-on-read: bucket id -> ordered delta file lists (unresolved
+    # change rows incl. tombstones, folded in by read()/compact())
+    deltas: dict[str, list[str]] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -97,6 +100,7 @@ class Snapshot:
                 "lineage": self.lineage,
                 "committed_at": self.committed_at,
                 "parent": self.parent,
+                "deltas": self.deltas,
             }
         )
 
@@ -199,15 +203,45 @@ class LakeTable:
         """
         snap = self.snapshot(version)
         schema = snap.schema()
-        wanted = snap.buckets
-        if buckets is not None:
-            keys = {str(b) for b in buckets}
-            wanted = {b: fs for b, fs in snap.buckets.items() if b in keys}
-        files = [os.path.join(self.path, f) for fs in wanted.values() for f in fs]
-        if not files:
-            df = self.spark.createDataFrame([], schema)
+        keys = {str(b) for b in buckets} if buckets is not None else None
+
+        def pick(mapping: dict[str, list[str]]) -> list[str]:
+            items = mapping.items() if keys is None else (
+                (b, fs) for b, fs in mapping.items() if b in keys
+            )
+            return [os.path.join(self.path, f) for _, fs in items for f in fs]
+
+        base_files = pick(snap.buckets)
+        if base_files:
+            df = self.spark.read.schema(schema).parquet(*base_files)
         else:
-            df = self.spark.read.schema(schema).parquet(*files)
+            df = self.spark.createDataFrame([], schema)
+
+        delta_files = pick(snap.deltas)
+        if delta_files:
+            # merge-on-read resolution: base rows are implicit upserts; the
+            # winner per key is the max-(ordinal, offset) row; a winning
+            # tombstone drops the key. Same semantics the COW MERGE bakes
+            # into files at write time, applied lazily here.
+            delta_schema = T.StructType(list(schema.fields) + [T.StructField("__op", T.StringType())])
+            deltas = self.spark.read.schema(delta_schema).parquet(*delta_files)
+            base = df.withColumn("__op", F.lit("U"))
+            merged = base.unionByName(deltas)
+            payload = [c for c in merged.columns if c not in snap.key_cols]
+            winner = F.max_by(
+                F.struct(*payload),
+                F.struct(
+                    F.coalesce(F.col("__ordinal"), F.lit(-1)),
+                    F.coalesce(F.col("__offset"), F.lit(-1)),
+                ),
+            ).alias("w")
+            df = (
+                merged.groupBy(*snap.key_cols)
+                .agg(winner)
+                .select(*snap.key_cols, *[F.col(f"w.{c}").alias(c) for c in payload])
+                .where(F.col("__op") != "D")
+                .drop("__op")
+            )
         if not include_internal:
             df = df.drop(*[c for c in df.columns if c.startswith("__")])
         return df
@@ -342,14 +376,25 @@ class LakeTable:
             return {"skipped": False, "version": new_snap.version, "touched_buckets": 0,
                     "buckets_rewritten": 0}
 
-        # --- current state of ONLY the touched buckets, read through the
-        #     (possibly widened) target schema: old files null-fill new cols
-        files = [os.path.join(self.path, f)
-                 for b in touched for f in snap.buckets.get(str(b), [])]
-        if files:
-            current = self.spark.read.schema(target_schema).parquet(*files)
+        # --- current state of ONLY the touched buckets. read() resolves
+        #     any MOR deltas for those buckets, so a COW merge doubles as
+        #     localized compaction (their delta lists are cleared below);
+        #     old files/new columns null-fill through the widened schema.
+        has_deltas = any(snap.deltas.get(str(b)) for b in touched)
+        if has_deltas:
+            current = self.read(buckets=touched, include_internal=True)
         else:
-            current = self.spark.createDataFrame([], target_schema)
+            files = [os.path.join(self.path, f)
+                     for b in touched for f in snap.buckets.get(str(b), [])]
+            current = (
+                self.spark.read.schema(snap.schema()).parquet(*files)
+                if files
+                else self.spark.createDataFrame([], snap.schema())
+            )
+        for f in target_schema.fields:  # widen with nulls
+            if f.name not in current.columns:
+                current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
+        current = current.select(*[f.name for f in target_schema.fields])
 
         # --- MERGE as a full-outer join on the key.
         # Both sides are only touched-bucket data; on a real cluster with
@@ -436,9 +481,81 @@ class LakeTable:
             lineage_update = post_write_lineage(lineage_update)
         new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
         new_snap.buckets = new_buckets
+        # touched buckets' deltas were folded into the rewrite above
+        for b in touched:
+            new_snap.deltas.pop(str(b), None)
         self._write_snapshot(new_snap)
         return {"skipped": False, "version": new_snap.version,
                 "touched_buckets": len(touched), "buckets_rewritten": buckets_rewritten}
+
+    def merge_mor(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        op_col: str = "op",
+        lineage_update: dict[int, dict[str, int]] | None = None,
+        touched_buckets: list[int] | None = None,
+        post_write_lineage: Any = None,
+    ) -> dict[str, Any]:
+        """Merge-on-read apply: write the (LWW-reduced) change rows as
+        DELTA files — including 'D' tombstones — and defer resolution to
+        read()/compact().
+
+        This is the 10^10-event write path: epoch write cost is O(batch),
+        never O(touched-bucket content) — no read of current state, no
+        join, no rewrite amplification. The price is read amplification
+        (read() folds base + deltas with an LWW aggregate), bounded by
+        compaction (``compact`` folds deltas back into the base).
+        Same exactly-once guarantees as the COW path: batch-id fence,
+        lineage in the same atomic snapshot, conditional-ordinal
+        semantics enforced at resolution time.
+        """
+        snap = self.snapshot()
+        if batch_id <= snap.batch_id:
+            return {"skipped": True, "reason": "batch already committed",
+                    "version": snap.version, "batch_id": snap.batch_id}
+        key_cols = snap.key_cols
+        cur_schema = snap.schema()
+        payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
+        new_fields = [f for f in payload_cols if f.name not in cur_schema.fieldNames()]
+        target_schema = T.StructType(list(cur_schema.fields) + new_fields)
+
+        src = changes.withColumnRenamed(op_col, "__op")
+        for f in cur_schema.fields:
+            if f.name not in src.columns:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.select(*[f.name for f in target_schema.fields], "__op")
+        src = src.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+
+        new_version = snap.version + 1
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            src.repartition(snap.n_buckets, "__bucket")
+            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        )
+
+        new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
+        written = 0
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("__bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            fs = sorted(
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            )
+            if fs:
+                new_deltas.setdefault(b, []).extend(fs)
+                written += 1
+        if post_write_lineage is not None:
+            lineage_update = post_write_lineage(lineage_update or {})
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+        new_snap.deltas = new_deltas
+        self._write_snapshot(new_snap)
+        return {"skipped": False, "version": new_snap.version,
+                "touched_buckets": written, "mode": "mor"}
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Replace the whole table content (bulk load / test setup)."""
@@ -488,6 +605,8 @@ class LakeTable:
                 continue
             for fs in snap.buckets.values():
                 referenced.update(fs)
+            for fs in snap.deltas.values():
+                referenced.update(fs)
         removed_files = 0
         data_root = os.path.join(self.path, _DATA)
         for f in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
@@ -512,11 +631,17 @@ class LakeTable:
                 "kept_versions": len(keep_versions)}
 
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None) -> dict[str, int]:
-        """Rewrite buckets whose file count exceeds the threshold into one
-        file each (bin-packing compaction). The rewrite is a new snapshot
-        — readers are never blocked; vacuum reclaims the old files."""
+        """Rewrite buckets whose base-file count exceeds the threshold —
+        or that carry ANY merge-on-read deltas — into one resolved file
+        each (bin-packing compaction + delta fold). The rewrite is a new
+        snapshot — readers are never blocked; vacuum reclaims the old
+        files. This is the MOR read-amplification bound: run it on a
+        cadence (or delta-count trigger) and reads stay O(base)."""
         snap = self.snapshot()
-        fat = [int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket]
+        fat = sorted(
+            {int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket}
+            | {int(b) for b, fs in snap.deltas.items() if fs}
+        )
         if not fat:
             return {"compacted_buckets": 0}
         df = self.read(buckets=fat, include_internal=True).withColumn(
@@ -539,10 +664,14 @@ class LakeTable:
             )
             if fs:
                 new_buckets[str(b)] = fs
+            else:
+                new_buckets.pop(str(b), None)  # bucket resolved to empty
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
         )
         new_snap.buckets = new_buckets
+        for b in fat:  # deltas folded into the new base files
+            new_snap.deltas.pop(str(b), None)
         self._write_snapshot(new_snap)
         return {"compacted_buckets": len(fat), "version": new_snap.version}
 
@@ -573,4 +702,5 @@ class LakeTable:
             lineage=lineage,
             committed_at=time.time(),
             parent=parent.version,
+            deltas={b: list(fs) for b, fs in parent.deltas.items()},
         )
