@@ -979,3 +979,29 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("vmax"),
         )
     )
+
+
+@register(
+    "events_windowed_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (the batch shape of the streaming
+    windowed aggregation in rook_spark.streaming.windows; the streaming
+    variant with watermarks is tested in tests/test_streaming_ops.py)."""
+    w = F.window(F.col("ts").cast("timestamp"), "6 hours")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

@@ -1,0 +1,109 @@
+"""Event-source connectors (S1 analogs, SURVEY.md §2.1).
+
+The reference's single source is a MySQL binlog tail
+(``MySQLReplicationStream.java:98-116``). The Spark-first engine accepts
+any ordered change-event feed that matches the canonical schema
+(``rook_spark.cdc.schema.event_schema``):
+
+- parquet / json / csv directories, batch or streamed (file-tail),
+- Kafka (the production transport for Debezium-style CDC) — gated
+  behind an import/packaging check since the connector jar is not in
+  this environment.
+
+All readers return the SAME canonical DataFrame, so everything
+downstream (normalize → LWW → MERGE) is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.schema import event_schema
+
+
+def read_events_parquet(spark: SparkSession, path: str, evolved: bool = False) -> DataFrame:
+    return spark.read.schema(event_schema(evolved)).parquet(path)
+
+
+def read_events_json(spark: SparkSession, path: str, evolved: bool = False) -> DataFrame:
+    """JSON lines with the canonical schema (no inference — schema is the
+    contract; malformed rows fail loudly via FAILFAST)."""
+    return (
+        spark.read.schema(event_schema(evolved))
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+def read_events_csv(spark: SparkSession, path: str, evolved: bool = False) -> DataFrame:
+    """CSV feed: flat columns with JSON-encoded row images (CSV cannot
+    nest) — decoded into the canonical struct columns."""
+    schema = event_schema(evolved)
+    img_type = schema["after"].dataType
+    flat_cols = [f for f in schema.fields if f.name not in ("before", "after")]
+    csv_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in flat_cols]
+        + ["before_json string", "after_json string"]
+    )
+    df = spark.read.schema(csv_schema).option("header", "true").csv(path)
+    return df.select(
+        *[f.name for f in flat_cols],
+        F.from_json("before_json", img_type).alias("before"),
+        F.from_json("after_json", img_type).alias("after"),
+    ).select(*[f.name for f in schema.fields])
+
+
+def stream_events_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+    evolved: bool = False,
+) -> DataFrame:
+    """File-tail streaming source (ordered chunk files — see
+    ``write_events`` for the ordering contract)."""
+    reader = (
+        spark.readStream.schema(event_schema(evolved))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported streaming format: {fmt}")
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    evolved: bool = False,
+) -> DataFrame:
+    """Kafka tail → canonical events (value = JSON-encoded event).
+
+    Requires the spark-sql-kafka connector jar on the classpath; this
+    sandbox does not ship it, so the reader raises a clear error here
+    while remaining the production entry point. Per-partition ordering
+    (the engine's source contract) is exactly Kafka's guarantee;
+    ``source_partition`` should be the Kafka partition.
+    """
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - jar not present here
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka-0-10 connector jar "
+            "(not bundled in this environment): add "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+        ) from exc
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), event_schema(evolved)).alias("e"),
+        F.col("partition").alias("kafka_partition"),
+    ).select("e.*", "kafka_partition")

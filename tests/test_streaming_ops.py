@@ -1,0 +1,193 @@
+"""Streaming windows, watermark semantics, custom stateful operator, and
+source connectors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.fixtures import generate_events, write_events
+from rook_spark.streaming.windows import (
+    running_totals_stream,
+    session_windows,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def driver_events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_windowed_counts_stream_matches_batch(spark, driver_events, tmp_path):
+    """The same window expression over a stream (with watermark) and over
+    the batch table yields identical closed-window results."""
+    src_dir = str(tmp_path / "src")
+    driver_events.select("ts", F.col("event_type").alias("table_name")).repartitionByRange(
+        4, "ts"
+    ).write.parquet(src_dir)
+
+    # watermarks require TIMESTAMP (not NTZ): cast on both paths
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, table_name string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_counts(stream, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["win"]["start"], r["table_name"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = windowed_counts(
+        spark.read.schema("ts timestamp_ntz, table_name string")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        window="6 hours",
+    )
+    want = {
+        (r["win"]["start"], r["table_name"]): r["n"] for r in batch.collect()
+    }
+    # append mode only emits watermark-closed windows; every emitted
+    # window must match the batch truth exactly
+    assert len(got) > 10
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_session_windows_batch(spark, driver_events):
+    out = session_windows(driver_events, gap="30 minutes")
+    assert out.count() > 0
+    r = out.first()
+    assert r["session"]["end"] >= r["session"]["start"]
+    # sessions per user never exceed events per user
+    per_user = out.groupBy("user_id").count()
+    ev_per_user = driver_events.groupBy("user_id").count().withColumnRenamed("count", "ev")
+    bad = per_user.join(ev_per_user, "user_id").where(F.col("count") > F.col("ev"))
+    assert bad.count() == 0
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    """Custom stateful streaming operator: state accumulates across
+    micro-batches and the final per-key totals equal the batch truth."""
+    ev = generate_events(spark, 1000, seed=41, n_source_partitions=4)
+    src = str(tmp_path / "src")
+    write_events(
+        ev.select(
+            F.col("offset"),
+            F.col("tx_id"),
+            F.col("server_id"),
+            F.col("schema_name"),
+            F.col("table_name"),
+            F.col("op"),
+            F.col("before"),
+            F.col("after"),
+            F.col("commit_ordinal"),
+            F.col("source_partition"),
+            F.col("ts"),
+        ),
+        src,
+        n_files=4,
+    )
+    stream = (
+        spark.readStream.schema(
+            "offset long, tx_id long, server_id long, schema_name string, "
+            "table_name string, op string, "
+            "before struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+            "after struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+            "commit_ordinal long, source_partition int, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("source_partition").cast("long").alias("user_id"),
+            F.col("offset").cast("double").alias("value"),
+            F.col("offset"),
+        )
+    )
+    out = running_totals_stream(stream, key_col="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emission per key == batch-computed totals
+    final = spark.sql(
+        """
+        SELECT key, n, total, max_offset FROM (
+          SELECT *, row_number() OVER (PARTITION BY key ORDER BY max_offset DESC) rn
+          FROM running
+        ) WHERE rn = 1
+        """
+    ).collect()
+    truth = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in generate_events(spark, 1000, seed=41, n_source_partitions=4)
+        .groupBy(F.col("source_partition").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("offset").cast("double")).alias("s"),
+            F.max("offset").alias("m"),
+        )
+        .collect()
+    }
+    assert len(final) == len(truth) > 0
+    for r in final:
+        n, s, m = truth[r["key"]]
+        assert (r["n"], r["total"], r["max_offset"]) == (n, s, m)
+    # multiple micro-batches really happened (state crossed batches)
+    n_emissions = spark.sql("SELECT count(*) c FROM running").first()["c"]
+    assert n_emissions > len(truth)
+
+
+def test_sources_json_csv_roundtrip(spark, tmp_path):
+    """JSON and CSV feeds decode to the identical canonical event set."""
+    from rook_spark import sources
+
+    ev = generate_events(spark, 300, seed=43)
+    pq = str(tmp_path / "pq")
+    ev.write.parquet(pq)
+    canonical = sorted(
+        (r["offset"], r["op"], (r["after"] or r["before"])["content"])
+        for r in spark.read.parquet(pq).collect()
+    )
+
+    js = str(tmp_path / "js")
+    spark.read.parquet(pq).write.json(js)
+    got_json = sorted(
+        (r["offset"], r["op"], (r["after"] or r["before"])["content"])
+        for r in sources.read_events_json(spark, js).collect()
+    )
+    assert got_json == canonical
+
+    cs = str(tmp_path / "cs")
+    df = spark.read.parquet(pq)
+    df.select(
+        *[c for c in df.columns if c not in ("before", "after")],
+        F.to_json("before").alias("before_json"),
+        F.to_json("after").alias("after_json"),
+    ).write.option("header", "true").csv(cs)
+    got_csv = sorted(
+        (r["offset"], r["op"], (r["after"] or r["before"])["content"])
+        for r in sources.read_events_csv(spark, cs).collect()
+    )
+    assert got_csv == canonical
+
+
+def test_kafka_source_raises_clear_error_without_jar(spark):
+    from rook_spark import sources
+
+    with pytest.raises(Exception, match="[Kk]afka"):
+        sources.stream_events_kafka(spark, "localhost:9092", "events")
