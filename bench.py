@@ -106,6 +106,7 @@ def run_replay(spark, log_path: str, n_events: int, n_buckets: int = N_BUCKETS,
     engine = CdcEngine(
         spark, os.path.join(target, "repos"), n_buckets=n_buckets,
         write_mode=WRITE_MODE, compact_every=8 if WRITE_MODE == "mor" else None,
+        n_source_partitions=8,
     ).ignoring_servers(99)
     events = spark.read.parquet(log_path)
     step = n_events // n_epochs

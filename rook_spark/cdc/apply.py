@@ -95,15 +95,30 @@ def apply_batch(
     content_col: str = "content",
     observe_bytes: bool = True,
     write_mode: str = "cow",
+    n_source_partitions: int | None = None,
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
-    before/after event shape) to the target table."""
+    before/after event shape) to the target table.
+
+    Job structure: COW needs a pre-write pass (touched buckets decide
+    which files join the merge). MOR with a known source-partition count
+    (``n_source_partitions`` — static for a Kafka topic / binlog shard
+    set) runs as ONE job: watermarks, counts, and bytes all ride the
+    write job's observation, and the bucket→file mapping falls out of
+    the write's own directory listing.
+    """
     snap = table.snapshot()
     if batch_id <= snap.batch_id:  # foreachBatch re-delivery fence
         return ApplyStats(batch_id, True, 0, 0, 0, snap.version)
 
     fresh_raw = watermark_filter(events, snap.lineage)
+
+    if write_mode == "mor" and observe_bytes and n_source_partitions:
+        return _apply_mor_single_job(
+            table, fresh_raw, batch_id, key_cols, ordinal_col, offset_col,
+            salted, n_salts, content_col, n_source_partitions,
+        )
 
     # --- job 1: narrow lineage + touched buckets (no content decode;
     # nested-schema pruning reads only key/offset/partition columns).
@@ -226,6 +241,94 @@ def apply_batch(
         skipped=bool(result.get("skipped")),
         rows_in=rows_in,
         rows_applied=rows_in,
+        touched_buckets=int(result.get("touched_buckets", 0)),
+        version=int(result.get("version", -1)),
+    )
+
+
+def _apply_mor_single_job(
+    table: LakeTable,
+    fresh_raw: DataFrame,
+    batch_id: int,
+    key_cols: tuple[str, ...],
+    ordinal_col: str,
+    offset_col: str,
+    salted: bool,
+    n_salts: int,
+    content_col: str,
+    n_source_partitions: int,
+) -> ApplyStats:
+    """One Spark job per epoch: flatten → LWW → delta write, with ALL
+    lineage metrics (per-partition watermark, row count, bytes) observed
+    in-flight. The 10^10-event fast path."""
+    keys = list(key_cols)
+    flat = flatten_events(fresh_raw, keys)
+
+    obs = Observation(f"lineage_{batch_id}")
+    exprs = []
+    for p in range(n_source_partitions):
+        cond = F.col("source_partition") == p
+        exprs.append(F.max(F.when(cond, F.col(offset_col))).alias(f"o_{p}"))
+        exprs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{p}"))
+        if content_col in flat.columns:
+            exprs.append(
+                F.sum(F.when(cond, F.length(F.col(content_col))).otherwise(0)).alias(f"b_{p}")
+            )
+    flat = flat.observe(obs, *exprs)
+
+    reducible = flat.drop("source_partition", "tx_id")
+    reducer = salted_lww_reduce if salted else lww_reduce
+    kwargs = {"n_salts": n_salts} if salted else {}
+    changes = (
+        reducer(reducible, key_cols=key_cols, ordinal_col=ordinal_col,
+                offset_col=offset_col, **kwargs)
+        .withColumnRenamed(ordinal_col, "__ordinal")
+        .withColumnRenamed(offset_col, "__offset")
+    )
+
+    stats_box: dict[str, int] = {}
+
+    def finalize(lin: dict | None) -> dict:
+        try:
+            got = obs.get
+        except Exception:
+            # Observation defect on empty final writes — recompute
+            got = {}
+            for r in (
+                fresh_raw.groupBy("source_partition")
+                .agg(
+                    F.max(offset_col).alias("o"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.length(F.coalesce(F.col(f"after.{content_col}"),
+                                            F.col(f"before.{content_col}")))
+                    ).alias("b"),
+                )
+                .collect()
+            ):
+                p = int(r["source_partition"])
+                got[f"o_{p}"], got[f"n_{p}"], got[f"b_{p}"] = r["o"], r["n"], r["b"]
+        out = {}
+        for p in range(n_source_partitions):
+            if got.get(f"o_{p}") is None:
+                continue  # partition absent from this batch
+            out[p] = {
+                "last_applied_offset": int(got[f"o_{p}"]),
+                "rows_applied": int(got.get(f"n_{p}") or 0),
+                "bytes": int(got.get(f"b_{p}") or 0),
+            }
+        stats_box["rows_in"] = sum(m["rows_applied"] for m in out.values())
+        return out
+
+    result = table.merge_mor(
+        changes, batch_id, op_col="op", lineage_update=None,
+        post_write_lineage=finalize,
+    )
+    return ApplyStats(
+        batch_id=batch_id,
+        skipped=bool(result.get("skipped")),
+        rows_in=stats_box.get("rows_in", 0),
+        rows_applied=stats_box.get("rows_in", 0),
         touched_buckets=int(result.get("touched_buckets", 0)),
         version=int(result.get("version", -1)),
     )

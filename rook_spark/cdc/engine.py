@@ -50,6 +50,7 @@ class CdcEngine:
         cache_batches: bool = False,
         write_mode: str = "cow",
         compact_every: int | None = None,
+        n_source_partitions: int | None = None,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -68,6 +69,9 @@ class CdcEngine:
         # `compact_every` epochs (None = manual compact()).
         self.write_mode = write_mode
         self.compact_every = compact_every
+        # known static source-partition count (Kafka topic partitions /
+        # binlog shard count) unlocks the single-job MOR epoch
+        self.n_source_partitions = n_source_partitions
         self._epochs_since_compact = 0
         # caching the normalized batch trades a full in-memory
         # materialization (~row-size × batch, bandwidth-heavy) against
@@ -126,6 +130,7 @@ class CdcEngine:
                 n_salts=self.n_salts,
                 observe_bytes=observe_bytes,
                 write_mode=self.write_mode,
+                n_source_partitions=self.n_source_partitions,
             )
             if self.write_mode == "mor" and self.compact_every:
                 self._epochs_since_compact += 1
