@@ -17,7 +17,7 @@ Usage:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     ROOK_BENCH_EVENTS (default 4_000_000), ROOK_BENCH_EPOCHS (4),
+     ROOK_BENCH_EVENTS (default 4_000_000), ROOK_BENCH_EPOCHS (default 2),
      ROOK_BENCH_SCALE_LEVELS ("1,4"), ROOK_BENCH_SCALE_REPS (3).
 """
 

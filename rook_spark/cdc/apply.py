@@ -96,6 +96,7 @@ def apply_batch(
     observe_bytes: bool = True,
     write_mode: str = "cow",
     n_source_partitions: int | None = None,
+    run_id: str = "",
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
@@ -109,7 +110,11 @@ def apply_batch(
     the write's own directory listing.
     """
     snap = table.snapshot()
-    if batch_id <= snap.batch_id:  # foreachBatch re-delivery fence
+    # foreachBatch re-delivery fence — only valid WITHIN one checkpoint
+    # lineage (run_id): batch ids restart at 0 on a fresh checkpoint, so
+    # a mismatched run falls through to the watermark filter (which alone
+    # dedups re-applied events) instead of dropping the batch.
+    if batch_id <= snap.batch_id and run_id == snap.run_id:
         return ApplyStats(batch_id, True, 0, 0, 0, snap.version)
 
     fresh_raw = watermark_filter(events, snap.lineage)
@@ -117,7 +122,7 @@ def apply_batch(
     if write_mode == "mor" and observe_bytes and n_source_partitions:
         return _apply_mor_single_job(
             table, fresh_raw, batch_id, key_cols, ordinal_col, offset_col,
-            salted, n_salts, content_col, n_source_partitions,
+            salted, n_salts, content_col, n_source_partitions, run_id,
         )
 
     # --- job 1: narrow lineage + touched buckets (no content decode;
@@ -229,12 +234,14 @@ def apply_batch(
             changes, batch_id, op_col="op", lineage_update=lineage_update,
             touched_buckets=touched_buckets,
             post_write_lineage=finalize_lineage if touched_buckets else None,
+            run_id=run_id,
         )
     else:
         result = table.merge(
             changes, batch_id, op_col="op", lineage_update=lineage_update,
             validate_cardinality=False, touched_buckets=touched_buckets,
             post_write_lineage=finalize_lineage if touched_buckets else None,
+            run_id=run_id,
         )
     return ApplyStats(
         batch_id=batch_id,
@@ -257,6 +264,7 @@ def _apply_mor_single_job(
     n_salts: int,
     content_col: str,
     n_source_partitions: int,
+    run_id: str = "",
 ) -> ApplyStats:
     """One Spark job per epoch: flatten → LWW → delta write, with ALL
     lineage metrics (per-partition watermark, row count, bytes) observed
@@ -322,7 +330,7 @@ def _apply_mor_single_job(
 
     result = table.merge_mor(
         changes, batch_id, op_col="op", lineage_update=None,
-        post_write_lineage=finalize,
+        post_write_lineage=finalize, run_id=run_id,
     )
     return ApplyStats(
         batch_id=batch_id,

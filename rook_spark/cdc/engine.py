@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from rook_spark.cdc import schema as cdc_schema
-from rook_spark.cdc.apply import ApplyStats, apply_batch
+from rook_spark.cdc.apply import ApplyStats, apply_batch, watermark_filter
 from rook_spark.cdc.normalize import filter_events, flatten_events
 from rook_spark.lake.table import LakeTable
 
@@ -93,7 +93,10 @@ class CdcEngine:
 
     def with_sink(self, name: str, fn: SinkFn) -> "CdcEngine":
         """Register an auxiliary listener (K1/K2 fan-out). ``fn`` gets the
-        *normalized* batch DataFrame and the batch id."""
+        *normalized, watermark-filtered* batch DataFrame and the batch id
+        — the SAME event set the table MERGE applies, so sinks inherit the
+        engine's exactly-once delivery (a re-delivered batch fans out as
+        empty rather than double-counting)."""
         self.sinks[name] = fn
         return self
 
@@ -112,7 +115,10 @@ class CdcEngine:
 
     # ---------------------------------------------------------------- apply
 
-    def _apply(self, events: DataFrame, batch_id: int, observe_bytes: bool = True) -> ApplyStats:
+    def _apply(
+        self, events: DataFrame, batch_id: int, observe_bytes: bool = True,
+        run_id: str = "",
+    ) -> ApplyStats:
         ev = filter_events(
             events,
             tracked_tables=self.tracked_tables,
@@ -121,8 +127,13 @@ class CdcEngine:
         if self.cache_batches or self.sinks:
             ev.persist()
         try:
+            target = self.target()
+            # lineage BEFORE the apply: sinks fan out the same
+            # watermark-filtered set the MERGE applies (exactly-once for
+            # sinks too — a re-delivered batch fans out empty)
+            pre_lineage = target.snapshot().lineage if self.sinks else None
             stats = apply_batch(
-                self.target(),
+                target,
                 ev,
                 batch_id,
                 key_cols=self.key_cols,
@@ -131,6 +142,7 @@ class CdcEngine:
                 observe_bytes=observe_bytes,
                 write_mode=self.write_mode,
                 n_source_partitions=self.n_source_partitions,
+                run_id=run_id,
             )
             if self.write_mode == "mor" and self.compact_every:
                 self._epochs_since_compact += 1
@@ -138,7 +150,8 @@ class CdcEngine:
                     self.target().compact()
                     self._epochs_since_compact = 0
             if self.sinks:
-                self._fan_out(flatten_events(ev, self.key_cols), batch_id)
+                fresh = watermark_filter(ev, pre_lineage)
+                self._fan_out(flatten_events(fresh, self.key_cols), batch_id)
         finally:
             if self.cache_batches or self.sinks:
                 ev.unpersist()
@@ -188,9 +201,12 @@ class CdcEngine:
         never breaks the running query; the target table widens on the
         first batch where the column is non-null-typed.
         Exactly-once: checkpoint tracks file offsets; re-delivered
-        batches hit the batch-id fence; re-delivered *events* (source
-        duplicates) hit the lineage watermark filter.
+        batches hit the batch-id fence (scoped to THIS checkpoint's
+        lineage via run_id — a fresh checkpoint dir restarts batch ids at
+        0, so cross-checkpoint fencing would drop new events); re-delivered
+        *events* (source duplicates) hit the lineage watermark filter.
         """
+        run_id = os.path.abspath(checkpoint_dir)
         src = (
             self.spark.readStream.schema(cdc_schema.event_schema(evolved))
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -199,7 +215,9 @@ class CdcEngine:
         return (
             # observe_bytes=False: foreachBatch executions do not notify
             # Observation listeners, so bytes ride the lineage aggregate
-            src.writeStream.foreachBatch(lambda df, bid: self._apply(df, bid, observe_bytes=False))
+            src.writeStream.foreachBatch(
+                lambda df, bid: self._apply(df, bid, observe_bytes=False, run_id=run_id)
+            )
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )

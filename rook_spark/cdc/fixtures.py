@@ -195,6 +195,51 @@ def write_events(events: DataFrame, path: str, n_files: int = 8) -> None:
         os.utime(dst, (base + i * 2, base + i * 2))
 
 
+def map_driver_events(ev: DataFrame, n_repos: int = 25, tx_size: int = 8,
+                      n_source_partitions: int = 8) -> DataFrame:
+    """Map the driver's generic ``events`` table (event_id, ts, user_id,
+    event_type, value, props) into the canonical CDC event shape, with
+    every derived column a pure engine-portable expression (lpad/md5/
+    concat — bit-identical in DuckDB) so an independent SQL replay oracle
+    can reproduce the exact final table, sha256(content) included.
+
+    Decoys are derived too, so the driver's log exercises the P1/P2
+    filters: ``user_id % 10 == 7`` → ignored server 99;
+    ``event_id % 97 == 13`` → decoy table.
+    """
+    uid = F.col("user_id")
+    eid = F.col("event_id")
+    repo = F.concat(F.lit("repo-"), F.lpad((uid % n_repos).cast("string"), 4, "0"))
+    path = F.concat(F.lit("src/f"), F.lpad(uid.cast("string"), 6, "0"), F.lit(".txt"))
+    content = F.concat(
+        F.lit("v1|"), F.col("event_type"), F.lit("|"), F.col("props"),
+        F.lit("|"), eid.cast("string"),
+    )
+    img = F.struct(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.substring(F.md5(content), 1, 12).alias("commit"),
+        F.col("event_type").alias("lang"),
+        content.alias("content"),
+    )
+    op = F.when(F.col("event_type") == "error", "D").otherwise("U")
+    return ev.select(
+        eid.alias("offset"),
+        (eid / F.lit(tx_size)).cast("long").alias("tx_id"),
+        F.when(uid % 10 == 7, F.lit(IGNORED_SERVER_ID)).otherwise(F.lit(1))
+         .cast("long").alias("server_id"),
+        F.lit("rook").alias("schema_name"),
+        F.when(eid % 97 == 13, F.lit(DECOY_TABLE)).otherwise(F.lit("repos"))
+         .alias("table_name"),
+        op.alias("op"),
+        F.when(op == "D", img).alias("before"),
+        F.when(op != "D", img).alias("after"),
+        eid.alias("commit_ordinal"),
+        (uid % n_source_partitions).cast("int").alias("source_partition"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
 # --------------------------------------------------------------------- oracle
 
 def oracle_final_state_sql(

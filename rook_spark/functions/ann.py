@@ -75,6 +75,12 @@ def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> 
     return bucket.cast("int")
 
 
+def probe_masks(n_planes: int, hamming: int) -> list[int]:
+    """All XOR masks within the given Hamming radius (incl. 0 = the
+    query's own bucket) — the multi-probe set."""
+    return [m for m in range(2**n_planes) if bin(m).count("1") <= hamming]
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -85,14 +91,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored. Equi-join on bucket → hash join, prunes before math."""
+    are scored. Equi-join on bucket → hash join, prunes before math.
+
+    ``probe_hamming`` > 0 enables multi-probe: the QUERY side expands to
+    every bucket within that Hamming distance (C(n_planes, ≤h) probes per
+    query — e.g. 22 of 64 buckets at n_planes=6, h=2), so the join stays
+    an equi-join and the corpus is still scanned once with no shuffle.
+    Recall scales with scanned fraction; on data with real cluster
+    structure single-probe already lands the cluster (see
+    tests/test_functions.py recall floor), while on isotropic data
+    recall ≈ fraction scanned — inherent to any ANN pruning, measured
+    honestly by the `ann_lsh_recall` driver query.
+    """
     c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    masks = probe_masks(n_planes, probe_hamming)
+    qb = lsh_bucket(F.col(vec_col), dim, n_planes, seed)
     q = queries.select(
         query_id_col,
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("__bucket"),
+        F.explode(
+            F.array(*[qb.bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__bucket"),
     )
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col,
@@ -104,4 +126,27 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """recall@k of an approximate top-k result against the exact one:
+    |approx ∩ exact| / k per query (one tiny join + agg)."""
+    hits = approx.select(query_id_col, id_col).join(
+        exact.select(query_id_col, id_col), [query_id_col, id_col]
+    )
+    return (
+        exact.select(query_id_col).distinct()
+        .join(hits.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("__h")),
+              query_id_col, "left")
+        .select(
+            query_id_col,
+            F.round(F.coalesce(F.col("__h"), F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
     )

@@ -84,6 +84,11 @@ class Snapshot:
     # merge-on-read: bucket id -> ordered delta file lists (unresolved
     # change rows incl. tombstones, folded in by read()/compact())
     deltas: dict[str, list[str]] = field(default_factory=dict)
+    # checkpoint-lineage identifier of the stream/run that committed
+    # batch_id: foreachBatch batch ids restart at 0 for a NEW checkpoint
+    # dir, so the batch-id fence is only valid within one run. "" = batch
+    # (non-streaming) lineage.
+    run_id: str = ""
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -101,6 +106,7 @@ class Snapshot:
                 "committed_at": self.committed_at,
                 "parent": self.parent,
                 "deltas": self.deltas,
+                "run_id": self.run_id,
             }
         )
 
@@ -276,6 +282,7 @@ class LakeTable:
         tiebreak_col: str = "__offset",
         touched_buckets: list[int] | None = None,
         post_write_lineage: Any = None,
+        run_id: str = "",
     ) -> dict[str, Any]:
         """Apply a deduplicated change set in one atomic snapshot commit.
 
@@ -295,11 +302,16 @@ class LakeTable:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *
 
-        Exactly-once: if ``batch_id`` <= the last committed batch id the
-        call is a no-op (fencing for foreachBatch re-delivery).
+        Exactly-once: if ``batch_id`` <= the last committed batch id AND
+        ``run_id`` matches the committing run's, the call is a no-op
+        (fencing for foreachBatch re-delivery). A different run_id (new
+        checkpoint dir / fresh batch lineage) falls through — batch ids
+        restart at 0 across checkpoints, so cross-run fencing would drop
+        genuinely-new events; idempotency across runs comes from the
+        caller's watermark filter + the conditional-ordinal MERGE.
         """
         snap = self.snapshot()
-        if batch_id <= snap.batch_id:
+        if batch_id <= snap.batch_id and run_id == snap.run_id:
             return {"skipped": True, "reason": "batch already committed",
                     "version": snap.version, "batch_id": snap.batch_id}
 
@@ -325,7 +337,7 @@ class LakeTable:
                 changes, snap, batch_id, op_col, lineage_update,
                 validate_cardinality, ordinal_col, tiebreak_col,
                 target_schema, target_cols, cur_schema, key_cols,
-                touched_buckets, post_write_lineage,
+                touched_buckets, post_write_lineage, run_id,
             )
         finally:
             if do_persist:
@@ -347,6 +359,7 @@ class LakeTable:
         key_cols: list[str],
         touched_buckets: list[int] | None = None,
         post_write_lineage: Any = None,
+        run_id: str = "",
     ) -> dict[str, Any]:
         if validate_cardinality:
             # same contract as Iceberg/Delta MERGE: at most one source row
@@ -371,7 +384,7 @@ class LakeTable:
                 r["__bucket"] for r in changes.select("__bucket").distinct().collect()
             )
         if not touched:
-            new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+            new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
             self._write_snapshot(new_snap)
             return {"skipped": False, "version": new_snap.version, "touched_buckets": 0,
                     "buckets_rewritten": 0}
@@ -417,11 +430,17 @@ class LakeTable:
         if ordinal_col in src.columns:
             # LWW against the STORED ordinal: a change only wins if its
             # (ordinal, offset) is >= the target row's. Makes the apply
-            # commutative per key across batches — replay or out-of-order
-            # re-delivery of an older change can never clobber newer state
-            # (cross-batch generalization of W1; rook gets the same
-            # guarantee by re-reading final DB state per key,
-            # DefaultRowsMutationIndexer.java:75-81).
+            # commutative per key across batches FOR LIVE KEYS — replay or
+            # out-of-order re-delivery of an older change cannot clobber a
+            # newer stored row (cross-batch generalization of W1; rook gets
+            # the same guarantee by re-reading final DB state per key,
+            # DefaultRowsMutationIndexer.java:75-81). DELETED keys have no
+            # stored ordinal (COW drops the row without a tombstone), so a
+            # stale re-delivered upsert for a deleted key would match
+            # nothing and re-insert it; protection there relies on the
+            # per-partition watermark ordering contract (watermark_filter),
+            # which drops any offset at-or-below the applied high-water mark
+            # before it reaches this MERGE.
             s_ord = F.struct(
                 F.coalesce(F.col(f"s.{ordinal_col}"), F.lit(-1)).alias("o"),
                 F.coalesce(F.col(f"s.{tiebreak_col}"), F.lit(-1)).alias("t"),
@@ -479,7 +498,7 @@ class LakeTable:
 
         if post_write_lineage is not None:
             lineage_update = post_write_lineage(lineage_update)
-        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
         new_snap.buckets = new_buckets
         # touched buckets' deltas were folded into the rewrite above
         for b in touched:
@@ -496,6 +515,7 @@ class LakeTable:
         lineage_update: dict[int, dict[str, int]] | None = None,
         touched_buckets: list[int] | None = None,
         post_write_lineage: Any = None,
+        run_id: str = "",
     ) -> dict[str, Any]:
         """Merge-on-read apply: write the (LWW-reduced) change rows as
         DELTA files — including 'D' tombstones — and defer resolution to
@@ -511,7 +531,7 @@ class LakeTable:
         semantics enforced at resolution time.
         """
         snap = self.snapshot()
-        if batch_id <= snap.batch_id:
+        if batch_id <= snap.batch_id and run_id == snap.run_id:
             return {"skipped": True, "reason": "batch already committed",
                     "version": snap.version, "batch_id": snap.batch_id}
         key_cols = snap.key_cols
@@ -551,7 +571,7 @@ class LakeTable:
                 written += 1
         if post_write_lineage is not None:
             lineage_update = post_write_lineage(lineage_update or {})
-        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update)
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
         new_snap.deltas = new_deltas
         self._write_snapshot(new_snap)
         return {"skipped": False, "version": new_snap.version,
@@ -681,6 +701,7 @@ class LakeTable:
         batch_id: int,
         schema: T.StructType,
         lineage_update: dict[int, dict[str, int]] | None,
+        run_id: str | None = None,
     ) -> Snapshot:
         lineage = {k: dict(v) for k, v in parent.lineage.items()}
         for p, m in (lineage_update or {}).items():
@@ -703,4 +724,7 @@ class LakeTable:
             committed_at=time.time(),
             parent=parent.version,
             deltas={b: list(fs) for b, fs in parent.deltas.items()},
+            # maintenance commits (compact/vacuum/overwrite) pass None and
+            # inherit the committing run's identity unchanged
+            run_id=parent.run_id if run_id is None else run_id,
         )

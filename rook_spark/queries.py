@@ -353,7 +353,8 @@ def cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     """
     SELECT event_type,
-           round(avg(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)), 4) AS avg_k
+           round(avg(TRY_CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
+                              AS BIGINT)), 4) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
@@ -848,22 +849,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cdc_engine_replay")  # full engine end-to-end: rows-only
+@register(
+    "cdc_engine_replay",
+    """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_type AS lang,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    )
+    SELECT repo, path, substr(md5(content), 1, 12) AS commit, lang,
+           sha256(content) AS content_sha
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
 def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replays a deterministic 2k-event CDC log through the actual engine
-    (normalize → LWW → transactional MERGE) and returns the final table
-    with the sha256 invariant column. SQL-oracle equivalence of these
-    semantics is covered by `cdc_lww_state`; byte-level equivalence by
-    the pytest suite's DuckDB replay oracle."""
+    """FLAGSHIP engine end-to-end, driver-oracled: maps the driver's
+    `events` table into the canonical CDC event shape
+    (rook_spark.cdc.fixtures.map_driver_events — every derived column is
+    an engine-portable expression), replays it through the REAL engine
+    in 3 offset-ordered epochs (filter → watermark → LWW reduce →
+    transactional bucketed MERGE → lineage commit), and returns the final
+    table with the sha256(content) invariant. The oracle is an
+    independent one-shot SQL replay of the same mapped log — per-row
+    sha256 equality is exactly BASELINE.json's correctness gate, now
+    hash-verified by the driver."""
     import tempfile
 
     from rook_spark.cdc.engine import CdcEngine
-    from rook_spark.cdc.fixtures import generate_events
+    from rook_spark.cdc.fixtures import map_driver_events
 
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
     d = tempfile.mkdtemp(prefix="rook_entry_")
-    engine = CdcEngine(spark, f"{d}/repos").ignoring_servers(99)
-    engine.replay(generate_events(spark, 2000, seed=42))
-    return engine.target().read().withColumn("content_sha", F.sha2("content", 256))
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    step = n // 3 + 1
+    for i in range(3):  # multi-epoch: exercises cross-batch MERGE + lineage
+        engine.replay(
+            ev.where((F.col("offset") >= i * step) & (F.col("offset") < (i + 1) * step))
+        )
+    return (
+        engine.target()
+        .read()
+        .select("repo", "path", "commit", "lang", F.sha2("content", 256).alias("content_sha"))
+    )
 
 
 # =====================================================================

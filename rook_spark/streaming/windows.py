@@ -29,6 +29,7 @@ def windowed_counts(
     window: str = "1 minute",
     slide: str | None = None,
     watermark: str = "2 minutes",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Tumbling (or sliding) event-time counts with a watermark bound.
 
@@ -36,18 +37,18 @@ def windowed_counts(
     passes window.end + watermark; later events are dropped — bounded
     state under unbounded streams. Works identically on a batch
     DataFrame (window() is just an expression), which is how the oracle
-    checks it.
+    checks it. ``distinct_col`` optionally adds an approximate distinct
+    count of that column per (window, key) — it must differ from
+    ``key_col`` (distinct-of-the-group-key is identically 1).
     """
     w = F.window(F.col(ts_col), window, slide or window)
-    return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(w.alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.approx_count_distinct(key_col).alias("nd"))
-        if events.isStreaming
-        else events.groupBy(w.alias("win"), F.col(key_col)).agg(
-            F.count(F.lit(1)).alias("n"), F.approx_count_distinct(key_col).alias("nd")
-        )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if distinct_col is not None:
+        aggs.append(F.approx_count_distinct(distinct_col).alias("nd"))
+    grouped = (
+        events.withWatermark(ts_col, watermark) if events.isStreaming else events
     )
+    return grouped.groupBy(w.alias("win"), F.col(key_col)).agg(*aggs)
 
 
 def session_windows(

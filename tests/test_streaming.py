@@ -91,6 +91,64 @@ def test_stream_kill_and_resume(spark, source_dir, tmp_path):
     _assert_state(engine3.target(), source_dir)
 
 
+def test_fresh_checkpoint_with_new_files_applies_them(spark, source_dir, tmp_path):
+    """Regression (round-1 ADVICE): foreachBatch batch ids restart at 0 on
+    a NEW checkpoint dir. A cross-run batch-id fence would skip every
+    restarted batch — including ones carrying genuinely NEW files — and
+    the fresh checkpoint would mark them processed: silent permanent loss.
+    The fence must be scoped to the run (run_id) so a new-checkpoint
+    restart falls through to the watermark filter, which dedups the old
+    events and applies the new ones."""
+    import os
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    files = sorted(f for f in os.listdir(source_dir) if f.endswith(".parquet"))
+    for f in files[:3]:
+        shutil.copy2(os.path.join(source_dir, f), os.path.join(staged, f))
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(staged, str(tmp_path / "ckptA"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    # new files arrive; operator restarts with a FRESH checkpoint whose
+    # batch ids (0,1,2 at mft=2) are all <= the already-committed max (2)
+    for f in files[3:]:
+        shutil.copy2(os.path.join(source_dir, f), os.path.join(staged, f))
+    engine2 = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q2 = engine2.stream(staged, str(tmp_path / "ckptB"), max_files_per_trigger=2)
+    q2.processAllAvailable()
+    q2.stop()
+    _assert_state(engine2.target(), source_dir)
+
+
+def test_sink_fanout_is_watermark_filtered(spark, source_dir, tmp_path):
+    """Sinks receive the exactly-once (watermark-filtered) event set: a
+    full same-data replay through a fresh checkpoint fans out ZERO rows
+    instead of double-counting (round-1 ADVICE)."""
+    totals = []
+
+    def counting_sink(df, bid):
+        totals.append(df.count())
+
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(source_dir, str(tmp_path / "ckptA"), max_files_per_trigger=3)
+    q.processAllAvailable()
+    q.stop()
+    first_rows = engine.target().read().count()
+
+    engine2 = (
+        CdcEngine(spark, str(tmp_path / "repos"))
+        .ignoring_servers(99)
+        .with_sink("counts", counting_sink)
+    )
+    q2 = engine2.stream(source_dir, str(tmp_path / "ckptB"), max_files_per_trigger=3)
+    q2.processAllAvailable()
+    q2.stop()
+    assert sum(totals) == 0  # every event was a duplicate — sinks saw none
+    assert engine2.target().read().count() == first_rows
+
+
 def test_stream_sink_fanout_and_error_isolation(spark, source_dir, tmp_path):
     """K1: a failing auxiliary sink must not stop the stream or the MERGE;
     failures land in the dead-letter table
