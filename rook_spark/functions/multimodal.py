@@ -44,18 +44,29 @@ FEATURE_SCHEMA = (
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from sha2 of
-    the id — generated Spark-natively, binary column exercised for real."""
+    """Deterministic fake media table, every field a pure
+    **engine-portable** function of the id (md5/sha256 derivations an
+    independent SQL oracle can recompute bit-for-bit): payload = 64 bytes
+    of unhex(sha256(base|0) || sha256(base|1)); kind/width/height/duration
+    from md5 nibbles. Generated Spark-natively; the binary column is
+    exercised for real."""
+    sid = F.col("id").cast("string")
+    h = F.md5(F.concat(F.lit(f"media{seed}|"), sid))
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    kind = F.element_at(kinds, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"))
-    payload_hex = F.sha2(F.concat(F.lit("media"), F.col("id").cast("string")), 512)
+    kind = F.element_at(
+        kinds, (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 3 + 1)
+    )
+    base = F.concat(F.lit("media"), sid)
+    payload_hex = F.concat(
+        F.sha2(F.concat(base, F.lit("|0")), 256), F.sha2(F.concat(base, F.lit("|1")), 256)
+    )
     return spark.range(n).select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
         F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 16).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 16).cast("int").alias("height"),
-        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(600000))).alias("duration_ms"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("int") % 1920 + 16).alias("width"),
+        (F.conv(F.substring(h, 9, 4), 16, 10).cast("int") % 1080 + 16).alias("height"),
+        (F.conv(F.substring(h, 13, 8), 16, 10).cast("long") % 600000).alias("duration_ms"),
         F.unhex(payload_hex).alias("payload"),
     )
 

@@ -785,6 +785,20 @@ _COS_SQL = """
 """
 
 
+def _lsh_bucket_sql(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """The Spark-side sign-LSH bucket expression reproduced in SQL: the
+    hyperplanes are the same hash-derived literals (ann._hyperplane), so
+    DuckDB computes bit-identical bucket ids."""
+    terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(x) for x in ann._hyperplane(dim, p, seed))
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "emb_cosine_topk",
     f"""
@@ -813,22 +827,62 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
-@register(
-    "emb_near_dup_pairs",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.99
-    """,
-)
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.99
+def _near_dup_bucketed_sql(n_planes: int = 3, threshold: float = 0.4) -> str:
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql(n_planes)} AS bucket
+      FROM embeddings
     )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
+    FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+    WHERE {_COS_SQL} >= {threshold}
+    """
 
 
-@register("ann_lsh_topk")  # approximate + hash-derived hyperplanes: rows-only check
+@register("emb_near_dup_pairs", _near_dup_bucketed_sql(n_planes=3, threshold=0.4))
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the BUCKETED path — the 100 TB
+    story: the self-join is equi-keyed on the LSH bucket so only
+    intra-bucket pairs are ever compared (shuffle O(n), compare
+    O(sum bucket²) instead of O(n²)). Threshold 0.4 on this corpus yields
+    a non-empty, hash-verified result (round-1's 0.99 matched nothing and
+    the check was vacuous); the bucket computation itself is reproduced
+    in the oracle SQL."""
+    embs = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", ann.lsh_bucket(F.col("embedding"), dim=64, n_planes=3)
+    )
+    return dedup.embedding_near_dup_pairs(embs, threshold=0.4, group_col="bucket")
+
+
+def _lsh_topk_sql(n_planes: int = 6, k: int = 10, hamming: int = 0) -> str:
+    cos = _COS_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql(n_planes)} AS bucket
+      FROM embeddings
+    ),
+    c AS (SELECT * FROM bucketed),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM bucketed WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id, {cos} AS cos
+      FROM q JOIN c ON bit_count(xor(c.bucket, q.bucket)) <= {hamming}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh_topk", _lsh_topk_sql(n_planes=6, k=10, hamming=0))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe sign-LSH top-k — the scale path (equi-join on bucket
+    prunes to ~1/2^planes of the corpus before any distance math). Fully
+    oracle'd: the hash-derived hyperplanes are inlined into the DuckDB
+    SQL, so bucketing, scoring, and ranking are all hash-verified."""
     embs = _t(spark, sf_dir, "embeddings")
     queries_df = embs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -836,17 +890,110 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(embs, queries_df, dim=64, k=10, n_planes=6)
 
 
+def _lsh_recall_sql(n_planes: int = 6, k: int = 10, hamming: int = 2) -> str:
+    lsh = _lsh_topk_sql(n_planes, k, hamming)
+    cos = _COS_SQL.replace("a.embedding", "q.embedding")
+    return f"""
+    WITH lsh AS ({lsh}),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id, {cos} AS cos
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q,
+           embeddings b
+    ),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= {k}
+    )
+    SELECT bf.query_id,
+           round(count(lsh.vec_id) * 1.0 / {k}, 4) AS recall
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+    GROUP BY bf.query_id
+    """
+
+
+@register("ann_lsh_recall", _lsh_recall_sql(n_planes=6, k=10, hamming=2))
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of multi-probe LSH (Hamming ≤ 2 → 22/64 buckets
+    probed) against the exact brute-force top-k, per query — the quality
+    of the ANN path is itself an oracle-verified number. On this
+    isotropic random corpus recall ≈ fraction scanned (no ANN can beat
+    that); the ≥0.9-recall-on-clustered-data property is pinned by
+    tests/test_functions.py."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = ann.lsh_topk(embs, queries_df, dim=64, k=10, n_planes=6, probe_hamming=2)
+    bf = ann.brute_force_topk(embs, queries_df, k=10)
+    return ann.recall_at_k(lsh, bf, k=10)
+
+
 # =====================================================================
 # Multimodal plumbing + the CDC engine itself (rows-only checks)
 # =====================================================================
 
 
-@register("multimodal_features")  # synthesized media, no driver table: rows-only
+_MEDIA_PAYLOAD_SQL = (
+    "unhex(sha256('media' || CAST(r.range AS VARCHAR) || '|0') "
+    "|| sha256('media' || CAST(r.range AS VARCHAR) || '|1'))"
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT r.range AS media_id,
+           ['image','audio','video'][
+             (('0x' || substr(md5('media42|' || CAST(r.range AS VARCHAR)), 1, 4))::INT % 3) + 1
+           ] AS kind,
+           CAST(octet_length({_MEDIA_PAYLOAD_SQL}) AS BIGINT) AS n_bytes,
+           CAST(octet_length({_MEDIA_PAYLOAD_SQL}) / 8 AS INT) AS frames
+    FROM range(64) r
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing, now hash-verified: the media table is
+    synthesized from engine-portable hash derivations, flows through the
+    REAL Arrow-batched mapInPandas decode UDF, and the oracle recomputes
+    the metadata (incl. the payload's actual byte length) from scratch in
+    SQL — so the whole binary → Arrow → pandas → schema round trip is
+    checked, not just 'it runs'. Only the pooled feature vector (float
+    math on the fake decode) stays pytest-verified."""
     media = multimodal.synthesize_media(spark, n=64)
     return multimodal.extract_features(media, feature_dim=8).select(
         "media_id", "kind", "n_bytes", "frames"
     )
+
+
+@register(
+    "multimodal_resize_plan",
+    """
+    WITH media AS (
+      SELECT r.range AS media_id,
+             ['image','audio','video'][
+               (('0x' || substr(md5('media42|' || CAST(r.range AS VARCHAR)), 1, 4))::INT % 3) + 1
+             ] AS kind,
+             ('0x' || substr(md5('media42|' || CAST(r.range AS VARCHAR)), 5, 4))::INT % 1920 + 16 AS width,
+             ('0x' || substr(md5('media42|' || CAST(r.range AS VARCHAR)), 9, 4))::INT % 1080 + 16 AS height
+      FROM range(64) r
+    )
+    SELECT media_id, kind,
+           CAST(ceiling(width * least(128.0 / width, 128.0 / height, 1.0)) AS INT)
+             AS target_width,
+           CAST(ceiling(height * least(128.0 / width, 128.0 / height, 1.0)) AS INT)
+             AS target_height
+    FROM media
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning as pure column math (bytes never touched — column
+    pruning keeps the payload out of the scan), oracle-recomputed."""
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.resize_images(media, max_side=128)
 
 
 @register(

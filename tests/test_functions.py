@@ -178,6 +178,47 @@ def test_lsh_topk_recall_vs_exact(spark, embs):
     assert recall >= 0.2  # approximate, but must find a real fraction
 
 
+def test_lsh_multiprobe_recall_floor_on_clustered_data(spark):
+    """The recall floor that matters: when neighbors are genuinely near
+    (clustered corpus — the real-world shape), multi-probe LSH at
+    Hamming ≤ 2 (22 of 64 buckets probed, ~1/3 of the corpus scanned)
+    must achieve recall@10 ≥ 0.9 vs exact brute force. On an isotropic
+    random corpus recall ≈ fraction scanned by information-theoretic
+    necessity; that number is measured (not asserted) by the
+    `ann_lsh_recall` driver query."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, 50, axis=0) + 0.05 * rng.normal(size=(500, 64))
+    embs = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = embs.where(F.col("vec_id").isin(0, 100, 250)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.brute_force_topk(embs, queries, k=10)
+    approx = ann.lsh_topk(embs, queries, dim=64, k=10, n_planes=6, probe_hamming=2)
+    recalls = {r["query_id"]: r["recall"] for r in ann.recall_at_k(approx, exact, k=10).collect()}
+    assert len(recalls) == 3
+    assert all(v >= 0.9 for v in recalls.values()), recalls
+    # multi-probe really prunes: the scored candidate set (corpus rows in
+    # a probed bucket) stays well under the full corpus per query
+    from rook_spark.functions.ann import lsh_bucket, probe_masks
+
+    assert len(probe_masks(6, 2)) == 22  # 22/64 buckets probed
+    cb = embs.select("vec_id", lsh_bucket(F.col("embedding"), 64, 6).alias("b"))
+    qb = {r["query_id"]: r["b"] for r in queries.select(
+        "query_id", lsh_bucket(F.col("embedding"), 64, 6).alias("b")).collect()}
+    for qid, b in qb.items():
+        n_cand = cb.where(
+            F.bit_count(F.col("b").bitwiseXOR(F.lit(b))) <= 2
+        ).count()
+        assert n_cand < 400, (qid, n_cand)  # pruned vs 500-row corpus
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_multimodal_pipeline(spark):
