@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from itertools import chain
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from rook_spark.cdc.normalize import flatten_events
@@ -83,6 +83,36 @@ def watermark_filter(df: DataFrame, lineage: dict[str, dict[str, int]]) -> DataF
     return df.where(F.col("offset") > wm)
 
 
+def apply_policy(flat: DataFrame, policy: Column | None) -> DataFrame:
+    """Per-row indexing interceptor (the reference's per-entity
+    ``EntityIndexingInterceptor``, ``DefaultRowsMutationIndexer.java:129-144``
+    + ``IndexingDirective.java:25-55``): ``policy`` is a column expression
+    over the flattened event yielding 'KEEP' | 'SKIP' | 'REMOVE' per row,
+    applied BEFORE the LWW reduce:
+
+    - SKIP   → the mutation is not indexed at all (target row untouched —
+               rook's ``suppressSelfIndexing``: the row still fans out to
+               sinks/container rollups, which receive the pre-policy set);
+    - REMOVE → the row is force-purged (op becomes 'D' regardless of the
+               event's op, with the event's ordinal — so it participates
+               in LWW and conditional-ordinal MERGE normally);
+    - KEEP / null → pass-through.
+
+    Consumed-but-skipped rows still advance the offset watermark (the
+    lineage aggregate runs on the pre-policy batch), exactly like rook's
+    interceptor consuming the event without indexing it.
+    """
+    if policy is None:
+        return flat
+    p = F.coalesce(policy, F.lit("KEEP"))
+    return (
+        flat.withColumn("__policy", p)
+        .where(F.col("__policy") != "SKIP")
+        .withColumn("op", F.when(F.col("__policy") == "REMOVE", "D").otherwise(F.col("op")))
+        .drop("__policy")
+    )
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,
@@ -97,6 +127,7 @@ def apply_batch(
     write_mode: str = "cow",
     n_source_partitions: int | None = None,
     run_id: str = "",
+    policy: Column | None = None,
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
@@ -122,7 +153,7 @@ def apply_batch(
     if write_mode == "mor" and observe_bytes and n_source_partitions:
         return _apply_mor_single_job(
             table, fresh_raw, batch_id, key_cols, ordinal_col, offset_col,
-            salted, n_salts, content_col, n_source_partitions, run_id,
+            salted, n_salts, content_col, n_source_partitions, run_id, policy,
         )
 
     # --- job 1: narrow lineage + touched buckets (no content decode;
@@ -185,7 +216,7 @@ def apply_batch(
         flat = flat.observe(obs, *byte_exprs)
 
     drop = [c for c in ("source_partition", "tx_id") if c in flat.columns]
-    reducible = flat.drop(*drop)
+    reducible = apply_policy(flat, policy).drop(*drop)
     reducer = salted_lww_reduce if salted else lww_reduce
     kwargs = {"n_salts": n_salts} if salted else {}
     changes = (
@@ -265,6 +296,7 @@ def _apply_mor_single_job(
     content_col: str,
     n_source_partitions: int,
     run_id: str = "",
+    policy: Column | None = None,
 ) -> ApplyStats:
     """One Spark job per epoch: flatten → LWW → delta write, with ALL
     lineage metrics (per-partition watermark, row count, bytes) observed
@@ -284,7 +316,7 @@ def _apply_mor_single_job(
             )
     flat = flat.observe(obs, *exprs)
 
-    reducible = flat.drop("source_partition", "tx_id")
+    reducible = apply_policy(flat, policy).drop("source_partition", "tx_id")
     reducer = salted_lww_reduce if salted else lww_reduce
     kwargs = {"n_salts": n_salts} if salted else {}
     changes = (

@@ -1,26 +1,35 @@
-"""J3 — container/parent propagation as an incrementally-maintained
-derived table.
+"""J3 — container/parent propagation as incrementally-maintained derived
+tables, RECURSIVE across containment levels.
 
 The reference walks ``@ContainedIn`` references from a changed entity up
-to its parent container(s) and re-indexes those too
-(``DefaultRowsMutationIndexer.java:90-123``, directive wiring
-``fulltextindex/SynchronizationContext.java:99-116``). Our repo model has
-one containment level: path → repo. The Spark-first re-expression is a
-**derived rollup table** (one row per repo: file count, byte total, last
-commit ordinal) refreshed incrementally: each epoch recomputes ONLY the
-repos touched by the batch (the FK join of changed keys up to the parent)
-and MERGEs them into the rollup — parents of unchanged children are never
-read or rewritten.
+through its parent container(s) transitively, re-indexing each container
+at most once per batch via an IndexingLog guard
+(``DefaultRowsMutationIndexer.java:90-123``, ``indexContainer`` recursion
+at ``:141-163``; directive wiring
+``fulltextindex/SynchronizationContext.java:99-116``; exercised by the
+``@ContainedIn`` parent-reindex tests,
+``h4ftiom/IntegrationTest.java:254-368``). Our repo model has two
+containment levels: path → repo → org. The Spark-first re-expression is a
+chain of **derived rollup tables**, each refreshed incrementally per
+epoch: level N recomputes ONLY the parents touched by level N-1's changed
+keys (a semi-join, never a driver-side key list) and MERGEs them; parents
+of unchanged children are never read or rewritten. The walk is a bounded
+worklist loop with a refreshed-level guard — the IndexingLog analog —
+so cyclic containment specs terminate after visiting each level once.
 
-Scale notes: the recompute reads the main table filtered to the touched
-repos — a predicate the parquet scan prunes by row-group stats; the
-rollup MERGE reuses the same bucketed COW machinery (rollup key = repo).
-Cost per epoch ∝ data of touched repos, not table size.
+Scale notes: the recompute semi-joins the source against the batch's
+changed-key DataFrame — the key set never leaves the executors (round-1
+used ``collect()``+``isin``, which puts 10⁵⁺ literals in the plan at
+100× scale); on Iceberg the semi-join's build side feeds runtime row-group
+filtering. The rollup MERGEs reuse the bucketed COW machinery. Cost per
+epoch ∝ data of touched containers, not table size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -37,76 +46,206 @@ ROLLUP_SCHEMA = T.StructType(
     ]
 )
 
+ORG_SCHEMA = T.StructType(
+    [
+        T.StructField("org", T.StringType(), False),
+        T.StructField("n_repos", T.LongType()),
+        T.StructField("n_paths", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("last_commit_ordinal", T.LongType()),
+    ]
+)
 
-class RepoRollup:
-    """Derived per-repo aggregate table, incrementally maintained."""
+def default_org_expr() -> Column:
+    """Default repo → org containment: the org is derivable from the repo
+    name (last-character bucket) the way rook derives the container
+    reference from the contained entity's FK. Lazy (a Column needs an
+    active SparkContext)."""
+    return F.concat(F.lit("org-"), F.substring(F.col("repo"), -1, 1))
 
-    def __init__(self, spark: SparkSession, path: str, main: LakeTable):
+
+class Rollup:
+    """One containment level: a derived LakeTable holding one row per
+    parent key, incrementally refreshed from a source DataFrame.
+
+    ``refresh`` recomputes rollup rows for ONLY the changed parents
+    (semi-join against the changed-key DataFrame) and MERGEs them; a
+    parent whose children all vanished gets a 'D' row (parent purge —
+    rook purges a container's index entry when it no longer resolves,
+    ``DefaultRowsMutationIndexer.java:79-81``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_col: str,
+        source: Callable[[], DataFrame],
+        agg_exprs: Callable[[], list[Column]],
+        n_buckets: int = 8,
+    ):
         self.spark = spark
-        self.main = main
+        self.key_col = key_col
+        self.source = source
+        self.agg_exprs = agg_exprs
+        self.schema = schema
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
         else:
             self.table = LakeTable.create(
-                spark, path, ROLLUP_SCHEMA, key_cols=["repo"], n_buckets=8
+                spark, path, schema, key_cols=[key_col], n_buckets=n_buckets
             )
 
     def read(self) -> DataFrame:
         return self.table.read()
 
-    def refresh(self, changed_repos: list[str], batch_id: int) -> dict:
-        """Recompute rollup rows for the touched repos only and MERGE.
-
-        A repo whose last file was deleted gets a 'D' row (parent purge —
-        the rollup mirrors rook purging a parent's index entry when it no
-        longer resolves, ``DefaultRowsMutationIndexer.java:79-81``).
-        """
-        if not changed_repos:
-            return {"skipped": True}
-        state = self.main.read(include_internal=True).where(
-            F.col("repo").isin(list(changed_repos))
+    def refresh(self, changed_keys: DataFrame, batch_id: int) -> dict:
+        """``changed_keys``: a one-column DataFrame of parent keys touched
+        by this batch. No driver-side key list — the semi-join keeps the
+        key set distributed."""
+        changed = changed_keys.select(self.key_col).distinct()
+        state = self.source().join(changed, self.key_col, "left_semi")
+        agg = state.groupBy(self.key_col).agg(*self.agg_exprs())
+        # parents that vanished entirely -> delete their rollup row
+        gone = changed.join(agg, self.key_col, "left_anti")
+        for f in self.schema.fields:
+            if f.name != self.key_col:
+                gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
+        changes = agg.withColumn("op", F.lit("U")).unionByName(
+            gone.withColumn("op", F.lit("D"))
         )
-        agg = state.groupBy("repo").agg(
-            F.count(F.lit(1)).alias("n_paths"),
-            F.sum(F.length("content")).alias("total_bytes"),
-            F.countDistinct("lang").cast("int").alias("n_langs"),
-            F.max_by("commit", F.struct("__ordinal", "__offset")).alias("last_commit"),
-            F.max("__ordinal").alias("last_commit_ordinal"),
-        )
-        # repos that vanished entirely -> delete their rollup row
-        present = {r["repo"] for r in agg.select("repo").collect()}
-        gone = [r for r in changed_repos if r not in present]
-        changes = agg.withColumn("op", F.lit("U"))
-        if gone:
-            gone_df = self.spark.createDataFrame(
-                [(r,) for r in gone], "repo string"
-            )
-            for f in ROLLUP_SCHEMA.fields:
-                if f.name != "repo":
-                    gone_df = gone_df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            changes = changes.unionByName(gone_df.withColumn("op", F.lit("D")))
         return self.table.merge(changes, batch_id, op_col="op")
 
     def full_recompute(self) -> DataFrame:
-        """Oracle for tests: the same aggregate over the whole main table."""
-        state = self.main.read(include_internal=True)
-        return state.groupBy("repo").agg(
+        """Oracle for tests: the same aggregate over the whole source."""
+        return self.source().groupBy(self.key_col).agg(*self.agg_exprs())
+
+
+class ContainmentLevel:
+    """One edge of the containment graph: maps a changed-key DataFrame of
+    the child level to the parent keys it touches, and owns the parent's
+    rollup."""
+
+    def __init__(self, rollup: Rollup, parent_keys: Callable[[DataFrame], DataFrame]):
+        self.rollup = rollup
+        self.parent_keys = parent_keys
+
+
+def propagate(
+    levels: list[ContainmentLevel],
+    changed_keys: DataFrame,
+    batch_id: int,
+    edges: dict[int, list[int]] | None = None,
+) -> list[str]:
+    """Walk the containment graph transitively: each level's refresh is
+    driven by the child level's changed keys. ``edges`` maps a level
+    index to the level(s) containing it (default: the linear chain
+    ``idx → idx+1``) — the reference's ``@ContainedIn`` reference graph.
+
+    The ``refreshed`` set is the IndexingLog analog
+    (``DefaultRowsMutationIndexer.java:90-123``): a level refreshes at
+    most once per batch, so CYCLIC containment specs (A contains B
+    contains A) terminate after visiting each level once instead of
+    recursing forever — the per-key dedup the reference's log does
+    row-by-row falls out of ``distinct()`` on the changed-key DataFrame.
+
+    Returns the ordered list of refreshed level key columns (test hook).
+    """
+    refreshed: set[int] = set()
+    order: list[str] = []
+    worklist: list[tuple[int, DataFrame]] = [(0, changed_keys)]
+    while worklist:
+        idx, keys = worklist.pop(0)
+        if idx >= len(levels) or idx in refreshed:  # cycle / end guard
+            continue
+        level = levels[idx]
+        parent_changed = level.parent_keys(keys)
+        level.rollup.refresh(parent_changed, batch_id)
+        refreshed.add(idx)
+        order.append(level.rollup.key_col)
+        for nxt in (edges or {}).get(idx, [idx + 1]):
+            worklist.append((nxt, parent_changed))
+    return order
+
+
+# -------------------------------------------------------- concrete levels
+
+
+def repo_rollup(spark: SparkSession, path: str, main: LakeTable) -> Rollup:
+    """Level 1: path → repo (file count, byte total, last commit)."""
+    return Rollup(
+        spark,
+        path,
+        ROLLUP_SCHEMA,
+        key_col="repo",
+        source=lambda: main.read(include_internal=True),
+        agg_exprs=lambda: [
             F.count(F.lit(1)).alias("n_paths"),
             F.sum(F.length("content")).alias("total_bytes"),
             F.countDistinct("lang").cast("int").alias("n_langs"),
             F.max_by("commit", F.struct("__ordinal", "__offset")).alias("last_commit"),
             F.max("__ordinal").alias("last_commit_ordinal"),
-        )
+        ],
+    )
 
 
-def attach_rollup(engine, rollup_path: str) -> RepoRollup:
-    """Wire a RepoRollup as an engine sink (K1 fan-out): after each
-    epoch's MERGE, the rollup refreshes for the batch's touched repos."""
-    rollup = RepoRollup(engine.spark, rollup_path, engine.target())
+def org_rollup(
+    spark: SparkSession, path: str, repos: Rollup, org_expr: Column | None = None
+) -> Rollup:
+    """Level 2: repo → org — a rollup OF the rollup (the reference's
+    container-of-container case, parent-of-parent reindex in
+    ``h4ftiom/IntegrationTest.java:254-368``)."""
+    org_expr = default_org_expr() if org_expr is None else org_expr
+    return Rollup(
+        spark,
+        path,
+        ORG_SCHEMA,
+        key_col="org",
+        source=lambda: repos.read().withColumn("org", org_expr),
+        agg_exprs=lambda: [
+            F.count(F.lit(1)).alias("n_repos"),
+            F.sum("n_paths").alias("n_paths"),
+            F.sum("total_bytes").alias("total_bytes"),
+            F.max("last_commit_ordinal").alias("last_commit_ordinal"),
+        ],
+    )
+
+
+# --------------------------------------------------------- engine wiring
+
+
+def attach_rollup(engine, rollup_path: str) -> Rollup:
+    """Wire a repo rollup as an engine sink (K1 fan-out): after each
+    epoch's MERGE, the rollup refreshes for the batch's touched repos.
+    The sink receives the watermark-filtered flattened batch — its
+    distinct repos ARE the changed containers."""
+    rollup = repo_rollup(engine.spark, rollup_path, engine.target())
 
     def sink(flat: DataFrame, batch_id: int) -> None:
-        changed = [r["repo"] for r in flat.select("repo").distinct().collect()]
-        rollup.refresh(changed, batch_id)
+        rollup.refresh(flat.select("repo"), batch_id)
 
     engine.with_sink("repo_rollup", sink)
     return rollup
+
+
+def attach_rollup_chain(
+    engine, repo_path: str, org_path: str, org_expr: Column | None = None
+) -> tuple[Rollup, Rollup]:
+    """Wire the full recursive chain: path → repo → org, refreshed
+    transitively per epoch via :func:`propagate`."""
+    org_expr = default_org_expr() if org_expr is None else org_expr
+    repos = repo_rollup(engine.spark, repo_path, engine.target())
+    orgs = org_rollup(engine.spark, org_path, repos, org_expr)
+    levels = [
+        ContainmentLevel(repos, lambda keys: keys.select("repo")),
+        ContainmentLevel(
+            orgs, lambda keys: keys.select(org_expr.alias("org"))
+        ),
+    ]
+
+    def sink(flat: DataFrame, batch_id: int) -> None:
+        propagate(levels, flat.select("repo"), batch_id)
+
+    engine.with_sink("containment_chain", sink)
+    return repos, orgs

@@ -61,6 +61,7 @@ class CdcEngine:
         self.dead_letter_path = dead_letter_path or os.path.join(target_path, "_dead_letter")
         self.tracked_tables: tuple[str, ...] = ("rook.repos",)
         self.ignored_server_ids: tuple[int, ...] = ()
+        self.policy = None  # per-row KEEP/SKIP/REMOVE interceptor column
         self.sinks: dict[str, SinkFn] = {}
         self.stats: list[ApplyStats] = []
         # "cow" rewrites touched buckets per epoch (read-optimized);
@@ -89,6 +90,17 @@ class CdcEngine:
     def ignoring_servers(self, *server_ids: int) -> "CdcEngine":
         """P1 filter config (``MySQLReplicationStream.java:90-92``)."""
         self.ignored_server_ids = tuple(server_ids)
+        return self
+
+    def with_policy(self, policy) -> "CdcEngine":
+        """Per-row indexing interceptor (rook's
+        ``EntityIndexingInterceptor`` / ``IndexingDirective``,
+        ``DefaultRowsMutationIndexer.java:129-144``): a Column expression
+        over the flattened event yielding 'KEEP' | 'SKIP' | 'REMOVE'.
+        SKIP rows never touch the target table (but still reach sinks and
+        advance the watermark — suppressSelfIndexing semantics); REMOVE
+        rows purge their key even when the event op is 'U'/'I'."""
+        self.policy = policy
         return self
 
     def with_sink(self, name: str, fn: SinkFn) -> "CdcEngine":
@@ -143,6 +155,7 @@ class CdcEngine:
                 write_mode=self.write_mode,
                 n_source_partitions=self.n_source_partitions,
                 run_id=run_id,
+                policy=self.policy,
             )
             if self.write_mode == "mor" and self.compact_every:
                 self._epochs_since_compact += 1

@@ -285,6 +285,51 @@ def cdc_fk_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_multilevel_rollup",
+    """
+    WITH nation_level AS (
+      SELECT c.c_nationkey AS nationkey, count(*) AS n_customers,
+             round(sum(c.c_acctbal), 4) AS total_acctbal
+      FROM customer c GROUP BY c.c_nationkey
+    )
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           sum(nl.n_customers) AS n_customers,
+           round(sum(nl.total_acctbal), 4) AS total_acctbal
+    FROM nation_level nl
+    JOIN nation n ON nl.nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def cdc_multilevel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 recursion, declarative shape: a rollup OF a rollup (customer →
+    nation aggregates → region aggregates), the parent-of-parent
+    propagation the engine maintains incrementally in
+    rook_spark.cdc.derived (path → repo → org chain with the
+    IndexingLog-style guard; ``DefaultRowsMutationIndexer.java:141-163``,
+    ``h4ftiom/IntegrationTest.java:254-368``). Level-2 aggregates
+    LEVEL-1'S OUTPUTS, not the base table — the defining property."""
+    c = _t(spark, sf_dir, "customer")
+    nation_level = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        nation_level.join(n, nation_level.nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_customers").alias("n_customers"),
+            F.round(F.sum("total_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
     "cdc_schema_evolution_union",
     """
     WITH old_era AS (

@@ -146,3 +146,63 @@ def test_lineage_watermarks_advance(spark, event_log, tmp_path):
     assert lin["rows_applied"].sum() > 0
     assert lin["bytes"].sum() > 0
     assert (lin["last_applied_offset"] >= 0).all()
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_policy_interceptor_skip_and_remove(spark, tmp_path, mode):
+    """Per-row indexing interceptor (DefaultRowsMutationIndexer.java:129-144,
+    IndexingDirective.java:25-55): SKIP leaves the target rows untouched
+    (suppressSelfIndexing); REMOVE purges the key despite op='U'.
+    Covers both write paths (COW merge and the single-job MOR epoch)."""
+    img = "struct<repo string, path string, commit string, lang string, content string>"
+    schema = (
+        "offset long, tx_id long, server_id long, schema_name string, table_name string, "
+        f"op string, before {img}, after {img}, commit_ordinal long, "
+        "source_partition int, ts timestamp"
+    )
+
+    def row(off, op, repo, path, lang, content):
+        im = (repo, path, f"c{off}", lang, content)
+        return (off, 0, 1, "rook", "repos",
+                op, im if op != "I" else None, im if op != "D" else None, off, 0, None)
+
+    base = spark.createDataFrame(
+        [row(1, "I", "r1", "p1", "py", "keep-me"),
+         row(2, "I", "r2", "p2", "md", "doc"),
+         row(3, "I", "r3", "p3", "py", "remove-later")],
+        schema,
+    )
+    engine = CdcEngine(
+        spark, str(tmp_path / "repos"), write_mode=mode,
+        n_source_partitions=1 if mode == "mor" else None,
+    )
+    engine.replay(base, 0)
+    assert engine.target().read().count() == 3
+
+    # SKIP: an update to r1/p1 under a skip-md policy AND an insert of a
+    # new md row — neither touches the table; non-md rows apply normally
+    policy = (
+        F.when(F.col("lang") == "md", "SKIP")
+        .when(F.col("content") == "purge", "REMOVE")
+        .otherwise("KEEP")
+    )
+    engine.with_policy(policy)
+    batch = spark.createDataFrame(
+        [row(10, "U", "r2", "p2", "md", "doc-v2"),      # SKIP: target untouched
+         row(11, "I", "r9", "p9", "md", "new-doc"),     # SKIP: never inserted
+         row(12, "U", "r1", "p1", "py", "keep-me-v2"),  # KEEP: normal update
+         row(13, "U", "r3", "p3", "py", "purge")],      # REMOVE despite op='U'
+        schema,
+    )
+    engine.replay(batch, 1)
+    state = {(r["repo"], r["path"]): r["content"] for r in engine.target().read().collect()}
+    assert state == {
+        ("r1", "p1"): "keep-me-v2",   # KEEP applied
+        ("r2", "p2"): "doc",          # SKIP left the old row untouched
+    }                                  # r3 purged by REMOVE; r9 never appeared
+    # skipped rows still advanced the watermark: re-delivering the batch
+    # (same events) is a no-op even with the policy removed
+    engine.policy = None
+    engine.replay(batch, 2)
+    state2 = {(r["repo"], r["path"]): r["content"] for r in engine.target().read().collect()}
+    assert state2 == state

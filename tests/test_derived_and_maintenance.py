@@ -52,6 +52,100 @@ def test_rollup_deletes_vanished_repos(spark, tmp_path):
     assert rollup.read().where("repo = 'r1'").count() == 0  # parent purged
 
 
+def test_multilevel_rollup_matches_full_recompute(spark, tmp_path):
+    """J3 recursion: path → repo → org refreshed transitively per epoch;
+    the parent-of-parent (org) rollup must equal a full recompute from
+    the repo rollup after every incremental walk (the reference's
+    @ContainedIn parent-reindex semantics,
+    h4ftiom/IntegrationTest.java:254-368)."""
+    from rook_spark.cdc.derived import attach_rollup_chain
+
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    repos, orgs = attach_rollup_chain(
+        engine, str(tmp_path / "repo_rollup"), str(tmp_path / "org_rollup")
+    )
+    ev = generate_events(spark, 3000, seed=19, n_repos=20, paths_per_repo=50)
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000), (2000, 3000)]):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+        assert _canon(repos.read()) == _canon(repos.full_recompute())
+        assert _canon(orgs.read()) == _canon(orgs.full_recompute())
+    assert orgs.read().count() > 1
+    # org totals really roll up level-1 aggregates
+    got_total = orgs.read().agg(F.sum("n_paths")).first()[0]
+    want_total = repos.read().agg(F.sum("n_paths")).first()[0]
+    assert got_total == want_total
+
+
+def test_multilevel_rollup_purges_vanished_parents(spark, tmp_path):
+    """Deleting a repo's last file purges the repo rollup row AND, if the
+    org loses its last repo, the org row too (parent purge up the chain)."""
+    from rook_spark.cdc.derived import attach_rollup_chain
+
+    engine = CdcEngine(spark, str(tmp_path / "repos"))
+    repos, orgs = attach_rollup_chain(
+        engine, str(tmp_path / "repo_rollup"), str(tmp_path / "org_rollup")
+    )
+    img = "struct<repo string, path string, commit string, lang string, content string>"
+    schema = (
+        "offset long, tx_id long, server_id long, schema_name string, table_name string, "
+        f"op string, before {img}, after {img}, commit_ordinal long, "
+        "source_partition int, ts timestamp"
+    )
+    # two repos in DIFFERENT orgs (org = last repo-name char)
+    ins = spark.createDataFrame(
+        [
+            (1, 1, 1, "rook", "repos", "I", None, ("r1", "p1", "c1", "py", "xyz"), 1, 0, None),
+            (2, 1, 1, "rook", "repos", "I", None, ("r2", "p2", "c2", "py", "abc"), 2, 0, None),
+        ],
+        schema,
+    )
+    engine.replay(ins, 0)
+    assert orgs.read().where("org = 'org-1'").first()["n_repos"] == 1
+    assert orgs.read().where("org = 'org-2'").first()["n_repos"] == 1
+    dele = spark.createDataFrame(
+        [(3, 2, 1, "rook", "repos", "D", ("r1", "p1", "c1", "py", "xyz"), None, 3, 0, None)],
+        schema,
+    )
+    engine.replay(dele, 1)
+    assert repos.read().where("repo = 'r1'").count() == 0  # parent purged
+    assert orgs.read().where("org = 'org-1'").count() == 0  # parent-of-parent purged
+    assert orgs.read().where("org = 'org-2'").count() == 1  # untouched org intact
+
+
+def test_propagate_cycle_guard_terminates(spark, tmp_path):
+    """A cyclic containment spec (level chain longer than the list, or a
+    self-referential walk) refreshes each level at most once per batch —
+    the IndexingLog analog (DefaultRowsMutationIndexer.java:90-123)."""
+    from rook_spark.cdc.derived import (
+        ContainmentLevel,
+        Rollup,
+        propagate,
+    )
+    from pyspark.sql import types as T
+
+    calls = []
+
+    class CountingRollup(Rollup):
+        def refresh(self, changed_keys, batch_id):
+            calls.append(self.key_col)
+            return {"skipped": True}
+
+    schema = T.StructType([T.StructField("k", T.StringType(), False),
+                           T.StructField("n", T.LongType())])
+    src = spark.createDataFrame([("a", 1)], schema)
+    r = CountingRollup(spark, str(tmp_path / "cyc"), schema, "k",
+                       lambda: src, lambda: [F.count(F.lit(1)).alias("n")])
+    levels = [ContainmentLevel(r, lambda keys: keys.select("k")),
+              ContainmentLevel(r, lambda keys: keys.select("k"))]
+    # a TRUE cycle: level 0 contained in 1, level 1 contained in 0
+    order = propagate(levels, src.select("k"), 0, edges={0: [1], 1: [0]})
+    assert calls == ["k", "k"]  # each level refreshed exactly once, then stop
+    # self-cycle
+    calls.clear()
+    order = propagate(levels, src.select("k"), 1, edges={0: [0]})
+    assert len(order) == len(calls) == 1
+
+
 def test_vacuum_reclaims_old_versions(spark, tmp_path):
     engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
     ev = generate_events(spark, 1200, seed=17, n_repos=5, paths_per_repo=20)
