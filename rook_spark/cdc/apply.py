@@ -41,6 +41,37 @@ from rook_spark.cdc.normalize import flatten_events
 from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
 from rook_spark.lake.table import LakeTable, bucket_expr
 
+# test hook: number of times an Observation failed to deliver and the
+# byte metric had to be recomputed with an extra aggregate pass. Stays 0
+# on the happy path (one content-decoding job per epoch, batch AND
+# streamed — verified by tests/test_streaming.py).
+OBS_FALLBACKS = {"count": 0}
+
+
+def _observation_result(obs: Observation, timeout_s: float = 120.0) -> dict:
+    """Bounded wait on ``Observation.get`` (which blocks indefinitely):
+    a delivery miss degrades to the caller's recompute fallback instead
+    of hanging the stream."""
+    import threading
+
+    box: dict = {}
+    err: list[Exception] = []
+
+    def run() -> None:
+        try:
+            box.update(obs.get)
+        except Exception as e:  # e.g. the empty-final-write toPyRow defect
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    if t.is_alive():
+        raise TimeoutError(f"observation not delivered in {timeout_s}s")
+    if err:
+        raise err[0]
+    return box
+
 
 @dataclass
 class ApplyStats:
@@ -163,10 +194,11 @@ def apply_batch(
     keys = list(key_cols)
     b_before = bucket_expr([f"before.{k}" for k in keys], snap.n_buckets)
     b_after = bucket_expr([f"after.{k}" for k in keys], snap.n_buckets)
-    # observe_bytes=False (the streaming path — foreachBatch executions
-    # don't notify Observation listeners, .get would block forever):
-    # byte accounting joins this aggregate instead, at the cost of
-    # decoding content here too.
+    # observe_bytes=False: byte accounting joins this aggregate instead,
+    # at the cost of decoding content here too (a second heavy pass —
+    # only for callers that opt out of Observation; the streaming path
+    # observes like the batch path since foreachBatch actions DO notify
+    # Observation listeners, verified by tests/test_streaming.py).
     byte_agg = (
         F.lit(0)
         if observe_bytes
@@ -234,13 +266,14 @@ def apply_batch(
         if obs is None:
             return lin
         try:
-            got = obs.get  # available: the write action has completed
+            got = _observation_result(obs)  # the write action has completed
         except Exception:
             # PySpark defect: Observation.get raises (toPyRow assertion)
             # when the observed plan feeds a partitionBy write whose final
             # result is EMPTY (e.g. a batch that deletes every matched
             # row). Rare — recompute the byte metric with a small
             # aggregate instead.
+            OBS_FALLBACKS["count"] += 1
             got = {
                 f"b_{r['source_partition']}": r["b"]
                 for r in fresh_raw.groupBy("source_partition")
@@ -330,9 +363,10 @@ def _apply_mor_single_job(
 
     def finalize(lin: dict | None) -> dict:
         try:
-            got = obs.get
+            got = _observation_result(obs)
         except Exception:
             # Observation defect on empty final writes — recompute
+            OBS_FALLBACKS["count"] += 1
             got = {}
             for r in (
                 fresh_raw.groupBy("source_partition")

@@ -226,10 +226,13 @@ class CdcEngine:
             .parquet(source_dir)
         )
         return (
-            # observe_bytes=False: foreachBatch executions do not notify
-            # Observation listeners, so bytes ride the lineage aggregate
+            # byte accounting rides the write job's Observation exactly as
+            # in batch mode (foreachBatch actions notify Observation
+            # listeners on this Spark version — round-1's second
+            # content-decoding pass per streamed epoch is gone; a delivery
+            # miss degrades to a recompute, counted in apply.OBS_FALLBACKS)
             src.writeStream.foreachBatch(
-                lambda df, bid: self._apply(df, bid, observe_bytes=False, run_id=run_id)
+                lambda df, bid: self._apply(df, bid, run_id=run_id)
             )
             .option("checkpointLocation", checkpoint_dir)
             .start()

@@ -198,6 +198,7 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_internal: bool = False,
+        spark: SparkSession | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
@@ -206,7 +207,15 @@ class LakeTable:
         mechanism the MERGE uses to avoid scanning untouched data.
         Old files are read through the *current* schema, so columns added
         by schema evolution are null-backfilled for pre-evolution rows.
+
+        ``spark``: session to build the plan under (defaults to the
+        table's). The MERGE passes the change set's session so the whole
+        write plan executes under ONE session — foreachBatch hands out a
+        CLONED session, and an Observation registered there never fires
+        if the write's QueryExecution runs under the original session's
+        listener manager.
         """
+        spark = spark or self.spark
         snap = self.snapshot(version)
         schema = snap.schema()
         keys = {str(b) for b in buckets} if buckets is not None else None
@@ -219,9 +228,9 @@ class LakeTable:
 
         base_files = pick(snap.buckets)
         if base_files:
-            df = self.spark.read.schema(schema).parquet(*base_files)
+            df = spark.read.schema(schema).parquet(*base_files)
         else:
-            df = self.spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
 
         delta_files = pick(snap.deltas)
         if delta_files:
@@ -230,7 +239,7 @@ class LakeTable:
             # tombstone drops the key. Same semantics the COW MERGE bakes
             # into files at write time, applied lazily here.
             delta_schema = T.StructType(list(schema.fields) + [T.StructField("__op", T.StringType())])
-            deltas = self.spark.read.schema(delta_schema).parquet(*delta_files)
+            deltas = spark.read.schema(delta_schema).parquet(*delta_files)
             base = df.withColumn("__op", F.lit("U"))
             merged = base.unionByName(deltas)
             payload = [c for c in merged.columns if c not in snap.key_cols]
@@ -393,16 +402,20 @@ class LakeTable:
         #     any MOR deltas for those buckets, so a COW merge doubles as
         #     localized compaction (their delta lists are cleared below);
         #     old files/new columns null-fill through the widened schema.
+        # build the current-state plan under the CHANGE SET'S session: in
+        # foreachBatch that is a cloned session, and the final write must
+        # execute there for the caller's Observation to be delivered
+        spk = changes.sparkSession
         has_deltas = any(snap.deltas.get(str(b)) for b in touched)
         if has_deltas:
-            current = self.read(buckets=touched, include_internal=True)
+            current = self.read(buckets=touched, include_internal=True, spark=spk)
         else:
             files = [os.path.join(self.path, f)
                      for b in touched for f in snap.buckets.get(str(b), [])]
             current = (
-                self.spark.read.schema(snap.schema()).parquet(*files)
+                spk.read.schema(snap.schema()).parquet(*files)
                 if files
-                else self.spark.createDataFrame([], snap.schema())
+                else spk.createDataFrame([], snap.schema())
             )
         for f in target_schema.fields:  # widen with nulls
             if f.name not in current.columns:

@@ -43,12 +43,22 @@ def _assert_state(table, source_dir):
 
 
 def test_stream_end_to_end(spark, source_dir, tmp_path):
+    from rook_spark.cdc import apply as apply_mod
+
+    fallbacks_before = apply_mod.OBS_FALLBACKS["count"]
     engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
     q = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
     q.processAllAvailable()
     q.stop()
     assert len(engine.stats) >= 3  # really ran as multiple micro-batches
     _assert_state(engine.target(), source_dir)
+    # ONE content-decoding job per streamed batch: the byte metric rode
+    # the write job's Observation (no recompute fallback fired) and the
+    # observed values landed in the committed lineage
+    assert apply_mod.OBS_FALLBACKS["count"] == fallbacks_before
+    lineage = {r["partition_id"]: r for r in engine.target().lineage().collect()}
+    assert len(lineage) >= 4
+    assert all(r["bytes"] > 0 for r in lineage.values())
 
 
 def test_stream_kill_and_resume(spark, source_dir, tmp_path):
@@ -89,6 +99,27 @@ def test_stream_kill_and_resume(spark, source_dir, tmp_path):
     q3.processAllAvailable()
     q3.stop()
     _assert_state(engine3.target(), source_dir)
+
+
+def test_stream_mor_single_job_epoch(spark, source_dir, tmp_path):
+    """Streaming + MOR + known source-partition count takes the
+    single-job epoch (all lineage metrics observed in-flight on the
+    delta write): final state still equals the oracle and no observation
+    fallback (= no second heavy pass) fires."""
+    from rook_spark.cdc import apply as apply_mod
+
+    fallbacks_before = apply_mod.OBS_FALLBACKS["count"]
+    engine = CdcEngine(
+        spark, str(tmp_path / "repos"), write_mode="mor", n_source_partitions=8,
+        compact_every=4,
+    ).ignoring_servers(99)
+    q = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.processAllAvailable()
+    q.stop()
+    _assert_state(engine.target(), source_dir)
+    assert apply_mod.OBS_FALLBACKS["count"] == fallbacks_before
+    lineage = {r["partition_id"]: r for r in engine.target().lineage().collect()}
+    assert len(lineage) == 8 and all(r["bytes"] > 0 for r in lineage.values())
 
 
 def test_fresh_checkpoint_with_new_files_applies_them(spark, source_dir, tmp_path):
