@@ -129,6 +129,76 @@ def lsh_topk(
     )
 
 
+def ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> Column:
+    """Cell assignment for IVF: the ids of the ``nprobe`` centroids with
+    the highest (rounded) cosine to the row's vector — an array column
+    computed from literal centroid arrays, JVM-side, no UDF. Rounding to
+    6 decimals makes the argmax reproducible across engines (FP fold
+    order differs; ties then break on centroid id)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col(vec_col), F.array(*[F.lit(x) for x in vec])), 6)
+                .alias("s"),
+                F.lit(cid).alias("i"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    # sort ascending by (s, i); take the last nprobe = best cells
+    best = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(best, lambda x: x["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into cells by nearest centroid; a query scans only its ``nprobe``
+    nearest cells. The centroid set here is a deterministic sample (the
+    ``n_centroids`` lowest-id corpus vectors) — swap in k-means centroids
+    for production without touching the plan. Scale shape: one narrow
+    cell-assignment pass over the corpus (literal centroid math inside
+    codegen), then an equi-join on cell id — the corpus never shuffles
+    and only ``nprobe/n_centroids`` of it is scored per query.
+    """
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    c = corpus.withColumn(
+        "__cell", F.element_at(ivf_cells(corpus, cents, vec_col, nprobe=1), 1)
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qv"),
+        F.explode(ivf_cells(queries, cents, vec_col, nprobe=nprobe)).alias("__cell"),
+    )
+    scored = c.join(F.broadcast(q), "__cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

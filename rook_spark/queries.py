@@ -586,12 +586,17 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semi_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti counts as ONE plan (left join against distinct keys,
+    conditional sums) — round 1 ran two separate jobs and a driver-side
+    collect for a 1-row result."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return c.sparkSession.createDataFrame(
-        [(with_orders, without)], "n_with_orders long, n_without_orders long"
+    o_keys = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    joined = c.select("c_custkey").join(o_keys, F.col("c_custkey") == F.col("k"), "left")
+    return joined.agg(
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).cast("long")
+         .alias("n_with_orders"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long")
+         .alias("n_without_orders"),
     )
 
 
@@ -975,6 +980,68 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann.lsh_topk(embs, queries_df, dim=64, k=10, n_planes=6, probe_hamming=2)
     bf = ann.brute_force_topk(embs, queries_df, k=10)
     return ann.recall_at_k(lsh, bf, k=10)
+
+
+def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos6 = """
+      round(
+        list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[])
+        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))),
+      6)
+    """
+    cos4 = """
+      round(
+        list_dot_product(q.qvec::DOUBLE[], c.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))
+           * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+      4)
+    """
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    cell_scores AS (
+      SELECT e.vec_id, e.embedding, c.cid, {cos6} AS s
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    corpus_cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        FROM cell_scores
+      ) WHERE rn = 1
+    ),
+    q_probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn
+        FROM cell_scores WHERE vec_id < 3
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id, {cos4} AS cos
+      FROM q_probes q JOIN corpus_cells c ON q.cell = c.cell
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk", _ivf_topk_sql(n_centroids=16, nprobe=4, k=10))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the second ANN scale path next to LSH):
+    nearest-centroid cells, nprobe=4 of 16 probed → 1/4 of the corpus
+    scored per query, corpus never shuffles. Oracle recomputes cell
+    assignment, probing, and ranking from scratch in SQL."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_topk(embs, queries_df, n_centroids=16, nprobe=4, k=10)
 
 
 # =====================================================================
