@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_sha256_pandas_udf",
     "dedup_minhash_lsh_pairs",
     "emb_cosine_topk",
+    "emb_cosine_topk_arrow",
     "ann_ivf_topk",
     "emb_near_dup_pairs",
 ]

@@ -48,6 +48,62 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the DENSE-MATH
+    scale path. Spark's higher-order-function fold (`cosine`) evaluates
+    lambdas interpreted (~100 µs per 64-dim pair, measured); one
+    `V @ Q.T` over an Arrow batch does the same work vectorized, ~100×
+    faster. Each batch emits only its local top-k per query, so the
+    shuffle into the global top-k window carries O(k × partitions), not
+    the corpus. Results are identical to :func:`brute_force_topk` after
+    the same round-to-4 (asserted in tests)."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).collect()  # few by contract
+    qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cos double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ Qn.T, 4)  # (n_rows, n_queries)
+            ids = pdf[id_col].to_numpy()
+            top = min(k, len(ids))
+            parts = []
+            for j in range(S.shape[1]):
+                # local top-k per query: order by (-cos, id) like the window
+                order = np.lexsort((ids, -S[:, j]))[:top]
+                parts.append(pd.DataFrame({
+                    query_id_col: qids[j],
+                    id_col: ids[order],
+                    "cos": S[order, j],
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random hyperplane component from a hash —
     reproducible across engines and runs without RNG state."""

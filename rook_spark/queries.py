@@ -904,6 +904,39 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(embs, threshold=0.4, group_col="bucket")
 
 
+@register(
+    "emb_cosine_topk_arrow",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {_COS_SQL.replace('a.embedding', 'q.embedding')} AS cos
+      FROM q, embeddings b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-k through the Arrow/numpy matmul scale path
+    (per-batch local top-k → O(k·partitions) shuffle) — hash-verified
+    against the same oracle as the expression path, proving the
+    vectorized fast path is value-identical."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.brute_force_topk_arrow(embs, queries_df, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _lsh_topk_sql(n_planes: int = 6, k: int = 10, hamming: int = 0) -> str:
     cos = _COS_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")
     return f"""

@@ -250,3 +250,19 @@ def test_multimodal_real_codec_path_raises(spark):
     media = multimodal.synthesize_media(spark, n=2)
     with pytest.raises(Exception, match="codecs are not available"):
         multimodal.extract_features(media, use_fake=False).collect()
+
+
+def test_arrow_topk_identical_to_expr_topk(spark, embs):
+    """The vectorized (numpy matmul) brute-force top-k and the pure
+    expression path must agree exactly after the shared round-to-4 —
+    same members, same cos, same ranks."""
+    queries = embs.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = {
+        (r["query_id"], r["vec_id"]): (r["cos"], r["rank"])
+        for r in ann.brute_force_topk(embs, queries, k=7).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"]): (round(r["cos"], 4), r["rank"])
+        for r in ann.brute_force_topk_arrow(embs, queries, k=7).collect()
+    }
+    assert a == b and len(a) == 28

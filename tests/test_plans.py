@@ -122,3 +122,35 @@ def test_ann_topk_broadcasts_queries(spark):
     # the tiny query side must broadcast: nested-loop or hash, never a
     # shuffled cartesian of the corpus
     assert "Broadcast" in plan
+
+
+def test_lsh_and_ivf_join_on_bucket_no_cartesian(spark):
+    """Both ANN scale paths must plan the candidate join as an equi-join
+    on the bucket/cell key (broadcast hash), never a cartesian/nested-loop
+    of the corpus."""
+    for fn in (q.ann_lsh_topk, q.ann_ivf_topk):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_near_dup_bucketed_join_is_equi_join(spark):
+    """The bucketed near-dup self-join must shuffle on the bucket key
+    (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin with an equi-key),
+    not produce a cartesian product."""
+    plan = _plan(q.emb_near_dup_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_multilevel_rollup_broadcasts_dims(spark):
+    plan = _plan(q.cdc_multilevel_rollup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_anti_is_single_plan_single_join(spark):
+    """semi+anti counts must be one plan (left join + conditional agg),
+    not two jobs + a driver collect."""
+    plan = _plan(q.semi_anti_join_orders(spark, "/root/testdata/sf0.001"))
+    assert "Join" in plan and "HashAggregate" in plan
