@@ -106,3 +106,49 @@ def fingerprint(col: str = "text") -> Column:
     ``F.xxhash64`` at scale)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(col), "\\s+", " ")))
     return F.md5(norm).alias("fingerprint")
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 5, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling hashes of char ``k``-grams
+    over normalized text, keeping the minimum of each ``w``-window. The
+    selected minima are position-robust local features: two documents
+    sharing a long-enough substring share a fingerprint, which exact-md5
+    fingerprinting cannot provide. All JVM-side array expressions (no
+    explode, no UDF); the hash is the first 8 md5 hex chars as an integer
+    so an independent SQL oracle reproduces it bit-for-bit (swap xxhash64
+    for raw speed at scale).
+
+    Staged as two projections ON PURPOSE: inlining the gram array into
+    the window expression would re-evaluate it per window element
+    (O(n²·k) md5 calls — higher-order-function lambdas are not CSE'd
+    across nesting); materializing it as a column makes the pass O(n).
+
+    Returns ``df`` with an ``winnow_fps: array<long>`` column of the
+    distinct selected hashes.
+    """
+    c = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    empty = F.array().cast("array<long>")
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short
+    # docs must be guarded explicitly (DuckDB's generate_series(1,0) is [])
+    grams = F.when(
+        F.length(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(empty)
+    staged = df.select(id_col, grams.alias("__grams"))
+    g = F.col("__grams")
+    wins = F.when(
+        F.size(g) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(g) - w + 1),
+            lambda j: F.array_min(F.slice(g, j, w)),
+        ),
+    ).otherwise(empty)
+    return staged.select(id_col, F.array_distinct(wins).alias("winnow_fps"))

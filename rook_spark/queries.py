@@ -702,6 +702,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select("doc_id", text.fingerprint("text"))
 
 
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        [('0x' || substr(md5(substr(t, i, 5)), 1, 8))::BIGINT
+         for i in generate_series(1, greatest(length(t) - 5 + 1, 0))] AS hashes
+      FROM norm
+    ),
+    w AS (
+      SELECT doc_id,
+        list_distinct(
+          [list_min(hashes[j : j + 3])
+           for j in generate_series(1, greatest(len(hashes) - 4 + 1, 0))]
+        ) AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM w
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints, k=5 char-grams,
+    window w=4 — position-robust local features for substring-level
+    near-dup detection (vs. whole-doc md5). One pass of JVM array
+    expressions; the oracle recomputes grams, rolling mins, and the
+    distinct set in SQL."""
+    fps = text.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=5, w=4)
+    return fps.select(
+        "doc_id",
+        F.size("winnow_fps").cast("int").alias("n_fp"),
+        F.array_min("winnow_fps").alias("min_fp"),
+        F.array_max("winnow_fps").alias("max_fp"),
+    )
+
+
 # =====================================================================
 # Deduplication (documents)
 # =====================================================================

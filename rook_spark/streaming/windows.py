@@ -121,3 +121,26 @@ def running_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("offset",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming duplicate elimination with bounded state: rows with an
+    already-seen key are dropped as long as they arrive within the
+    watermark window; state older than the watermark is evicted
+    (``dropDuplicatesWithinWatermark``). This is the Spark-native
+    counterpart of the engine's lineage watermark filter for sources
+    whose re-deliveries are time-bounded but not offset-ordered — e.g. a
+    Kafka producer with retries. On a batch DataFrame it degrades to
+    plain ``dropDuplicates`` (the infinite-watermark case), which is how
+    the oracle checks it.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))

@@ -191,3 +191,47 @@ def test_kafka_source_raises_clear_error_without_jar(spark):
 
     with pytest.raises(Exception, match="[Kk]afka"):
         sources.stream_events_kafka(spark, "localhost:9092", "events")
+
+
+def test_dedup_within_watermark_drops_replayed_suffix(spark, tmp_path):
+    """An at-least-once source (duplicated suffix, arriving in later
+    micro-batches within the watermark) yields exactly the distinct event
+    set — the operator-level counterpart of the engine's lineage
+    watermark filter."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from rook_spark.streaming.windows import dedup_within_watermark
+
+    ev = generate_events(spark, 1200, seed=47)
+    src = str(tmp_path / "src")
+    write_events(ev, src, n_files=3)
+    # re-deliver the last 25% as an EXTRA, LATER file (cross-batch
+    # duplicates — write_events alone would range-partition duplicates
+    # into the same chunk as their originals)
+    replay_dir = str(tmp_path / "replay")
+    ev.where(F.col("offset") >= 900).coalesce(1).write.parquet(replay_dir)
+    part = glob.glob(os.path.join(replay_dir, "*.parquet"))[0]
+    dst = os.path.join(src, "chunk-00999.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (time.time() + 60, time.time() + 60))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_within_watermark(stream, keys=("offset",), watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) c, count(DISTINCT offset) d FROM dedup_wm").first()
+    assert got["c"] == got["d"] == 1200  # every duplicate dropped, nothing lost
