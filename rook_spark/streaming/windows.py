@@ -144,3 +144,32 @@ def dedup_within_watermark(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Time-bounded stream-stream equi-join: right rows match left rows
+    with the same key whose timestamp falls in ``[left_ts, left_ts +
+    within]``. Both sides carry watermarks so the join state is bounded:
+    a buffered row is evicted once the other side's watermark passes its
+    admissible window — without the time bound a stream-stream join would
+    buffer forever. Works identically on batch frames (the bound is just
+    a predicate), which is how the oracle checks it.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l, r = lw.alias("l"), rw.alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)

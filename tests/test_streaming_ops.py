@@ -235,3 +235,52 @@ def test_dedup_within_watermark_drops_replayed_suffix(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) c, count(DISTINCT offset) d FROM dedup_wm").first()
     assert got["c"] == got["d"] == 1200  # every duplicate dropped, nothing lost
+
+
+def test_stream_stream_join_matches_batch(spark, driver_events, tmp_path):
+    """Time-bounded stream-stream join (clicks ⋈ purchases within 6h per
+    user, both sides watermarked/state-bounded) emits exactly the batch
+    join's result set."""
+    from rook_spark.streaming.windows import stream_stream_join
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    ev = driver_events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    ).repartitionByRange(3, "ts").write.parquet(clicks_dir)
+    ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id")
+    ).repartitionByRange(3, "ts").write.parquet(buys_dir)
+
+    c_schema = "user_id long, ts timestamp, click_id long"
+    b_schema = "user_id long, ts timestamp, buy_id long"
+    sc = spark.readStream.schema(c_schema).option("maxFilesPerTrigger", 1).parquet(clicks_dir)
+    sb = spark.readStream.schema(b_schema).option("maxFilesPerTrigger", 1).parquet(buys_dir)
+    # watermark must cover the fixture's event-time span (~60h at
+    # sf0.001) or state eviction legitimately drops old rows and the
+    # result depends on batch interleaving
+    joined = stream_stream_join(
+        sc, sb, key_col="user_id", within="6 hours", watermark="30 days"
+    ).select(F.col("click_id"), F.col("buy_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["click_id"], r["buy_id"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+    bc = spark.read.schema(c_schema).parquet(clicks_dir)
+    bb = spark.read.schema(b_schema).parquet(buys_dir)
+    want = {
+        (r["click_id"], r["buy_id"])
+        for r in stream_stream_join(bc, bb, key_col="user_id", within="6 hours")
+        .select("click_id", "buy_id")
+        .collect()
+    }
+    assert len(want) > 10
+    assert got == want
