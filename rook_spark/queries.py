@@ -489,6 +489,101 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 — the 6-table join-ordering workout: Catalyst reorders
+    the join graph, broadcasts the small dims (nation/region/supplier at
+    this SF), and pushes the region/date filters into the scans. The
+    customer-nation = supplier-nation equality makes one join a
+    composite-key join (the classic Q5 trap)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "cdc_lww_state_salted",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             {_CDC_OP} AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           round(value, 4) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_lww_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LWW through the SALTED two-phase reduce (north_rule
+    skew machinery: per-(key, salt) partial max_by, then merge-back) —
+    same oracle as `cdc_lww_state`, proving the skew-bounded path is
+    value-identical to the plain one on the driver's data."""
+    from rook_spark.cdc.reduce import salted_lww_reduce
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_id").alias("commit_ordinal"),
+        F.col("event_id").alias("offset"),
+    )
+    reduced = salted_lww_reduce(
+        ev, key_cols=("user_id",), ordinal_col="commit_ordinal",
+        offset_col="offset", n_salts=8,
+    )
+    return reduced.where(F.col("op") != "D").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
     "topk_orders_per_customer",
     """
     WITH ranked AS (
