@@ -96,3 +96,70 @@ def test_cow_merge_on_table_with_deltas_folds_them(spark, tmp_path):
     assert not snap.deltas  # folded by the COW pass (all buckets touched)
     cow = _replay(spark, str(tmp_path / "cow"), events, write_mode="cow")
     assert _canon(engine.target().read()) == _canon(cow.target().read())
+
+
+def test_mor_stream_kill_and_resume(spark, tmp_path):
+    """MOR single-job epochs under the streaming wrapper survive
+    kill/resume exactly-once, including a mid-stream compaction."""
+    import os
+    import shutil
+
+    log = str(tmp_path / "log")
+    write_events(generate_events(spark, N, seed=29), log, n_files=6)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    files = sorted(f for f in os.listdir(log) if f.endswith(".parquet"))
+    for f in files[:3]:
+        shutil.copy2(os.path.join(log, f), os.path.join(staged, f))
+
+    kw = dict(write_mode="mor", n_source_partitions=8, compact_every=2)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), **kw).ignoring_servers(99)
+    q = engine.stream(staged, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    for f in files[3:]:
+        shutil.copy2(os.path.join(log, f), os.path.join(staged, f))
+    engine2 = CdcEngine(spark, str(tmp_path / "repos"), **kw).ignoring_servers(99)
+    q2 = engine2.stream(staged, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = _canon(engine2.target().read())
+    con = duckdb.connect()
+    try:
+        want = con.execute(oracle_final_state_sql(f"{log}/*.parquet")).fetch_df()
+    finally:
+        con.close()
+    assert len(got) == len(want)
+    assert [r[4] for r in got] == want.sort_values(["repo", "path"])["content"].tolist()
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    """Additive evolution through the MOR delta path: the new column
+    widens the target mid-replay; pre-evolution rows read back null —
+    identical to the COW behavior and the evolved oracle."""
+    log = str(tmp_path / "log")
+    ev = generate_events(spark, N, seed=33, evolve_after_frac=0.5)
+    write_events(ev, log, n_files=3)
+    events = spark.read.parquet(log)
+
+    engine = _replay(spark, str(tmp_path / "repos"), events,
+                     write_mode="mor", n_source_partitions=8)
+    got = engine.target().read().orderBy("repo", "path").toPandas()
+    assert "size_bytes" in got.columns
+
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            oracle_final_state_sql(f"{log}/*.parquet", evolved=True)
+        ).fetch_df()
+    finally:
+        con.close()
+    assert len(got) == len(want)
+    assert got["content"].tolist() == want["content"].tolist()
+    gs = got["size_bytes"].astype("float64").fillna(-1.0)
+    ws = want["size_bytes"].astype("float64").fillna(-1.0)
+    assert gs.tolist() == ws.tolist()
+    # both eras present in the surviving state
+    assert got["size_bytes"].isna().any() and got["size_bytes"].notna().any()
