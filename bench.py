@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",
+    "ann_ivf_topk_arrow",
     "emb_near_dup_pairs",
 ]
 

@@ -16,6 +16,15 @@ Listener fan-out with per-sink error isolation (K1,
 ``MySQLReplicationStream.java:161-179``): each registered sink runs per
 batch inside try/except; a failing sink is logged to a dead-letter
 parquet table and never stops the stream or the primary MERGE sink.
+
+Designed out — ``groupEventsByTX`` toggle
+(``MySQLReplicationStream.java:66,82-84``; per-statement vs per-TX
+listener delivery, ``h4com/IntegrationTest.java:355-385``): the epoch is
+this engine's delivery unit and strictly contains whole tx groups
+(SURVEY.md §2.4), so epoch delivery is the strongest of the three
+granularities; sinks needing statement- or tx-level views derive them
+from the batch's ``tx_id``/``offset`` columns declaratively (see the
+``cdc_tx_group`` query) instead of a push-mode toggle.
 """
 
 from __future__ import annotations

@@ -266,3 +266,22 @@ def test_arrow_topk_identical_to_expr_topk(spark, embs):
         for r in ann.brute_force_topk_arrow(embs, queries, k=7).collect()
     }
     assert a == b and len(a) == 28
+
+
+def test_ivf_arrow_identical_to_expr(spark, embs):
+    """IVF with vectorized cell assignment must equal the expression path
+    exactly (same rounded argmax, same ties-to-larger-centroid-id)."""
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["vec_id"]): (r["cos"], r["rank"])
+        for r in ann.ivf_topk(embs, queries, n_centroids=16, nprobe=4, k=10).collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"]): (r["cos"], r["rank"])
+        for r in ann.ivf_topk(
+            embs, queries, n_centroids=16, nprobe=4, k=10, use_arrow=True
+        ).collect()
+    }
+    assert a == b and len(a) == 30
