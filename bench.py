@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_topk_arrow",
     "emb_near_dup_pairs",
+    "emb_near_dup_pairs_arrow",
 ]
 
 

@@ -202,6 +202,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def embedding_near_dup_pairs_arrow(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Arrow twin of the bucketed :func:`embedding_near_dup_pairs`: one
+    numpy ``Vn @ Vn.T`` per bucket group (``applyInPandas``) instead of
+    an interpreted lambda fold per pair — value-identical after the
+    shared round-to-4 (asserted in tests). The bucket groupBy is the same
+    single shuffle the equi-join pays; within a bucket the pairwise work
+    is vectorized. At 100 TB, bucket size is the knob: more LSH planes →
+    smaller buckets → less O(bucket²) work per group."""
+    import numpy as np
+
+    def pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(Vn @ Vn.T, 4)
+        ids = pdf[id_col].to_numpy()
+        iu = np.triu_indices(n, k=1)
+        mask = S[iu] >= threshold
+        a, b = ids[iu[0]][mask], ids[iu[1]][mask]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b),
+            "id_b": np.maximum(a, b),
+            "cos": S[iu][mask],
+        })
+
+    return df.groupBy(group_col).applyInPandas(
+        pairs, schema="id_a long, id_b long, cos double"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1073,6 +1073,18 @@ def emb_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_near_dup_pairs_arrow", _near_dup_bucketed_sql(n_planes=3, threshold=0.4))
+def emb_near_dup_pairs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed near-dup through the Arrow twin (one numpy matmul per
+    bucket via applyInPandas) — same oracle as `emb_near_dup_pairs`."""
+    embs = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", ann.lsh_bucket(F.col("embedding"), dim=64, n_planes=3)
+    )
+    return dedup.embedding_near_dup_pairs_arrow(
+        embs, group_col="bucket", threshold=0.4
+    )
+
+
 def _lsh_topk_sql(n_planes: int = 6, k: int = 10, hamming: int = 0) -> str:
     cos = _COS_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")
     return f"""

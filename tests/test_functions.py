@@ -285,3 +285,22 @@ def test_ivf_arrow_identical_to_expr(spark, embs):
         ).collect()
     }
     assert a == b and len(a) == 30
+
+
+def test_near_dup_arrow_identical_to_expr(spark, embs):
+    """Bucketed near-dup pairs via per-bucket numpy matmul must equal the
+    expression path exactly after the shared round-to-4."""
+    b = embs.withColumn("bucket", ann.lsh_bucket(F.col("embedding"), 64, 3))
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs(
+            b, threshold=0.4, group_col="bucket"
+        ).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dup_pairs_arrow(
+            b, group_col="bucket", threshold=0.4
+        ).collect()
+    }
+    assert expr == arrow and len(expr) > 0
