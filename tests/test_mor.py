@@ -163,3 +163,27 @@ def test_mor_schema_evolution(spark, tmp_path):
     assert gs.tolist() == ws.tolist()
     # both eras present in the surviving state
     assert got["size_bytes"].isna().any() and got["size_bytes"].notna().any()
+
+
+def test_mor_epoch_is_one_spark_job(spark, tmp_path):
+    """The single-job MOR epoch claim, literally: with AQE off (the bench
+    profile — AQE splits execution into per-stage jobs) one replay epoch
+    schedules exactly ONE Spark job: flatten → LWW → delta write with all
+    lineage metrics observed in-flight."""
+    log = str(tmp_path / "log")
+    generate_events(spark, 2000, seed=5).write.parquet(log)
+    engine = CdcEngine(
+        spark, str(tmp_path / "repos"), write_mode="mor", n_source_partitions=8
+    ).ignoring_servers(99)
+    engine.replay(spark.read.parquet(log).where(F.col("offset") < 1000), 0)
+    events = spark.read.parquet(log).where(F.col("offset") >= 1000)  # infer outside
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    sc = spark.sparkContext
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc.setJobGroup("mor_epoch", "single-job mor epoch")
+        engine.replay(events, 1)
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert len(sc.statusTracker().getJobIdsForGroup("mor_epoch")) == 1
