@@ -1163,6 +1163,55 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.recall_at_k(lsh, bf, k=10)
 
 
+def _lsh_recall_curve_sql(n_planes: int = 6, k: int = 10, hams=(0, 1, 2)) -> str:
+    selects = " UNION ALL ".join(
+        f"""
+        SELECT {h} AS hamming, bf.query_id,
+               round(count(l.vec_id) * 1.0 / {k}, 4) AS recall
+        FROM bf LEFT JOIN ({_lsh_topk_sql(n_planes, k, h)}) l
+          ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+        GROUP BY bf.query_id
+        """
+        for h in hams
+    )
+    cos = _COS_SQL.replace("a.embedding", "q.embedding")
+    return f"""
+    WITH bf_scored AS (
+      SELECT q.vec_id AS query_id, b.vec_id, {cos} AS cos
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q,
+           embeddings b
+    ),
+    bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= {k}
+    )
+    {selects}
+    """
+
+
+@register("ann_lsh_recall_curve", _lsh_recall_curve_sql(n_planes=6, k=10, hams=(0, 1, 2)))
+def ann_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs multi-probe radius (Hamming 0/1/2 → 1/7/22 of 64
+    buckets probed) per query, all three levels hash-verified — the
+    recall-vs-scanned-fraction trade measured, not asserted. On this
+    isotropic corpus recall tracks the scanned fraction; on clustered
+    data single-probe already lands the cluster (pytest floor)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries_df = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = ann.brute_force_topk(embs, queries_df, k=10)
+    out = None
+    for h in (0, 1, 2):
+        lsh = ann.lsh_topk(embs, queries_df, dim=64, k=10, n_planes=6, probe_hamming=h)
+        r = ann.recall_at_k(lsh, bf, k=10).withColumn("hamming", F.lit(h))
+        out = r if out is None else out.unionByName(r)
+    return out.select("hamming", "query_id", "recall")
+
+
 def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
     cos6 = """
       round(
