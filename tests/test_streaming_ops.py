@@ -284,3 +284,81 @@ def test_stream_stream_join_matches_batch(spark, driver_events, tmp_path):
     }
     assert len(want) > 10
     assert got == want
+
+
+def test_debezium_envelope_roundtrip_and_replay(spark, tmp_path):
+    """Debezium-format events decode to the canonical schema and replay
+    through the engine to the same final state as the raw log's oracle —
+    a user can point the engine at a Debezium topic dump unchanged."""
+    import duckdb
+
+    from rook_spark import sources
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import oracle_final_state_sql
+
+    ev = generate_events(spark, 1500, seed=53)
+    raw = str(tmp_path / "raw")
+    ev.write.parquet(raw)
+
+    # render the log as Debezium envelopes (binlog file rotates mid-log)
+    dbz = spark.read.parquet(raw).select(
+        F.to_json(
+            F.struct(
+                F.col("before"),
+                F.col("after"),
+                F.struct(
+                    F.lit("rook-mysql").alias("name"),
+                    (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                    F.col("schema_name").alias("db"),
+                    F.col("table_name").alias("table"),
+                    F.col("server_id"),
+                    # rotate binlog files mid-log: offsets < 700 carry
+                    # file seq 1, the rest seq 0 — exercises the weighted
+                    # (file, pos) total-order reconstruction
+                    F.concat(
+                        F.lit("mysql-bin.00000"),
+                        (F.col("offset") < 700).cast("int").cast("string"),
+                    ).alias("file"),
+                    F.col("offset").alias("pos"),
+                ).alias("source"),
+                F.when(F.col("op") == "I", "c")
+                .when(F.col("op") == "U", "u")
+                .otherwise("d")
+                .alias("op"),
+                (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+                F.struct(
+                    F.col("tx_id").cast("string").alias("id"),
+                    F.col("offset").alias("total_order"),
+                ).alias("transaction"),
+            )
+        ).alias("value")
+    )
+    jdir = str(tmp_path / "dbz")
+    dbz.select(F.col("value")).write.text(jdir)
+
+    decoded = sources.read_events_debezium(spark, jdir)
+    # canonical schema shape
+    assert {"offset", "op", "before", "after", "commit_ordinal",
+            "source_partition", "ts"} <= set(decoded.columns)
+    # file rotation: offsets < 700 got file seq 1 => weighted ABOVE the
+    # rest — the total order follows (file, pos), not pos alone
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    engine.replay(decoded.where(F.col("offset") < 10**12), 0)   # file 0
+    engine.replay(decoded.where(F.col("offset") >= 10**12), 1)  # file 1
+
+    got = engine.target().read().orderBy("repo", "path").toPandas()
+    # the raw oracle orders by the ORIGINAL offsets; the weighted mapping
+    # puts file-1 events (offsets < 700) AFTER file-0 events, so the
+    # oracle must rank by the same (file, pos) order the decoder restores:
+    sql = oracle_final_state_sql(f"{raw}/*.parquet").replace(
+        'ORDER BY commit_ordinal DESC, "offset" DESC',
+        'ORDER BY (CASE WHEN "offset" < 700 THEN 1 ELSE 0 END) DESC, '
+        'commit_ordinal DESC, "offset" DESC',
+    )
+    con = duckdb.connect()
+    try:
+        want = con.execute(sql).fetch_df()
+    finally:
+        con.close()
+    assert len(got) == len(want)
+    assert got["content"].tolist() == want["content"].tolist()
