@@ -108,7 +108,7 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(norm).alias("fingerprint")
 
 
-def winnow_fingerprints(
+def winnow_fingerprints_exploded(
     df, id_col: str = "doc_id", text_col: str = "text", k: int = 5, w: int = 4
 ):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
@@ -116,21 +116,26 @@ def winnow_fingerprints(
     over normalized text, keeping the minimum of each ``w``-window. The
     selected minima are position-robust local features: two documents
     sharing a long-enough substring share a fingerprint, which exact-md5
-    fingerprinting cannot provide. All JVM-side array expressions (no
-    explode, no UDF); the hash is the first 8 md5 hex chars as an integer
-    so an independent SQL oracle reproduces it bit-for-bit (swap xxhash64
-    for raw speed at scale).
+    fingerprinting cannot provide. The hash is the first 8 md5 hex chars
+    as an integer so an independent SQL oracle reproduces it bit-for-bit
+    (swap xxhash64 for raw speed at scale).
 
-    Staged as two projections ON PURPOSE: inlining the gram array into
-    the window expression would re-evaluate it per window element
-    (O(n²·k) md5 calls — higher-order-function lambdas are not CSE'd
-    across nesting); materializing it as a column makes the pass O(n).
+    Shape: ONE gram-array projection → posexplode → per-doc window min
+    (rows between current and w-1 following). The gram array is
+    referenced exactly once, ON PURPOSE: a nested higher-order-function
+    formulation (transform over windows slicing a transform over grams)
+    re-evaluates the gram array per window element after Catalyst's
+    CollapseProject inlines it — O(n²·k) interpreted md5 calls, measured
+    as a >25× slowdown that worsens under joins. The explode+window form
+    is also the scale shape: it parallelizes across (doc, position), not
+    across docs.
 
-    Returns ``df`` with an ``winnow_fps: array<long>`` column of the
-    distinct selected hashes.
+    Returns (id, fp) rows — distinct selected hashes per document; docs
+    shorter than k+w-1 chars produce none.
     """
+    from pyspark.sql.window import Window
+
     c = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
-    empty = F.array().cast("array<long>")
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short
     # docs must be guarded explicitly (DuckDB's generate_series(1,0) is [])
     grams = F.when(
@@ -141,14 +146,38 @@ def winnow_fingerprints(
                 F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10
             ).cast("long"),
         ),
-    ).otherwise(empty)
-    staged = df.select(id_col, grams.alias("__grams"))
-    g = F.col("__grams")
-    wins = F.when(
-        F.size(g) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(g) - w + 1),
-            lambda j: F.array_min(F.slice(g, j, w)),
-        ),
-    ).otherwise(empty)
-    return staged.select(id_col, F.array_distinct(wins).alias("winnow_fps"))
+    ).otherwise(F.array().cast("array<long>"))
+    # grams is referenced EXACTLY once (the generator): any second
+    # reference in the same select (e.g. size(grams) for full-window
+    # filtering) is re-evaluated per exploded row — measured as 43M
+    # instead of 147k md5 calls on the sf0.01 corpus. The trailing window
+    # + pos filter needs only the position, so no second reference exists.
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("__pos", "__h"),
+    )
+    win = Window.partitionBy("id").orderBy("__pos").rowsBetween(-(w - 1), 0)
+    return (
+        exploded.withColumn("__m", F.min("__h").over(win))
+        .where(F.col("__pos") >= w - 1)  # full (trailing) windows only
+        .select(F.col("id").alias(id_col), F.col("__m").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 5, w: int = 4
+):
+    """Array-per-doc form of :func:`winnow_fingerprints_exploded`; docs
+    with no fingerprints (shorter than k+w-1) get an empty array."""
+    fps = winnow_fingerprints_exploded(df, id_col, text_col, k, w)
+    agg = fps.groupBy(id_col).agg(F.sort_array(F.collect_set("fp")).alias("winnow_fps"))
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("winnow_fps"), F.array().cast("array<long>"))
+            .alias("winnow_fps"),
+        )
+    )

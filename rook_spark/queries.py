@@ -838,6 +838,65 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_winnow_near_dup_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        [('0x' || substr(md5(substr(t, i, 5)), 1, 8))::BIGINT
+         for i in generate_series(1, greatest(length(t) - 5 + 1, 0))] AS hashes
+      FROM norm
+    ),
+    w AS (
+      SELECT doc_id,
+        list_distinct(
+          [list_min(hashes[j : j + 3])
+           for j in generate_series(1, greatest(len(hashes) - 4 + 1, 0))]
+        ) AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 20),
+    fpr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INT) AS shared_fps
+    FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def doc_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style substring-overlap detection: documents sharing ≥ 3
+    RARE winnowing fingerprints — catches partial-copy/boilerplate
+    overlap that whole-doc hashing and shingle-Jaccard thresholds miss.
+    Fingerprints appearing in > 20 documents are dropped first (the
+    standard stop-fingerprint cap: winnowing's min-selection concentrates
+    on globally small hash values, so hot fingerprints carry no signal
+    and quadratically blow up the join — measured max df 394/500 docs
+    uncapped). Scale shape = the LSH band join: explode, cap, equi-join
+    on fingerprint, count per pair — shuffle O(postings), never all-pairs."""
+    fp = text.winnow_fingerprints_exploded(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+    rare = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("df")).where(
+        F.col("df") <= 20
+    )
+    fpr = fp.join(rare.select("fp"), "fp")
+    a, b = fpr.alias("a"), fpr.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )
+
+
 # =====================================================================
 # Deduplication (documents)
 # =====================================================================
