@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the algebraic facts the
+exactly-once design rests on, checked over randomized event sets rather
+than fixtures.
+
+- LWW reduce is ORDER-INSENSITIVE: any permutation / partitioning of the
+  same events yields the same reduced state (this is what makes the
+  salted two-phase reduce and AQE re-partitioning safe).
+- LWW reduce is IDEMPOTENT under duplication: replaying any subset of
+  events changes nothing (the at-least-once → exactly-once foundation).
+- The conditional-ordinal MERGE is COMMUTATIVE across batch splits: any
+  split of the log into ordered batches lands the same final table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
+
+EVENT = st.tuples(
+    st.integers(0, 4),          # key
+    st.sampled_from("IUD"),     # op
+    st.integers(0, 10**6),      # payload
+)
+
+
+def _df(spark, events):
+    # offset = position in the generated list (unique tiebreak);
+    # ordinal = offset // 3 — non-decreasing in offset WITH ties, which is
+    # the engine's ordering contract (commit order never runs backwards
+    # relative to log position; several statements share a commit). An
+    # ordinal drawn independently of offset would violate the contract
+    # and hit the documented deleted-key edge (no tombstones — see
+    # LakeTable._merge_inner docstring).
+    rows = [(k, i // 3, i, op, p) for i, (k, op, p) in enumerate(events)]
+    return spark.createDataFrame(
+        rows, "key long, commit_ordinal long, offset long, op string, payload long"
+    )
+
+
+def _state(df):
+    return {
+        (r["key"]): (r["commit_ordinal"], r["offset"], r["op"], r["payload"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("reducer", [lww_reduce, salted_lww_reduce])
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=st.lists(EVENT, min_size=1, max_size=30))
+def test_lww_reduce_is_order_insensitive_and_salted_equivalent(
+    spark, reducer, events
+):
+    df = _df(spark, events)
+    plain = _state(lww_reduce(df, key_cols=("key",)))
+    got = _state(
+        reducer(df.orderBy(F.rand(7)).repartition(3), key_cols=("key",))
+        if reducer is lww_reduce
+        else reducer(df.orderBy(F.rand(7)).repartition(3), key_cols=("key",), n_salts=4)
+    )
+    assert got == plain
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(EVENT, min_size=2, max_size=24),
+    data=st.data(),
+)
+def test_merge_commutes_across_batch_splits(spark, tmp_path_factory, events, data):
+    """Any ordered split of the same log through the transactional MERGE
+    (offset-ordered batches, as the watermark contract requires) yields
+    the same final table as one-shot application."""
+    from pyspark.sql import types as T
+
+    from rook_spark.cdc.reduce import lww_reduce as _lww
+    from rook_spark.lake.table import LakeTable
+
+    split = data.draw(st.integers(1, len(events) - 1))
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("payload", T.LongType()),
+    ])
+
+    def apply_batches(bounds):
+        d = tmp_path_factory.mktemp("prop")
+        t = LakeTable.create(spark, str(d / "t"), schema, key_cols=["key"], n_buckets=4)
+        for bid, (lo, hi) in enumerate(bounds):
+            batch = _df(spark, events).where(
+                (F.col("offset") >= lo) & (F.col("offset") < hi)
+            )
+            changes = (
+                _lww(batch, key_cols=("key",))
+                .withColumnRenamed("commit_ordinal", "__ordinal")
+                .withColumnRenamed("offset", "__offset")
+            )
+            t.merge(changes, bid, op_col="op")
+        return sorted(
+            tuple(r) for r in t.read().select("key", "payload").collect()
+        )
+
+    one_shot = apply_batches([(0, len(events))])
+    split_apply = apply_batches([(0, split), (split, len(events))])
+    assert split_apply == one_shot
