@@ -218,11 +218,23 @@ def run_queries(spark) -> dict[str, float]:
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    # --scaling-only: skip headline/steady/queries (extra scaling series
+    # for the noise band without re-paying the full suite)
+    scaling_only = "--scaling-only" in sys.argv
+    if scaling_only:
+        scaling = True
     log_dir = os.path.join(tempfile.gettempdir(), f"rook_bench_log_{N_EVENTS}")
 
     spark = make_spark(CPUS)
     log(f"materializing {N_EVENTS} events at {log_dir} ...")
     materialize_log(spark, log_dir, N_EVENTS)
+    if scaling_only:
+        spark.stop()
+        result: dict = {"metric": "scaling-only", "value": 0, "unit": "sec",
+                        "queries": {}, "sf": SF_DIR}
+        _run_scaling(result, log_dir)
+        print(json.dumps(result), flush=True)
+        return
     log("warmup ...")
     warmup(spark, log_dir)
 
@@ -260,45 +272,49 @@ def main() -> None:
 
     if scaling:
         spark.stop()
-        lo, hi = min(SCALE_LEVELS), max(SCALE_LEVELS)
-        runs: dict[int, list[int]] = {lo: [], hi: []}
-        # interleaved reps: host-load noise (documented in BENCH.md) hits
-        # both levels symmetrically; medians reported
-        cpu_ref: dict[int, list[float]] = {lo: [], hi: []}
-        for rep in range(SCALE_REPS):
-            for cores in (lo, hi):
-                s = make_spark(cores)
-                if rep == 0:
-                    warmup(s, log_dir)
-                    run_cpu_reference(s, n_rows=40_000)  # JIT the control too
-                r = run_replay(s, log_dir, N_EVENTS, mode=SCALE_MODE)
-                runs[cores].append(r["events_per_sec"])
-                cpu_ref[cores].append(round(run_cpu_reference(s), 2))
-                log(f"scaling rep {rep} local[{cores}]: {r} cpu_ref={cpu_ref[cores][-1]}s")
-                s.stop()
-        med = {c: statistics.median(v) for c, v in runs.items()}
-        cpu_med = {c: statistics.median(v) for c, v in cpu_ref.items()}
-        eff = (med[hi] / med[lo]) / (hi / lo)
-        best_eff = (max(runs[hi]) / max(runs[lo])) / (hi / lo)
-        result["scaling"] = {
-            "levels": [lo, hi],
-            "mode": SCALE_MODE,
-            "events_per_sec_all": runs,
-            "median_low": med[lo],
-            "median_high": med[hi],
-            "efficiency_median": round(eff, 3),
-            "efficiency_best": round(best_eff, 3),
-            # in-engine CPU-bound control (codegen sha2 chain, no shuffle):
-            # its efficiency is the SOFTWARE ceiling on this host; the
-            # replay's gap below it is the host memory-bandwidth ceiling
-            # measured independently by bench/host_probe.py
-            "cpu_reference_seconds": cpu_ref,
-            "cpu_reference_efficiency_median": round(
-                (cpu_med[lo] / cpu_med[hi]) / (hi / lo), 3
-            ),
-        }
+        _run_scaling(result, log_dir)
 
     print(json.dumps(result), flush=True)
+
+
+def _run_scaling(result: dict, log_dir: str) -> None:
+    lo, hi = min(SCALE_LEVELS), max(SCALE_LEVELS)
+    runs: dict[int, list[int]] = {lo: [], hi: []}
+    # interleaved reps: host-load noise (documented in BENCH.md) hits
+    # both levels symmetrically; medians reported
+    cpu_ref: dict[int, list[float]] = {lo: [], hi: []}
+    for rep in range(SCALE_REPS):
+        for cores in (lo, hi):
+            s = make_spark(cores)
+            if rep == 0:
+                warmup(s, log_dir)
+                run_cpu_reference(s, n_rows=40_000)  # JIT the control too
+            r = run_replay(s, log_dir, N_EVENTS, mode=SCALE_MODE)
+            runs[cores].append(r["events_per_sec"])
+            cpu_ref[cores].append(round(run_cpu_reference(s), 2))
+            log(f"scaling rep {rep} local[{cores}]: {r} cpu_ref={cpu_ref[cores][-1]}s")
+            s.stop()
+    med = {c: statistics.median(v) for c, v in runs.items()}
+    cpu_med = {c: statistics.median(v) for c, v in cpu_ref.items()}
+    eff = (med[hi] / med[lo]) / (hi / lo)
+    best_eff = (max(runs[hi]) / max(runs[lo])) / (hi / lo)
+    result["scaling"] = {
+        "levels": [lo, hi],
+        "mode": SCALE_MODE,
+        "events_per_sec_all": runs,
+        "median_low": med[lo],
+        "median_high": med[hi],
+        "efficiency_median": round(eff, 3),
+        "efficiency_best": round(best_eff, 3),
+        # in-engine CPU-bound control (codegen sha2 chain, no shuffle):
+        # its efficiency is the SOFTWARE ceiling on this host; the
+        # replay's gap below it is the host memory-bandwidth ceiling
+        # measured independently by bench/host_probe.py
+        "cpu_reference_seconds": cpu_ref,
+        "cpu_reference_efficiency_median": round(
+            (cpu_med[lo] / cpu_med[hi]) / (hi / lo), 3
+        ),
+    }
 
 
 if __name__ == "__main__":

@@ -539,6 +539,81 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — the disjunctive nation-pair condition: Catalyst keeps
+    the two broadcast nation joins and applies the OR'd pair predicate as
+    a post-join filter (not a cartesian); year extraction on both
+    engines."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")).alias("n1")
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")).alias("n2")
+    pair = (
+        (F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY")
+    ) | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .where(pair)
+        .groupBy(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT event_type, CAST(user_id % 5 AS INT) AS shard,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 5 AS INT)), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form rollup/cube specialize) through
+    the SQL surface — the engine exposes Spark SQL directly, so any ANSI
+    query a reference user writes runs unchanged."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(user_id % 5 AS INT) AS shard,
+               count(*) AS n, round(sum(value), 4) AS total
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 5 AS INT)), ())
+        """
+    )
+
+
+@register(
     "cdc_lww_state_salted",
     f"""
     WITH ranked AS (
