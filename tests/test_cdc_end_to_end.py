@@ -206,3 +206,43 @@ def test_policy_interceptor_skip_and_remove(spark, tmp_path, mode):
     engine.replay(batch, 2)
     state2 = {(r["repo"], r["path"]): r["content"] for r in engine.target().read().collect()}
     assert state2 == state
+
+
+def test_bootstrap_snapshot_then_tail(spark, tmp_path):
+    """The classic CDC onboarding flow (Debezium's snapshot-then-stream;
+    rook's initial Hibernate index build then binlog tail): bulk-load the
+    current table state via overwrite, then apply the change tail — final
+    state equals replaying the WHOLE log from scratch."""
+    ev = generate_events(spark, 3000, seed=61)
+    log = str(tmp_path / "log")
+    write_events(ev, log, n_files=3)
+    events = spark.read.parquet(log)
+
+    # path A: full replay from empty (the reference truth)
+    full = CdcEngine(spark, str(tmp_path / "full")).ignoring_servers(99)
+    full.replay(events, 0)
+
+    # path B: bootstrap = state after the first 2000 offsets (computed by
+    # a throwaway replay), bulk-loaded via overwrite with its ordinals,
+    # then the tail applied as CDC
+    boot_src = CdcEngine(spark, str(tmp_path / "bootsrc")).ignoring_servers(99)
+    boot_src.replay(events.where(F.col("offset") < 2000), 0)
+    snapshot_state = boot_src.target().read(include_internal=True)
+
+    engine = CdcEngine(spark, str(tmp_path / "boot")).ignoring_servers(99)
+    target = engine.target()
+    # include_internal carries the stored (__ordinal, __offset) into the
+    # bulk load, so the conditional-ordinal MERGE protects live keys even
+    # against a tail that overlaps the snapshot boundary
+    target.overwrite(snapshot_state, batch_id=0)
+    from rook_spark.cdc.apply import apply_batch
+    from rook_spark.cdc.normalize import filter_events
+
+    tail = filter_events(
+        events.where(F.col("offset") >= 2000), ignored_server_ids=(99,)
+    )
+    apply_batch(target, tail, batch_id=1)
+
+    got = sorted(tuple(r) for r in engine.target().read().collect())
+    want = sorted(tuple(r) for r in full.target().read().collect())
+    assert got == want and len(got) > 100

@@ -187,3 +187,66 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert res["compacted_buckets"] >= 1
     assert all(len(fs) == 1 for fs in t.snapshot().buckets.values())
     assert _canon(t.read()) == state_before  # content preserved
+
+
+def test_join_table_containment_level(spark, tmp_path):
+    """Many-to-many containment via a JOIN TABLE (the reference resolves
+    @ContainedIn through association tables,
+    fulltextindex/SynchronizationContext.java:165-189): the parent_keys
+    edge of a ContainmentLevel is a join against the mapping, and the
+    team rollup aggregates the main table THROUGH the mapping. Changed
+    repos refresh exactly the teams that contain them."""
+    from pyspark.sql import types as T
+
+    from rook_spark.cdc.derived import ContainmentLevel, Rollup, propagate, repo_rollup
+
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    target = engine.target()
+    # mapping table: repo -> teams (many-to-many; repo-0000 in two teams)
+    mapping = spark.createDataFrame(
+        [("repo-0000", "team-a"), ("repo-0000", "team-b"),
+         ("repo-0001", "team-a"), ("repo-0002", "team-b"),
+         ("repo-0003", "team-c")],
+        "repo string, team string",
+    )
+    team_schema = T.StructType([
+        T.StructField("team", T.StringType(), False),
+        T.StructField("n_paths", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+    ])
+    repos = repo_rollup(engine.spark, str(tmp_path / "rr"), target)
+    teams = Rollup(
+        engine.spark, str(tmp_path / "tr"), team_schema, key_col="team",
+        source=lambda: target.read().join(mapping, "repo"),
+        agg_exprs=lambda: [
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.length("content")).alias("total_bytes"),
+        ],
+    )
+    levels = [
+        ContainmentLevel(repos, lambda keys: keys.select("repo")),
+        ContainmentLevel(
+            teams,
+            # join-table edge: changed repos -> containing teams
+            lambda keys: keys.select("repo").join(mapping, "repo").select("team"),
+        ),
+    ]
+    engine.with_sink("chain", lambda flat, bid: propagate(levels, flat.select("repo"), bid))
+
+    ev = generate_events(spark, 2000, seed=37, n_repos=6, paths_per_repo=30)
+    for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000)]):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+        assert _canon(teams.read()) == _canon(teams.full_recompute())
+    got = teams.read()
+    assert got.count() >= 2
+    # repo-0000 counts into BOTH team-a and team-b (many-to-many)
+    main = engine.target().read()
+    n_r0 = main.where("repo = 'repo-0000'").count()
+    if n_r0:
+        ta = {r["team"]: r["n_paths"] for r in got.collect()}
+        base = {
+            r["repo"]: r["n"]
+            for r in main.groupBy("repo").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert ta["team-a"] == base.get("repo-0000", 0) + base.get("repo-0001", 0)
+        assert ta["team-b"] == base.get("repo-0000", 0) + base.get("repo-0002", 0)
