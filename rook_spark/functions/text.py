@@ -181,3 +181,46 @@ def winnow_fingerprints(
             .alias("winnow_fps"),
         )
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    stride: int = 40,
+):
+    """Split documents into overlapping token-window chunks (the LLM
+    training-data chunking op): windows of ``width`` whitespace tokens
+    every ``stride`` tokens (``width - stride`` tokens of overlap so no
+    boundary context is lost). One generator expression per row — the
+    token array appears only inside the generator, so it is evaluated
+    O(chunks) per row, never per-exploded-row (see
+    winnow_fingerprints_exploded for the trap this avoids).
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens) rows; documents
+    with no tokens produce none.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    chunk = lambda start: F.slice(toks, start, width)  # noqa: E731
+    chunks = F.when(
+        F.trim(F.col(text_col)) != "",
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+            lambda start: F.struct(
+                ((start - 1) / stride).cast("int").alias("chunk_id"),
+                F.array_join(chunk(start), " ").alias("chunk_text"),
+                F.size(chunk(start)).alias("n_chunk_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_id:int,chunk_text:string,n_chunk_tokens:int>>"
+    ))
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -873,6 +873,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 40 AS INT) AS chunk_id,
+           array_to_string(t[s : s + 49], ' ') AS chunk_text,
+           CAST(len(t[s : s + 49]) AS INT) AS n_chunk_tokens
+    FROM toks, unnest(generate_series(1, len(t), 40)) AS g(s)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data chunking: overlapping 50-token windows every 40
+    tokens (10-token overlap preserves boundary context). One generator
+    expression per doc; oracle recomputes windows via stepped
+    generate_series + list slicing. ((s-1)/stride is exact on both
+    engines — s is always 1 + k·stride.)"""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), width=50, stride=40
+    )
+
+
+@register(
     "doc_winnow_fingerprints",
     """
     WITH norm AS (
