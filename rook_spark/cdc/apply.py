@@ -51,7 +51,10 @@ OBS_FALLBACKS = {"count": 0}
 def _observation_result(obs: Observation, timeout_s: float = 120.0) -> dict:
     """Bounded wait on ``Observation.get`` (which blocks indefinitely):
     a delivery miss degrades to the caller's recompute fallback instead
-    of hanging the stream."""
+    of hanging the stream. On timeout the watcher daemon thread stays
+    parked inside ``obs.get`` (py4j gives no cancellable wait) — one
+    leaked thread per miss, bounded by OBS_FALLBACKS, which tests pin
+    at 0 on the verified delivery path."""
     import threading
 
     box: dict = {}

@@ -100,11 +100,24 @@ class Rollup:
     def read(self) -> DataFrame:
         return self.table.read()
 
-    def refresh(self, changed_keys: DataFrame, batch_id: int) -> dict:
+    def refresh(self, changed_keys: DataFrame, batch_id: int | None = None) -> dict:
         """``changed_keys``: a one-column DataFrame of parent keys touched
         by this batch. No driver-side key list — the semi-join keeps the
-        key set distributed."""
+        key set distributed.
+
+        The merge uses the rollup table's OWN monotone batch counter, not
+        the caller's foreachBatch id: stream batch ids restart at 0 on a
+        fresh checkpoint, and fencing a recompute-style refresh on them
+        would silently skip every post-restart refresh (the same
+        cross-lineage fence bug fixed for the main table via run_id).
+        Refreshes are recompute-idempotent, so no fence is needed at all —
+        re-delivered batches fan out watermark-filtered (empty) key sets
+        and hit the early exit below.
+        """
         changed = changed_keys.select(self.key_col).distinct()
+        if changed.isEmpty():  # re-delivered/empty batch: nothing touched
+            return {"skipped": True}
+        batch_id = self.table.last_committed_batch() + 1
         state = self.source().join(changed, self.key_col, "left_semi")
         agg = state.groupBy(self.key_col).agg(*self.agg_exprs())
         # parents that vanished entirely -> delete their rollup row
@@ -150,13 +163,23 @@ def propagate(
     recursing forever — the per-key dedup the reference's log does
     row-by-row falls out of ``distinct()`` on the changed-key DataFrame.
 
+    DIAMOND shapes (two children sharing a parent, e.g. edges
+    ``{0: [2], 1: [2]}``) are handled by ACCUMULATING pending key sets
+    per level (unionByName) and always refreshing the smallest pending
+    index first — so a shared parent sees the union of all its
+    children's changed keys in one refresh, never just the first
+    arrival's. Contract: containment edges point to HIGHER level indexes
+    (parents above children); back-edges are cycles and are cut by the
+    guard.
+
     Returns the ordered list of refreshed level key columns (test hook).
     """
     refreshed: set[int] = set()
     order: list[str] = []
-    worklist: list[tuple[int, DataFrame]] = [(0, changed_keys)]
-    while worklist:
-        idx, keys = worklist.pop(0)
+    pending: dict[int, DataFrame] = {0: changed_keys}
+    while pending:
+        idx = min(pending)  # smallest index first: children before parents
+        keys = pending.pop(idx)
         if idx >= len(levels) or idx in refreshed:  # cycle / end guard
             continue
         level = levels[idx]
@@ -165,7 +188,10 @@ def propagate(
         refreshed.add(idx)
         order.append(level.rollup.key_col)
         for nxt in (edges or {}).get(idx, [idx + 1]):
-            worklist.append((nxt, parent_changed))
+            if nxt in pending:
+                pending[nxt] = pending[nxt].unionByName(parent_changed)
+            else:
+                pending[nxt] = parent_changed
     return order
 
 

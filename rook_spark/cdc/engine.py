@@ -71,7 +71,8 @@ class CdcEngine:
         self.tracked_tables: tuple[str, ...] = ("rook.repos",)
         self.ignored_server_ids: tuple[int, ...] = ()
         self.policy = None  # per-row KEEP/SKIP/REMOVE interceptor column
-        self.sinks: dict[str, SinkFn] = {}
+        # name -> (fn, phase); phase ∈ {"before", "after"} the table commit
+        self.sinks: dict[str, tuple[SinkFn, str]] = {}
         self.stats: list[ApplyStats] = []
         # "cow" rewrites touched buckets per epoch (read-optimized);
         # "mor" appends delta files and resolves at read (write cost
@@ -112,13 +113,32 @@ class CdcEngine:
         self.policy = policy
         return self
 
-    def with_sink(self, name: str, fn: SinkFn) -> "CdcEngine":
+    def with_sink(self, name: str, fn: SinkFn, when: str = "after") -> "CdcEngine":
         """Register an auxiliary listener (K1/K2 fan-out). ``fn`` gets the
         *normalized, watermark-filtered* batch DataFrame and the batch id
-        — the SAME event set the table MERGE applies, so sinks inherit the
-        engine's exactly-once delivery (a re-delivered batch fans out as
-        empty rather than double-counting)."""
-        self.sinks[name] = fn
+        — the SAME event set the table MERGE applies, so a re-delivered
+        batch fans out as empty rather than double-counting.
+
+        ``when`` picks the delivery phase relative to the table commit,
+        which decides the guarantee at CRASH boundaries:
+
+        - ``"before"`` — event-fed sinks (metrics, forwarding): delivered
+          before the commit, so a crash in between re-delivers the rows
+          on restart — at-least-once; duplicates only in the crash
+          window, never in normal operation.
+        - ``"after"`` (default) — state-fed sinks (the derived rollups,
+          which read the freshly-committed table): a crash between commit
+          and fan-out loses that one fan-out (at-most-once); recompute
+          style sinks repair on the next batch touching the same keys, or
+          explicitly via ``Rollup.refresh``/``full_recompute`` after an
+          unclean restart.
+
+        Both beat losing the batch silently in steady state; pick the
+        phase that matches what the sink reads.
+        """
+        if when not in ("before", "after"):
+            raise ValueError(f"when must be 'before' or 'after', got {when!r}")
+        self.sinks[name] = (fn, when)
         return self
 
     # --------------------------------------------------------------- target
@@ -149,10 +169,16 @@ class CdcEngine:
             ev.persist()
         try:
             target = self.target()
-            # lineage BEFORE the apply: sinks fan out the same
-            # watermark-filtered set the MERGE applies (exactly-once for
-            # sinks too — a re-delivered batch fans out empty)
-            pre_lineage = target.snapshot().lineage if self.sinks else None
+            # The fan-out set is watermark-filtered against PRE-apply
+            # lineage (the same rows the MERGE applies): in normal
+            # operation a re-delivered batch fans out EMPTY. Computed
+            # once; delivered in two phases around the commit — see
+            # with_sink for the delivery-guarantee difference.
+            flat_fresh = None
+            if self.sinks:
+                fresh = watermark_filter(ev, target.snapshot().lineage)
+                flat_fresh = flatten_events(fresh, self.key_cols)
+                self._fan_out(flat_fresh, batch_id, phase="before")
             stats = apply_batch(
                 target,
                 ev,
@@ -171,19 +197,20 @@ class CdcEngine:
                 if self._epochs_since_compact >= self.compact_every:
                     self.target().compact()
                     self._epochs_since_compact = 0
-            if self.sinks:
-                fresh = watermark_filter(ev, pre_lineage)
-                self._fan_out(flatten_events(fresh, self.key_cols), batch_id)
+            if flat_fresh is not None:
+                self._fan_out(flat_fresh, batch_id, phase="after")
         finally:
             if self.cache_batches or self.sinks:
                 ev.unpersist()
         self.stats.append(stats)
         return stats
 
-    def _fan_out(self, flat: DataFrame, batch_id: int) -> None:
+    def _fan_out(self, flat: DataFrame, batch_id: int, phase: str = "after") -> None:
         """Per-sink error isolation + dead-letter
         (``MySQLReplicationStream.java:167-176``)."""
-        for name, fn in self.sinks.items():
+        for name, (fn, when) in self.sinks.items():
+            if when != phase:
+                continue
             try:
                 fn(flat, batch_id)
             except Exception as exc:  # noqa: BLE001 — isolation is the point

@@ -62,8 +62,11 @@ def brute_force_topk_arrow(
     `V @ Q.T` over an Arrow batch does the same work vectorized, ~100×
     faster. Each batch emits only its local top-k per query, so the
     shuffle into the global top-k window carries O(k × partitions), not
-    the corpus. Results are identical to :func:`brute_force_topk` after
-    the same round-to-4 (asserted in tests)."""
+    the corpus. Results agree with :func:`brute_force_topk` after the
+    shared round-to-4 (asserted on the deterministic driver corpus); the
+    two paths sum floats in different orders, so a cosine within ~1 ulp
+    of a .00005 boundary could in principle round apart — treat the pair
+    as round-4-equivalent, not bit-identical."""
     import numpy as np
 
     q_rows = queries.select(query_id_col, vec_col).collect()  # few by contract
@@ -186,7 +189,6 @@ def lsh_topk(
 
 
 def ivf_cells(
-    df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     nprobe: int = 1,
@@ -280,12 +282,12 @@ def ivf_topk(
         c = _ivf_cells_arrow(corpus, cents, id_col, vec_col)
     else:
         c = corpus.withColumn(
-            "__cell", F.element_at(ivf_cells(corpus, cents, vec_col, nprobe=1), 1)
+            "__cell", F.element_at(ivf_cells(cents, vec_col, nprobe=1), 1)
         )
     q = queries.select(
         query_id_col,
         F.col(vec_col).alias("__qv"),
-        F.explode(ivf_cells(queries, cents, vec_col, nprobe=nprobe)).alias("__cell"),
+        F.explode(ivf_cells(cents, vec_col, nprobe=nprobe)).alias("__cell"),
     )
     scored = c.join(F.broadcast(q), "__cell").select(
         query_id_col,

@@ -250,3 +250,76 @@ def test_join_table_containment_level(spark, tmp_path):
         }
         assert ta["team-a"] == base.get("repo-0000", 0) + base.get("repo-0001", 0)
         assert ta["team-b"] == base.get("repo-0000", 0) + base.get("repo-0002", 0)
+
+
+def test_rollup_survives_fresh_checkpoint_restart(spark, tmp_path):
+    """Regression (round-2 review): the rollup's MERGE must not fence on
+    the caller's foreachBatch id — stream batch ids restart at 0 on a new
+    checkpoint, and a cross-lineage fence would silently skip every
+    post-restart refresh while the main table (run_id-scoped) applies."""
+    import os
+    import shutil
+
+    from rook_spark.cdc.fixtures import write_events
+
+    log = str(tmp_path / "log")
+    write_events(generate_events(spark, 2000, seed=41, n_repos=10), log, n_files=4)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    files = sorted(f for f in os.listdir(log) if f.endswith(".parquet"))
+    for f in files[:2]:
+        shutil.copy2(os.path.join(log, f), os.path.join(staged, f))
+
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    rollup = attach_rollup(engine, str(tmp_path / "rollup"))
+    q = engine.stream(staged, str(tmp_path / "ckptA"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    for f in files[2:]:
+        shutil.copy2(os.path.join(log, f), os.path.join(staged, f))
+    engine2 = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    rollup2 = attach_rollup(engine2, str(tmp_path / "rollup"))
+    q2 = engine2.stream(staged, str(tmp_path / "ckptB"), max_files_per_trigger=1)
+    q2.processAllAvailable()
+    q2.stop()
+    # rollup reflects the post-restart events (would be stale under a
+    # cross-lineage batch-id fence)
+    assert _canon(rollup2.read()) == _canon(rollup2.full_recompute())
+    assert rollup2.read().count() > 0
+
+
+def test_propagate_diamond_unions_shared_parent_keys(spark, tmp_path):
+    """Regression (round-2 review): two child levels sharing a parent
+    (diamond edges) — the shared parent must refresh with the UNION of
+    both children's changed keys, not just the first arrival's."""
+    from pyspark.sql import types as T
+
+    from rook_spark.cdc.derived import ContainmentLevel, Rollup, propagate
+
+    received: dict[int, list[str]] = {}
+    schema = T.StructType([T.StructField("k", T.StringType(), False),
+                           T.StructField("n", T.LongType())])
+    src = spark.createDataFrame([("a", 1), ("b", 1)], schema)
+
+    def make(i):
+        class CapturingRollup(Rollup):
+            def refresh(self, changed_keys, batch_id=None, _i=i):
+                received[_i] = sorted(
+                    r["k"] for r in changed_keys.select("k").distinct().collect()
+                )
+                return {"skipped": True}
+
+        return CapturingRollup(spark, str(tmp_path / f"cap{i}"), schema, "k",
+                               lambda: src, lambda: [F.count(F.lit(1)).alias("n")])
+
+    levels = [
+        ContainmentLevel(make(0), lambda keys: keys.select("k")),
+        ContainmentLevel(make(1), lambda keys: keys.selectExpr("concat(k, 'x') AS k")),
+        ContainmentLevel(make(2), lambda keys: keys.select("k")),
+    ]
+    order = propagate(levels, src.select("k"), 0, edges={0: [1, 2], 1: [2]})
+    assert len(order) == 3
+    assert received[0] == ["a", "b"]
+    assert received[1] == ["ax", "bx"]
+    assert received[2] == ["a", "ax", "b", "bx"]  # the UNION, not first-wins
