@@ -100,35 +100,39 @@ class Rollup:
     def read(self) -> DataFrame:
         return self.table.read()
 
-    def refresh(self, changed_keys: DataFrame, batch_id: int | None = None) -> dict:
+    def refresh(self, changed_keys: DataFrame) -> dict:
         """``changed_keys``: a one-column DataFrame of parent keys touched
         by this batch. No driver-side key list — the semi-join keeps the
         key set distributed.
 
         The merge uses the rollup table's OWN monotone batch counter, not
-        the caller's foreachBatch id: stream batch ids restart at 0 on a
-        fresh checkpoint, and fencing a recompute-style refresh on them
-        would silently skip every post-restart refresh (the same
+        a caller-supplied foreachBatch id: stream batch ids restart at 0
+        on a fresh checkpoint, and fencing a recompute-style refresh on
+        them would silently skip every post-restart refresh (the same
         cross-lineage fence bug fixed for the main table via run_id).
         Refreshes are recompute-idempotent, so no fence is needed at all —
         re-delivered batches fan out watermark-filtered (empty) key sets
         and hit the early exit below.
         """
         changed = changed_keys.select(self.key_col).distinct()
-        if changed.isEmpty():  # re-delivered/empty batch: nothing touched
-            return {"skipped": True}
-        batch_id = self.table.last_committed_batch() + 1
-        state = self.source().join(changed, self.key_col, "left_semi")
-        agg = state.groupBy(self.key_col).agg(*self.agg_exprs())
-        # parents that vanished entirely -> delete their rollup row
-        gone = changed.join(agg, self.key_col, "left_anti")
-        for f in self.schema.fields:
-            if f.name != self.key_col:
-                gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
-        changes = agg.withColumn("op", F.lit("U")).unionByName(
-            gone.withColumn("op", F.lit("D"))
-        )
-        return self.table.merge(changes, batch_id, op_col="op")
+        changed.persist()  # feeds the emptiness probe, semi-join, and anti-join
+        try:
+            if changed.isEmpty():  # re-delivered/empty batch: nothing touched
+                return {"skipped": True}
+            batch_id = self.table.last_committed_batch() + 1
+            state = self.source().join(changed, self.key_col, "left_semi")
+            agg = state.groupBy(self.key_col).agg(*self.agg_exprs())
+            # parents that vanished entirely -> delete their rollup row
+            gone = changed.join(agg, self.key_col, "left_anti")
+            for f in self.schema.fields:
+                if f.name != self.key_col:
+                    gone = gone.withColumn(f.name, F.lit(None).cast(f.dataType))
+            changes = agg.withColumn("op", F.lit("U")).unionByName(
+                gone.withColumn("op", F.lit("D"))
+            )
+            return self.table.merge(changes, batch_id, op_col="op")
+        finally:
+            changed.unpersist()
 
     def full_recompute(self) -> DataFrame:
         """Oracle for tests: the same aggregate over the whole source."""
@@ -148,7 +152,6 @@ class ContainmentLevel:
 def propagate(
     levels: list[ContainmentLevel],
     changed_keys: DataFrame,
-    batch_id: int,
     edges: dict[int, list[int]] | None = None,
 ) -> list[str]:
     """Walk the containment graph transitively: each level's refresh is
@@ -164,34 +167,37 @@ def propagate(
     row-by-row falls out of ``distinct()`` on the changed-key DataFrame.
 
     DIAMOND shapes (two children sharing a parent, e.g. edges
-    ``{0: [2], 1: [2]}``) are handled by ACCUMULATING pending key sets
-    per level (unionByName) and always refreshing the smallest pending
-    index first — so a shared parent sees the union of all its
-    children's changed keys in one refresh, never just the first
-    arrival's. Contract: containment edges point to HIGHER level indexes
-    (parents above children); back-edges are cycles and are cut by the
-    guard.
+    ``{0: [1, 2], 1: [2]}`` — level 2 contains both 0 and 1) are handled
+    by ACCUMULATING each level's pending contributions and always
+    refreshing the smallest pending index first — so a shared parent
+    sees the union of ALL its children's changed keys in one refresh,
+    never just the first arrival's. ``parent_keys`` is applied to each
+    contribution SEPARATELY (contributions from different children may
+    carry different key schemas; the callable may dispatch on columns)
+    and the results — all in this level's key space — union safely.
+    Contract: containment edges point to HIGHER level indexes (parents
+    above children); back-edges are cycles and are cut by the guard.
 
     Returns the ordered list of refreshed level key columns (test hook).
     """
     refreshed: set[int] = set()
     order: list[str] = []
-    pending: dict[int, DataFrame] = {0: changed_keys}
+    pending: dict[int, list[DataFrame]] = {0: [changed_keys]}
     while pending:
         idx = min(pending)  # smallest index first: children before parents
-        keys = pending.pop(idx)
+        contributions = pending.pop(idx)
         if idx >= len(levels) or idx in refreshed:  # cycle / end guard
             continue
         level = levels[idx]
-        parent_changed = level.parent_keys(keys)
-        level.rollup.refresh(parent_changed, batch_id)
+        mapped = [level.parent_keys(k) for k in contributions]
+        parent_changed = mapped[0]
+        for m in mapped[1:]:
+            parent_changed = parent_changed.unionByName(m)
+        level.rollup.refresh(parent_changed)
         refreshed.add(idx)
         order.append(level.rollup.key_col)
         for nxt in (edges or {}).get(idx, [idx + 1]):
-            if nxt in pending:
-                pending[nxt] = pending[nxt].unionByName(parent_changed)
-            else:
-                pending[nxt] = parent_changed
+            pending.setdefault(nxt, []).append(parent_changed)
     return order
 
 
@@ -249,7 +255,7 @@ def attach_rollup(engine, rollup_path: str) -> Rollup:
     rollup = repo_rollup(engine.spark, rollup_path, engine.target())
 
     def sink(flat: DataFrame, batch_id: int) -> None:
-        rollup.refresh(flat.select("repo"), batch_id)
+        rollup.refresh(flat.select("repo"))
 
     engine.with_sink("repo_rollup", sink)
     return rollup
@@ -271,7 +277,7 @@ def attach_rollup_chain(
     ]
 
     def sink(flat: DataFrame, batch_id: int) -> None:
-        propagate(levels, flat.select("repo"), batch_id)
+        propagate(levels, flat.select("repo"))
 
     engine.with_sink("containment_chain", sink)
     return repos, orgs

@@ -176,9 +176,16 @@ class CdcEngine:
             # with_sink for the delivery-guarantee difference.
             flat_fresh = None
             if self.sinks:
-                fresh = watermark_filter(ev, target.snapshot().lineage)
-                flat_fresh = flatten_events(fresh, self.key_cols)
-                self._fan_out(flat_fresh, batch_id, phase="before")
+                snap = target.snapshot()
+                # mirror apply_batch's fence: a batch the MERGE will drop
+                # must not reach sinks either ('the SAME event set the
+                # table applies'); re-deliveries with fresh data fall
+                # through to the watermark filter exactly like the MERGE
+                fenced = batch_id <= snap.batch_id and run_id == snap.run_id
+                if not fenced:
+                    fresh = watermark_filter(ev, snap.lineage)
+                    flat_fresh = flatten_events(fresh, self.key_cols)
+                    self._fan_out(flat_fresh, batch_id, phase="before")
             stats = apply_batch(
                 target,
                 ev,

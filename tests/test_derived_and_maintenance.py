@@ -126,7 +126,7 @@ def test_propagate_cycle_guard_terminates(spark, tmp_path):
     calls = []
 
     class CountingRollup(Rollup):
-        def refresh(self, changed_keys, batch_id):
+        def refresh(self, changed_keys):
             calls.append(self.key_col)
             return {"skipped": True}
 
@@ -138,11 +138,11 @@ def test_propagate_cycle_guard_terminates(spark, tmp_path):
     levels = [ContainmentLevel(r, lambda keys: keys.select("k")),
               ContainmentLevel(r, lambda keys: keys.select("k"))]
     # a TRUE cycle: level 0 contained in 1, level 1 contained in 0
-    order = propagate(levels, src.select("k"), 0, edges={0: [1], 1: [0]})
+    order = propagate(levels, src.select("k"), edges={0: [1], 1: [0]})
     assert calls == ["k", "k"]  # each level refreshed exactly once, then stop
     # self-cycle
     calls.clear()
-    order = propagate(levels, src.select("k"), 1, edges={0: [0]})
+    order = propagate(levels, src.select("k"), edges={0: [0]})
     assert len(order) == len(calls) == 1
 
 
@@ -231,7 +231,7 @@ def test_join_table_containment_level(spark, tmp_path):
             lambda keys: keys.select("repo").join(mapping, "repo").select("team"),
         ),
     ]
-    engine.with_sink("chain", lambda flat, bid: propagate(levels, flat.select("repo"), bid))
+    engine.with_sink("chain", lambda flat, bid: propagate(levels, flat.select("repo")))
 
     ev = generate_events(spark, 2000, seed=37, n_repos=6, paths_per_repo=30)
     for i, (lo, hi) in enumerate([(0, 1000), (1000, 2000)]):
@@ -304,7 +304,7 @@ def test_propagate_diamond_unions_shared_parent_keys(spark, tmp_path):
 
     def make(i):
         class CapturingRollup(Rollup):
-            def refresh(self, changed_keys, batch_id=None, _i=i):
+            def refresh(self, changed_keys, _i=i):
                 received[_i] = sorted(
                     r["k"] for r in changed_keys.select("k").distinct().collect()
                 )
@@ -318,7 +318,7 @@ def test_propagate_diamond_unions_shared_parent_keys(spark, tmp_path):
         ContainmentLevel(make(1), lambda keys: keys.selectExpr("concat(k, 'x') AS k")),
         ContainmentLevel(make(2), lambda keys: keys.select("k")),
     ]
-    order = propagate(levels, src.select("k"), 0, edges={0: [1, 2], 1: [2]})
+    order = propagate(levels, src.select("k"), edges={0: [1, 2], 1: [2]})
     assert len(order) == 3
     assert received[0] == ["a", "b"]
     assert received[1] == ["ax", "bx"]
