@@ -104,14 +104,25 @@ def test_streaming_schema_evolution_prewidened(spark, evolved_log, tmp_path):
     """Streaming stance (SURVEY.md §7.4): read schema is pre-widened, so
     old files (struct physically lacks the column) null-fill it and the
     running query survives the mid-stream evolution."""
-    import os, shutil
+    import os, shutil, time
 
     src = str(tmp_path / "src")
     os.makedirs(src)
+    # FileStreamSource orders by (mtime, path); fast copies can collide on
+    # the same mtime ms and tie-break alphabetically ("new-*" < "old-*"),
+    # delivering post-evolution offsets FIRST — which the watermark
+    # contract then rightly drops the old era for. Space the mtimes
+    # explicitly so delivery follows offset order (what a real tailed
+    # binlog provides; same trick as fixtures.write_events).
+    base = time.time() - 600
+    i = 0
     for sub in ["old", "new"]:
-        for f in os.listdir(f"{evolved_log}/{sub}"):
+        for f in sorted(os.listdir(f"{evolved_log}/{sub}")):
             if f.endswith(".parquet"):
-                shutil.copy(f"{evolved_log}/{sub}/{f}", f"{src}/{sub}-{f}")
+                dst = f"{src}/{sub}-{f}"
+                shutil.copy(f"{evolved_log}/{sub}/{f}", dst)
+                os.utime(dst, (base + i * 2, base + i * 2))
+                i += 1
     engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
     q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=2, evolved=True)
     q.processAllAvailable()
