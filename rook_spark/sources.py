@@ -74,6 +74,21 @@ def stream_events_files(
     raise ValueError(f"unsupported streaming format: {fmt}")
 
 
+def parse_kafka_records(records: DataFrame, evolved: bool = False) -> DataFrame:
+    """Decode Kafka-shaped records (``value`` binary/string JSON +
+    ``partition``) into canonical events — the transformation
+    :func:`stream_events_kafka` applies after ``.load()``, factored out
+    so the decode plan is testable without the connector jar. The Kafka
+    partition becomes ``source_partition`` (per-partition ordering is
+    exactly Kafka's guarantee — the engine's watermark contract)."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), event_schema(evolved)).alias("e"),
+        F.col("partition").cast("int").alias("__kp"),
+    ).select("e.*", "__kp").withColumn(
+        "source_partition", F.col("__kp")
+    ).drop("__kp")
+
+
 def stream_events_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -103,10 +118,7 @@ def stream_events_kafka(
             "(not bundled in this environment): add "
             "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
         ) from exc
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), event_schema(evolved)).alias("e"),
-        F.col("partition").alias("kafka_partition"),
-    ).select("e.*", "kafka_partition")
+    return parse_kafka_records(raw, evolved)
 
 
 def read_events_debezium(

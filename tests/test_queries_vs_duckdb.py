@@ -67,6 +67,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert sc == dc, f"{name}: value mismatch, first diffs: {mism}"
 
 
+def test_every_registered_query_has_an_oracle():
+    """Round-2 invariant: zero rows-only checks — every operator the
+    driver sees is hash-verified against a DuckDB oracle."""
+    assert ROWS_ONLY == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = q.queries()[name](spark, SF_DIR)
