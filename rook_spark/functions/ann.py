@@ -281,7 +281,11 @@ def ivf_topk(
         # per cosine; the Arrow twin does one matmul per batch
         c = _ivf_cells_arrow(corpus, cents, id_col, vec_col)
     else:
-        c = corpus.withColumn(
+        # round-robin repartition first: the interpreted HOF fold is the
+        # dominant cost and must not inherit the source's input splits
+        # (a single parquet file = one task for the whole corpus scan)
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        c = corpus.repartition(par).withColumn(
             "__cell", F.element_at(ivf_cells(cents, vec_col, nprobe=1), 1)
         )
     q = queries.select(

@@ -250,6 +250,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     group_col: str | None = None,
+    salt: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b) above threshold.
 
@@ -257,12 +258,42 @@ def embedding_near_dup_pairs(
     pass ``group_col`` (an LSH bucket or IVF cell from
     rook_spark.functions.ann) so the self-join is equi-keyed on the
     bucket and only intra-bucket pairs are compared.
+
+    ``salt`` sub-partitions each bucket: the probe side is split into
+    ``salt`` deterministic slices (hash of id) and the build side is
+    replicated once per slice, so parallelism is n_buckets × salt
+    instead of n_buckets — without it the per-bucket O(bucket²)
+    interpreted-cosine work concentrates on one task per bucket (and,
+    when the build side is broadcast, the probe side inherits the
+    source's partitioning: a single parquet file ran this 141 s on ONE
+    task at bench scale; salted it is minutes → seconds). Each (a, b)
+    pair still appears exactly once: an a-row carries one salt value.
+    The true 100 TB fast path remains the Arrow twin
+    (:func:`embedding_near_dup_pairs_arrow`) — one matmul per bucket.
     """
-    a = df.alias("a")
-    b = df.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if group_col:
-        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    if group_col and salt > 1:
+        # force the shuffle even under a broadcast-hash plan, so the
+        # probe side's task count is n_buckets × salt, not the source's
+        # input split count
+        a = (
+            df.withColumn("__salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)))
+            .repartition(F.col(group_col), F.col("__salt"))
+            .alias("a")
+        )
+        b = df.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).alias("b")
+        cond = (
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
+        )
+    else:
+        a = df.alias("a")
+        b = df.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        if group_col:
+            cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
     return (
         a.join(b, cond)
         .select(
