@@ -53,6 +53,7 @@ N_BUCKETS = 64
 # suite runs MOR (the 10^10 path); headline defaults to COW.
 WRITE_MODE = os.environ.get("ROOK_BENCH_MODE", "cow")
 HEAD_REPS = int(os.environ.get("ROOK_BENCH_HEAD_REPS", 2))
+STEADY_REPS = int(os.environ.get("ROOK_BENCH_STEADY_REPS", 3))
 
 BENCH_QUERIES = [
     "cdc_lww_state",
@@ -150,31 +151,46 @@ def run_replay(spark, log_path: str, n_events: int, n_buckets: int = N_BUCKETS,
     }
 
 
-def run_steady_state(spark, log_path: str) -> dict:
+def run_steady_state(spark, log_path: str, reps: int = STEADY_REPS) -> dict:
     """Steady-state apply: small batches (2×100k) over a pre-loaded
     ~1.15M-row table, COW vs MOR. This is where the write modes diverge:
     COW cost ∝ touched-bucket content (≈ table at full key coverage),
-    MOR cost ∝ batch."""
+    MOR cost ∝ batch.
+
+    Reps are INTERLEAVED cow/mor/cow/mor (each rep pre-loads a fresh
+    table, untimed) so the documented up-to-3× host noise hits both
+    modes symmetrically; the median is the headline, all reps attach."""
     from pyspark.sql import functions as F
 
     from rook_spark.cdc.engine import CdcEngine
 
     events = spark.read.parquet(log_path)
+    per_mode: dict[str, list[float]] = {"cow": [], "mor": []}
+    for rep in range(reps):
+        for mode in ("cow", "mor"):
+            target = tempfile.mkdtemp(prefix=f"rook_steady_{mode}_")
+            eng = CdcEngine(
+                spark, os.path.join(target, "repos"), n_buckets=N_BUCKETS, write_mode=mode
+            ).ignoring_servers(99)
+            eng.replay(events.where(F.col("offset") < N_EVENTS - 200_000), 0)
+            t0 = time.time()
+            eng.replay(events.where(
+                (F.col("offset") >= N_EVENTS - 200_000)
+                & (F.col("offset") < N_EVENTS - 100_000)), 1)
+            eng.replay(events.where(F.col("offset") >= N_EVENTS - 100_000), 2)
+            dt = time.time() - t0
+            per_mode[mode].append(dt)
+            shutil.rmtree(target, ignore_errors=True)
+            log(f"  steady-state rep {rep} {mode}: {dt:.2f}s "
+                f"({round(200_000 / dt)} ev/s)")
     out = {}
-    for mode in ("cow", "mor"):
-        target = tempfile.mkdtemp(prefix=f"rook_steady_{mode}_")
-        eng = CdcEngine(
-            spark, os.path.join(target, "repos"), n_buckets=N_BUCKETS, write_mode=mode
-        ).ignoring_servers(99)
-        eng.replay(events.where(F.col("offset") < N_EVENTS - 200_000), 0)
-        t0 = time.time()
-        eng.replay(events.where(
-            (F.col("offset") >= N_EVENTS - 200_000) & (F.col("offset") < N_EVENTS - 100_000)), 1)
-        eng.replay(events.where(F.col("offset") >= N_EVENTS - 100_000), 2)
-        dt = time.time() - t0
-        out[mode] = {"seconds": round(dt, 2), "events_per_sec": round(200_000 / dt)}
-        shutil.rmtree(target, ignore_errors=True)
-        log(f"  steady-state {mode}: {out[mode]}")
+    for mode, times in per_mode.items():
+        med = statistics.median(times)
+        out[mode] = {
+            "seconds": round(med, 2),
+            "events_per_sec": round(200_000 / med),
+            "all_reps_seconds": [round(t, 2) for t in times],
+        }
     return out
 
 

@@ -31,6 +31,8 @@ Job structure per epoch (tuned for 10^10-event scale):
 
 from __future__ import annotations
 
+import logging
+import os
 from dataclasses import dataclass
 from itertools import chain
 
@@ -46,17 +48,31 @@ from rook_spark.lake.table import LakeTable, bucket_expr
 # on the happy path (one content-decoding job per epoch, batch AND
 # streamed — verified by tests/test_streaming.py).
 OBS_FALLBACKS = {"count": 0}
+# watcher threads currently parked inside a timed-out Observation.get
+# (py4j gives no cancellable wait, so a delivery miss strands its
+# watcher until process exit). Visible so a degraded long-lived stream
+# can be alerted on BEFORE threads accumulate; each miss also logs.
+OBS_WATCHERS_LEAKED = {"count": 0}
+
+_OBS_TIMEOUT_S = float(os.environ.get("ROOK_OBS_TIMEOUT_S", "30"))
 
 
-def _observation_result(obs: Observation, timeout_s: float = 120.0) -> dict:
+def _observation_result(obs: Observation, timeout_s: float | None = None) -> dict:
     """Bounded wait on ``Observation.get`` (which blocks indefinitely):
     a delivery miss degrades to the caller's recompute fallback instead
     of hanging the stream. On timeout the watcher daemon thread stays
     parked inside ``obs.get`` (py4j gives no cancellable wait) — one
-    leaked thread per miss, bounded by OBS_FALLBACKS, which tests pin
-    at 0 on the verified delivery path."""
+    leaked thread per miss, counted in OBS_WATCHERS_LEAKED and logged
+    at WARNING so a recurring-miss stream is visible long before thread
+    accumulation matters; tests pin the count at 0 on the verified
+    delivery path. Timeout defaults to 30 s (env ROOK_OBS_TIMEOUT_S):
+    the observation is delivered by the listener of the ALREADY-COMPLETED
+    write job, so seconds of grace suffice and a miss should cost the
+    epoch seconds, not minutes, before the recompute fallback."""
     import threading
 
+    if timeout_s is None:
+        timeout_s = _OBS_TIMEOUT_S
     box: dict = {}
     err: list[Exception] = []
 
@@ -70,6 +86,12 @@ def _observation_result(obs: Observation, timeout_s: float = 120.0) -> dict:
     t.start()
     t.join(timeout=timeout_s)
     if t.is_alive():
+        OBS_WATCHERS_LEAKED["count"] += 1
+        logging.getLogger(__name__).warning(
+            "Observation %s not delivered in %.0fs; falling back to a "
+            "recompute pass (stranded watcher threads so far: %d)",
+            getattr(obs, "_name", "?"), timeout_s, OBS_WATCHERS_LEAKED["count"],
+        )
         raise TimeoutError(f"observation not delivered in {timeout_s}s")
     if err:
         raise err[0]

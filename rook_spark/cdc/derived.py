@@ -27,6 +27,7 @@ epoch ∝ data of touched containers, not table size.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -187,6 +188,23 @@ def propagate(
         idx = min(pending)  # smallest index first: children before parents
         contributions = pending.pop(idx)
         if idx >= len(levels) or idx in refreshed:  # cycle / end guard
+            if idx in refreshed:
+                # A contribution reached a level that already refreshed
+                # this batch. For a DELIBERATE cycle (A⊃B⊃A) dropping it
+                # is the termination guard working as designed; but the
+                # same drop silently under-refreshes a parent when the
+                # spec violates the "edges point to higher indexes"
+                # contract — so make the drop visible instead of silent.
+                logging.getLogger(__name__).warning(
+                    "propagate: dropping %d contribution(s) for level %d "
+                    "(key %r) which already refreshed this batch — a "
+                    "back-edge. Expected only for cyclic containment "
+                    "specs; if this graph is meant to be acyclic, an "
+                    "edge points to a lower/equal index (contract "
+                    "violation) and that parent is now stale until the "
+                    "next batch that touches it.",
+                    len(contributions), idx, levels[idx].rollup.key_col,
+                )
             continue
         level = levels[idx]
         mapped = [level.parent_keys(k) for k in contributions]

@@ -141,6 +141,24 @@ class CdcEngine:
         self.sinks[name] = (fn, when)
         return self
 
+    def without_sink(self, name: str) -> "CdcEngine":
+        """Unregister an auxiliary listener
+        (``ReplicationStream.unregisterListener``,
+        ``rook-api/.../ReplicationStream.java:28-31``). Loud on unknown
+        names — silently "removing" a sink that was never registered (or
+        already removed) is exactly the kind of config drift that loses
+        a downstream feed without a trace."""
+        if name not in self.sinks:
+            raise KeyError(
+                f"no sink named {name!r} registered (have: {sorted(self.sinks)})"
+            )
+        del self.sinks[name]
+        return self
+
+    def sink_names(self) -> tuple[str, ...]:
+        """Registered listener names, in registration order."""
+        return tuple(self.sinks)
+
     # --------------------------------------------------------------- target
 
     def target(self, payload_schema=None) -> LakeTable:
@@ -227,6 +245,87 @@ class CdcEngine:
                 ).withColumn("ts", F.current_timestamp())
                 dead.write.mode("append").parquet(self.dead_letter_path)
 
+    # ------------------------------------------------------------- bootstrap
+
+    def bootstrap(
+        self,
+        snapshot_df: DataFrame,
+        as_of_offsets: dict[int, int] | int,
+        as_of_ordinal: int | None = None,
+    ) -> ApplyStats:
+        """Initial load for the standard CDC deployment shape
+        (consistent snapshot → tail; Debezium's snapshot phase, rook's
+        assumption of a pre-existing synchronized DB): write
+        ``snapshot_df`` (one row per key — the source state as of a
+        known log position) as the table's FIRST commit, with the
+        per-partition offset watermarks in the SAME atomic snapshot.
+
+        ``as_of_offsets``: the log position the snapshot is consistent
+        with — a per-source-partition dict, or a single int applied to
+        every partition in ``range(n_source_partitions)`` (requires
+        ``n_source_partitions`` at construction — loud instead of
+        guessing the partition set).
+
+        Because the watermarks commit WITH the data, a tail that
+        overlaps the snapshot range (Debezium always resumes from
+        before the snapshot position) is deduplicated by
+        ``watermark_filter`` before it reaches the MERGE — including
+        stale upserts for keys deleted inside the overlap window, which
+        closes the deleted-key resurrection caveat documented on
+        :meth:`LakeTable.merge` for bootstrap-then-tail flows.
+
+        Every snapshot row carries ``as_of_ordinal`` (default: the max
+        as-of offset) as its commit ordinal, so genuinely-new tail
+        changes (which carry higher ordinals) win LWW over the snapshot
+        image, while any out-of-contract replay at-or-below it loses.
+        Lineage ``rows_applied``/``bytes`` stay 0 — they count
+        replicated CHANGE events, and a snapshot applies none.
+        """
+        if LakeTable.exists(self.target_path):
+            raise ValueError(
+                f"bootstrap must be the target's first write, but a table "
+                f"already exists at {self.target_path!r} — replay/stream "
+                f"into it instead, or bootstrap a fresh path"
+            )
+        if isinstance(as_of_offsets, int):
+            if self.n_source_partitions is None:
+                raise ValueError(
+                    "single-int as_of_offsets needs n_source_partitions "
+                    "set on the engine (the partition set cannot be "
+                    "inferred from a snapshot, which carries no events)"
+                )
+            as_of = {p: int(as_of_offsets) for p in range(self.n_source_partitions)}
+        else:
+            as_of = {int(p): int(o) for p, o in as_of_offsets.items()}
+        if not as_of:
+            raise ValueError("as_of_offsets must name at least one partition")
+        ordinal = int(max(as_of.values()) if as_of_ordinal is None else as_of_ordinal)
+
+        table = self.target(payload_schema=snapshot_df.schema)
+        changes = (
+            snapshot_df.withColumn("op", F.lit("U"))
+            .withColumn("__ordinal", F.lit(ordinal).cast("long"))
+            .withColumn("__offset", F.lit(ordinal).cast("long"))
+        )
+        lineage_update = {
+            p: {"last_applied_offset": o, "rows_applied": 0, "bytes": 0}
+            for p, o in as_of.items()
+        }
+        result = table.merge(
+            changes, batch_id=0, op_col="op", lineage_update=lineage_update,
+            validate_cardinality=True,
+        )
+        stats = ApplyStats(
+            batch_id=0,
+            skipped=bool(result.get("skipped")),
+            rows_in=0,
+            rows_applied=0,
+            touched_buckets=int(result.get("touched_buckets", 0)),
+            version=int(result.get("version", -1)),
+        )
+        self.stats.append(stats)
+        return stats
+
     # ---------------------------------------------------------------- batch
 
     def replay(self, events: DataFrame, start_batch_id: int | None = None) -> ApplyStats:
@@ -262,21 +361,61 @@ class CdcEngine:
         0, so cross-checkpoint fencing would drop new events); re-delivered
         *events* (source duplicates) hit the lineage watermark filter.
         """
-        run_id = os.path.abspath(checkpoint_dir)
         src = (
             self.spark.readStream.schema(cdc_schema.event_schema(evolved))
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
+        return self.stream_events(src, checkpoint_dir)
+
+    def stream_events(self, events: DataFrame, checkpoint_dir: str) -> StreamingQuery:
+        """Apply ANY canonical-schema streaming DataFrame via foreachBatch —
+        the transport-agnostic half of S1. ``stream`` (file tail) and the
+        Kafka tail both terminate here:
+
+            engine.stream_events(
+                sources.parse_kafka_records(raw_kafka_stream), ckpt)
+
+        runs the identical wiring ``stream_events_kafka`` produces, so the
+        full Kafka path minus the jar-gated ``.format("kafka").load()`` is
+        exercisable (and tested) in environments without the connector.
+        Exactly-once semantics are per ``stream``: batch-id fence scoped to
+        this checkpoint via run_id, event dedup via lineage watermarks.
+        """
+        run_id = os.path.abspath(checkpoint_dir)
         return (
             # byte accounting rides the write job's Observation exactly as
             # in batch mode (foreachBatch actions notify Observation
             # listeners on this Spark version — round-1's second
             # content-decoding pass per streamed epoch is gone; a delivery
             # miss degrades to a recompute, counted in apply.OBS_FALLBACKS)
-            src.writeStream.foreachBatch(
+            events.writeStream.foreachBatch(
                 lambda df, bid: self._apply(df, bid, run_id=run_id)
             )
             .option("checkpointLocation", checkpoint_dir)
             .start()
         )
+
+
+def await_stream_ready(query: StreamingQuery, timeout_s: float = 30.0,
+                       poll_s: float = 0.1) -> StreamingQuery:
+    """``connect(timeout)`` / ``isConnected`` parity for the streaming
+    entry points (``rook-api/.../ReplicationStream.java:26-32``): block
+    until the query has completed at least one trigger — the source is
+    demonstrably connected and polling — or raise. A query that dies
+    before its first trigger re-raises its own exception (via
+    ``awaitTermination``) instead of a generic timeout, so a bad topic /
+    path / schema fails with the real cause. Returns the query for
+    chaining; ``query.isActive`` is the live ``isConnected`` check
+    thereafter."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if not query.isActive:
+            query.awaitTermination()  # surfaces the stream's own exception
+            raise RuntimeError("stream terminated before completing a trigger")
+        if query.recentProgress:
+            return query
+        time.sleep(poll_s)
+    raise TimeoutError(f"stream not ready within {timeout_s}s")

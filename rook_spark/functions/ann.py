@@ -252,6 +252,52 @@ def _ivf_cells_arrow(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 5,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed spherical k-means (Lloyd's) for IVF:
+    init = the ``n_centroids`` lowest-id vectors (reproducible, no RNG),
+    then ``n_iter`` rounds of [Arrow cell assignment → per-cell mean].
+    Each round is ONE Spark job: the assignment is the same numpy-matmul
+    ``mapInPandas`` the query path uses, and the mean is an
+    ``applyInPandas`` per cell — the corpus never collects to the driver;
+    only the k×dim centroid matrix does (k ≤ dozens). An emptied cell
+    keeps its previous centroid, so the cell-id set is stable across
+    iterations. Cosine assignment + mean-of-normalized = spherical
+    k-means, the right objective for cosine ANN."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.DataFrame({
+            "__cell": [int(pdf["__cell"].iloc[0])],
+            "__mean": [np.mean(Vn, axis=0).tolist()],
+        })
+
+    for _ in range(n_iter):
+        assigned = _ivf_cells_arrow(corpus, cents, id_col, vec_col)
+        means = {
+            int(r["__cell"]): [float(x) for x in r["__mean"]]
+            for r in assigned.select(F.col("__cell"), F.col(vec_col).alias("__v"))
+            .groupBy("__cell")
+            .applyInPandas(cell_mean, schema="__cell long, __mean array<double>")
+            .collect()
+        }
+        cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -262,20 +308,29 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     use_arrow: bool = False,
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into cells by nearest centroid; a query scans only its ``nprobe``
-    nearest cells. The centroid set here is a deterministic sample (the
-    ``n_centroids`` lowest-id corpus vectors) — swap in k-means centroids
-    for production without touching the plan. Scale shape: one narrow
-    cell-assignment pass over the corpus (literal centroid math inside
-    codegen), then an equi-join on cell id — the corpus never shuffles
-    and only ``nprobe/n_centroids`` of it is scored per query.
+    nearest cells. ``centroids`` picks the codebook: ``"sample"`` — the
+    ``n_centroids`` lowest-id corpus vectors (deterministic, zero extra
+    jobs; fine for plan-shape verification), or ``"kmeans"`` — trained
+    spherical k-means (:func:`kmeans_centroids`; n_iter extra jobs,
+    better-balanced cells → better recall at the same nprobe). Scale
+    shape either way: one narrow cell-assignment pass over the corpus
+    (literal centroid math inside codegen), then an equi-join on cell id
+    — the corpus never shuffles and only ``nprobe/n_centroids`` of it is
+    scored per query.
     """
-    cents = [
-        (int(r[id_col]), [float(x) for x in r[vec_col]])
-        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    if centroids == "kmeans":
+        cents = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+    elif centroids == "sample":
+        cents = [
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+        ]
+    else:
+        raise ValueError(f"centroids must be 'sample' or 'kmeans', got {centroids!r}")
     if use_arrow:
         # vectorized cell assignment: interpreted HOF lambdas cost ~100 µs
         # per cosine; the Arrow twin does one matmul per batch

@@ -278,6 +278,83 @@ class LakeTable:
     def last_committed_batch(self) -> int:
         return self.snapshot().batch_id
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Incremental changelog read — CDC *out* of the lake (the
+        Iceberg-changelog / Delta-CDF analog, and the table-level
+        counterpart of rook's listener feed,
+        ``rook-api/.../ReplicationListener.java:24-27``): the NET per-key
+        difference between two committed versions as change rows.
+
+        Output: the target schema's columns (image of the WINNING side —
+        the new row for ``'U'``, the final old row for ``'D'``) plus
+        ``op`` ('U' insert-or-update / 'D' delete) and the winning
+        ``__ordinal``/``__offset``, so the result is itself a valid LWW
+        change set: applying it to the ``from_version`` state reproduces
+        the ``to_version`` state exactly (pinned by test).
+
+        Net-effect semantics (like Iceberg's net_changes): intermediate
+        flips between the two versions collapse — a key inserted and
+        deleted in the window does not appear.
+
+        Plan shape at scale: both versions read through the SAME bucket
+        layout, so the full-outer key join is storage-co-partitioned (an
+        Iceberg storage-partitioned join — no shuffle); pass ``buckets``
+        to prune the scan to touched buckets (the touched-bucket set per
+        epoch is in each snapshot's commit). Cost is O(scanned buckets),
+        independent of how many epochs the window spans — for a
+        per-epoch physical feed at O(batch) cost, MOR delta files are
+        themselves the change rows.
+
+        Schema evolution: columns added inside the window are
+        null-backfilled on the 'D' (old-image) side.
+        """
+        snap_to = self.snapshot(to_version)
+        old = self.read(version=from_version, buckets=buckets, include_internal=True)
+        new = self.read(version=snap_to.version, buckets=buckets, include_internal=True)
+        keys = snap_to.key_cols
+        payload = [c for c in new.columns if c not in keys]
+        for c in payload:  # schema evolution: widen the old side with nulls
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        o = old.withColumn("__p", F.lit(True)).alias("o")
+        n = new.withColumn("__p", F.lit(True)).alias("n")
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        j = o.join(n, cond, "full_outer")
+        o_present = F.coalesce(F.col("o.__p"), F.lit(False))
+        n_present = F.coalesce(F.col("n.__p"), F.lit(False))
+        if "__ordinal" in new.columns and "__ordinal" in old.columns:
+            # engine-written tables: the stored LWW (ordinal, offset) pair
+            # identifies an unchanged row without comparing payloads
+            same = F.struct(
+                F.coalesce(F.col("o.__ordinal"), F.lit(-1)).alias("o"),
+                F.coalesce(F.col("o.__offset"), F.lit(-1)).alias("t"),
+            ) == F.struct(
+                F.coalesce(F.col("n.__ordinal"), F.lit(-1)).alias("o"),
+                F.coalesce(F.col("n.__offset"), F.lit(-1)).alias("t"),
+            )
+        else:
+            # tables merged without ordinal columns: fall back to
+            # null-safe payload equality
+            same = F.lit(True)
+            for c in payload:
+                if c != "__p":
+                    same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        is_delete = o_present & ~n_present
+        is_upsert = n_present & (~o_present | ~same)
+        side = F.when(is_delete, F.lit("o")).otherwise(F.lit("n"))
+        out_cols = [
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+        ] + [
+            F.when(side == "o", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+            for c in payload
+        ] + [F.when(is_delete, "D").otherwise("U").alias("op")]
+        return j.where(is_delete | is_upsert).select(*out_cols)
+
     # ----------------------------------------------------------------- merge
 
     def merge(
@@ -318,6 +395,22 @@ class LakeTable:
         restart at 0 across checkpoints, so cross-run fencing would drop
         genuinely-new events; idempotency across runs comes from the
         caller's watermark filter + the conditional-ordinal MERGE.
+
+        **DELETED-KEY CAVEAT (API contract, not an implementation
+        detail):** the conditional-ordinal MERGE protects LIVE rows from
+        stale re-delivered upserts, but COW keeps no tombstone for a
+        deleted key — a stale upsert for a key deleted in an earlier
+        batch matches nothing and would RE-INSERT it. Protection for
+        deleted keys comes entirely from the per-partition offset
+        watermark contract (``rook_spark.cdc.apply.watermark_filter``,
+        which ``CdcEngine`` always applies): within a source partition,
+        offsets at-or-below the applied high-water mark never reach this
+        MERGE. Callers invoking ``merge()`` / ``apply_batch`` directly —
+        e.g. a bootstrap-then-tail flow whose tail overlaps the
+        bootstrap range — MUST either run the same watermark filter or
+        guarantee their change feed never re-delivers offsets at-or-
+        below a previously applied one; otherwise deleted rows can be
+        resurrected.
         """
         snap = self.snapshot()
         if batch_id <= snap.batch_id and run_id == snap.run_id:

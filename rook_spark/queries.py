@@ -50,6 +50,9 @@ _DRIVER_TAIL = (
     "emb_near_dup_pairs_arrow",  # same oracle as emb_near_dup_pairs
     "ann_ivf_topk_arrow",      # same oracle as ann_ivf_topk
     "ann_lsh_recall_curve",    # superset of ann_lsh_recall's oracle
+    # the signature table is the first stage of dedup_minhash_lsh_pairs'
+    # oracle (same _minhash_sig_sql CTE) — the pairs query covers it
+    "dedup_minhash_signatures",
 )
 
 
@@ -1532,9 +1535,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(media, max_side=128)
 
 
-@register(
-    "cdc_engine_replay",
-    """
+_ENGINE_REPLAY_SQL = """
     WITH mapped AS (
       SELECT event_id AS off,
              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
@@ -1556,8 +1557,79 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT repo, path, substr(md5(content), 1, 12) AS commit, lang,
            sha256(content) AS content_sha
     FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register(
+    "cdc_changelog",
+    """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped WHERE off < (SELECT (max(event_id) + 1) // 2 FROM events)
+    ),
+    s1 AS (SELECT repo, path, commit_ordinal, off, content
+           FROM r1 WHERE rn = 1 AND op <> 'D'),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    ),
+    s2 AS (SELECT repo, path, commit_ordinal, off, content
+           FROM r2 WHERE rn = 1 AND op <> 'D')
+    SELECT coalesce(s2.repo, s1.repo) AS repo,
+           coalesce(s2.path, s1.path) AS path,
+           CASE WHEN s2.repo IS NULL THEN 'D' ELSE 'U' END AS op,
+           substr(md5(CASE WHEN s2.repo IS NULL THEN s1.content
+                           ELSE s2.content END), 1, 12) AS commit,
+           sha256(CASE WHEN s2.repo IS NULL THEN s1.content
+                       ELSE s2.content END) AS content_sha
+    FROM s1 FULL JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path
+    WHERE s1.repo IS NULL OR s2.repo IS NULL
+       OR s1.commit_ordinal <> s2.commit_ordinal OR s1.off <> s2.off
     """,
 )
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read — CDC *out* of the lake (LakeTable.changes; the
+    Iceberg-changelog/Delta-CDF analog of rook's listener feed,
+    ``rook-api/.../ReplicationListener.java:24-27``): replay the mapped
+    driver log through the REAL engine in two epochs, then diff the two
+    committed versions into net change rows. The oracle recomputes the
+    same diff as two independent SQL LWW replays FULL-JOINed on key —
+    deletes, updates, and inserts all hash-checked (sha256 of the
+    winning image)."""
+    import tempfile
+
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = tempfile.mkdtemp(prefix="rook_changelog_")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < n // 2))
+    table = engine.target()
+    v1 = table.snapshot().version
+    engine.replay(ev.where(F.col("offset") >= n // 2))
+    log = table.changes(v1)
+    return log.select(
+        "repo", "path", "op", "commit", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+@register("cdc_engine_replay", _ENGINE_REPLAY_SQL)
 def cdc_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP engine end-to-end, driver-oracled: maps the driver's
     `events` table into the canonical CDC event shape

@@ -121,35 +121,13 @@ def stream_events_kafka(
     return parse_kafka_records(raw, evolved)
 
 
-def read_events_debezium(
-    spark: SparkSession,
-    path: str,
-    payload_schema=None,
-    evolved: bool = False,
-    file_seq_weight: int = 10**12,
-) -> DataFrame:
-    """Debezium change-event envelope (the de-facto public CDC wire
-    format; the productionized descendant of the reference's binlog tail)
-    → canonical events. Mapping:
-
-    - ``op``: c/r (create/snapshot-read) → I, u → U, d → D;
-    - ``offset``: total order from the MySQL binlog coordinates —
-      ``file_seq * file_seq_weight + pos`` (binlog file numbers rotate,
-      position resets per file; the weighted sum restores a total order,
-      same scheme Debezium's own offsets use);
-    - ``commit_ordinal`` = offset (binlog position IS commit order on a
-      single primary — the reference's assumption too);
-    - ``source_partition`` = 0: one binlog is ONE ordered stream (the
-      per-partition watermark contract holds trivially); a fan-in of
-      several databases would map each source's ``source.name`` to a
-      partition id;
-    - ``tx_id``: hash of ``transaction.id`` when present (Debezium emits
-      it when ``provide.transaction.metadata`` is on), else null.
-    """
+def _debezium_envelope(payload_schema=None, evolved: bool = False):
+    """The Debezium JSON envelope schema shared by the canonical reader
+    and the dead-letter reader (schema is the contract — no inference)."""
     from pyspark.sql import types as T
 
     img_type = (payload_schema or event_schema(evolved))["after"].dataType
-    envelope = T.StructType([
+    return T.StructType([
         T.StructField("before", img_type),
         T.StructField("after", img_type),
         T.StructField("source", T.StructType([
@@ -168,11 +146,92 @@ def read_events_debezium(
             T.StructField("total_order", T.LongType()),
         ])),
     ])
+
+
+def read_debezium_rejects(
+    spark: SparkSession,
+    path: str,
+    payload_schema=None,
+    evolved: bool = False,
+) -> DataFrame:
+    """The dead-letter side of ``read_events_debezium(...,
+    on_unknown='dead_letter')``: every envelope OUTSIDE the c/r/u/d +
+    has-binlog-coordinates contract, tagged with ``reject_reason``
+    (``unknown_op`` / ``null_pos``). Together the two readers partition
+    the input exactly — count this one, alert on it, or sink it to a
+    quarantine table; nothing vanishes silently."""
+    raw = spark.read.schema(_debezium_envelope(payload_schema, evolved)).option(
+        "mode", "FAILFAST"
+    ).json(path)
+    known_op = F.col("op").isin("c", "r", "u", "d")
+    has_pos = F.col("source.pos").isNotNull()
+    return raw.where(~known_op | ~has_pos).withColumn(
+        "reject_reason", F.when(~known_op, "unknown_op").otherwise("null_pos")
+    )
+
+
+def read_events_debezium(
+    spark: SparkSession,
+    path: str,
+    payload_schema=None,
+    evolved: bool = False,
+    file_seq_weight: int = 10**12,
+    on_unknown: str = "error",
+) -> DataFrame:
+    """Debezium change-event envelope (the de-facto public CDC wire
+    format; the productionized descendant of the reference's binlog tail)
+    → canonical events. Mapping:
+
+    - ``op``: c/r (create/snapshot-read) → I, u → U, d → D;
+    - ``offset``: total order from the MySQL binlog coordinates —
+      ``file_seq * file_seq_weight + pos`` (binlog file numbers rotate,
+      position resets per file; the weighted sum restores a total order,
+      same scheme Debezium's own offsets use);
+    - ``commit_ordinal`` = offset (binlog position IS commit order on a
+      single primary — the reference's assumption too);
+    - ``source_partition`` = 0: one binlog is ONE ordered stream (the
+      per-partition watermark contract holds trivially); a fan-in of
+      several databases would map each source's ``source.name`` to a
+      partition id;
+    - ``tx_id``: hash of ``transaction.id`` when present (Debezium emits
+      it when ``provide.transaction.metadata`` is on), else null.
+
+    Real Debezium streams also carry records OUTSIDE the c/r/u/d set —
+    ``t`` (truncate), ``m`` (message), heartbeats — and records without
+    binlog coordinates. Silently dropping those would turn a config
+    change upstream into invisible data loss, so ``on_unknown``
+    controls it:
+
+    - ``"error"`` (default): fail the job via in-plan ``raise_error``
+      on the first unknown op or null ``source.pos`` — loud by default;
+    - ``"dead_letter"``: exclude them from the canonical feed; the
+      caller routes/counts them via :func:`read_debezium_rejects`
+      (same envelope + a ``reject_reason`` column) — the counted
+      dead-letter path.
+    """
+    if on_unknown not in ("error", "dead_letter"):
+        raise ValueError(f"on_unknown must be 'error' or 'dead_letter', got {on_unknown!r}")
+
+    envelope = _debezium_envelope(payload_schema, evolved)
     raw = spark.read.schema(envelope).option("mode", "FAILFAST").json(path)
     file_seq = F.coalesce(
         F.regexp_extract(F.col("source.file"), "([0-9]+)$", 1).cast("long"), F.lit(0)
     )
     offset = file_seq * F.lit(file_seq_weight) + F.col("source.pos")
+    known_op = F.col("op").isin("c", "r", "u", "d")
+    has_pos = F.col("source.pos").isNotNull()
+    if on_unknown == "error":
+        # fail fast IN THE PLAN (JVM-side, no extra pass): the first
+        # out-of-contract record aborts the read instead of vanishing
+        op_tail = F.raise_error(
+            F.concat(F.lit("debezium: unknown op "), F.coalesce(F.col("op"), F.lit("<null>")))
+        )
+        offset = F.when(has_pos, offset).otherwise(
+            F.raise_error(F.lit("debezium: record has null source.pos")).cast("long")
+        )
+    else:
+        raw = raw.where(known_op & has_pos)
+        op_tail = F.lit(None).cast("string")
     return raw.select(
         offset.alias("offset"),
         F.when(
@@ -184,6 +243,7 @@ def read_events_debezium(
         F.when(F.col("op").isin("c", "r"), "I")
         .when(F.col("op") == "u", "U")
         .when(F.col("op") == "d", "D")
+        .otherwise(op_tail)
         .alias("op"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),

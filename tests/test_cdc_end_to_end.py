@@ -246,3 +246,62 @@ def test_bootstrap_snapshot_then_tail(spark, tmp_path):
     got = sorted(tuple(r) for r in engine.target().read().collect())
     want = sorted(tuple(r) for r in full.target().read().collect())
     assert got == want and len(got) > 100
+
+
+def test_bootstrap_then_overlapping_tail_exactly_once(spark, tmp_path):
+    """Snapshot + tail (the Debezium deployment shape): bootstrap the
+    table from a consistent snapshot at position X with watermarks in
+    the same commit, then tail-replay a feed that OVERLAPS the snapshot
+    range. The overlap — including upserts for keys that were deleted
+    inside it, the resurrection caveat on LakeTable.merge — must be
+    fully deduplicated: final state equals the full-log replay oracle."""
+    ev = generate_events(spark, 2500, seed=73)
+    raw = str(tmp_path / "raw")
+    ev.write.parquet(raw)
+    events = spark.read.parquet(raw)
+
+    # source-of-truth state at the snapshot position: an engine replay
+    # of the prefix (itself oracle-verified elsewhere)
+    src_engine = CdcEngine(spark, str(tmp_path / "src_state")).ignoring_servers(99)
+    src_engine.replay(events.where(F.col("offset") < 1500), 0)
+    snapshot_df = src_engine.target().read()
+    as_of = {
+        int(r["partition_id"]): int(r["last_applied_offset"])
+        for r in src_engine.target().lineage().collect()
+    }
+    # non-vacuous: the overlap window re-delivers at least one DELETE
+    # (a stale 'U' for such a key is the resurrection hazard)
+    assert events.where(
+        (F.col("offset") >= 800) & (F.col("offset") < 1500)
+        & (F.col("op") == "D")).count() > 0
+
+    engine = CdcEngine(spark, str(tmp_path / "repos"),
+                       n_source_partitions=8).ignoring_servers(99)
+    stats = engine.bootstrap(snapshot_df, as_of)
+    assert stats.version >= 0 and not stats.skipped
+    # watermarks committed atomically with the data
+    lin = {int(r["partition_id"]): int(r["last_applied_offset"])
+           for r in engine.target().lineage().collect()}
+    assert lin == as_of
+
+    # the tail resumes BEFORE the snapshot position (offset 800 < 1500)
+    engine.replay(events.where(F.col("offset") >= 800))
+
+    got = engine.target().read().orderBy("repo", "path").toPandas()
+    want = _oracle_df(raw)
+    assert len(got) == len(want)
+    assert got["content"].tolist() == want["content"].tolist()
+
+
+def test_bootstrap_guards(spark, tmp_path):
+    """bootstrap is loud: refuses an existing table, refuses an int
+    position without a known partition set."""
+    ev = generate_events(spark, 300, seed=79)
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    engine.replay(ev, 0)
+    snap = engine.target().read()
+    with pytest.raises(ValueError, match="first write"):
+        engine.bootstrap(snap, {0: 100})
+    e2 = CdcEngine(spark, str(tmp_path / "repos2"))
+    with pytest.raises(ValueError, match="n_source_partitions"):
+        e2.bootstrap(snap, 100)

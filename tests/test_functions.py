@@ -304,3 +304,47 @@ def test_near_dup_arrow_identical_to_expr(spark, embs):
         ).collect()
     }
     assert expr == arrow and len(expr) > 0
+
+
+def test_ivf_kmeans_centroids_recall_on_clustered_data(spark):
+    """Trained spherical k-means codebook vs the lowest-id sample, on a
+    corpus with genuine cluster structure (10 clusters): at nprobe=2 the
+    k-means IVF must hit recall@10 >= 0.9 on every query and be at least
+    as good as the sample codebook on average — the quality story behind
+    the `centroids="kmeans"` option. Also pins determinism (two runs,
+    identical centroids)."""
+    import numpy as np
+
+    from rook_spark.functions import ann
+
+    rng = np.random.default_rng(13)
+    cents = rng.normal(size=(10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, 50, axis=0) + 0.05 * rng.normal(size=(500, 64))
+    embs = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = embs.where(F.col("vec_id").isin(0, 120, 260, 430)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.brute_force_topk(embs, queries, k=10)
+
+    def mean_recall(centroids_mode):
+        approx = ann.ivf_topk(
+            embs, queries, n_centroids=10, nprobe=2, k=10,
+            centroids=centroids_mode, use_arrow=True,
+        )
+        r = {x["query_id"]: x["recall"]
+             for x in ann.recall_at_k(approx, exact, k=10).collect()}
+        return r
+
+    km = mean_recall("kmeans")
+    smp = mean_recall("sample")
+    assert len(km) == 4
+    assert all(v >= 0.9 for v in km.values()), km
+    assert sum(km.values()) >= sum(smp.values())
+
+    c1 = ann.kmeans_centroids(embs, n_centroids=10, n_iter=3)
+    c2 = ann.kmeans_centroids(embs, n_centroids=10, n_iter=3)
+    assert c1 == c2

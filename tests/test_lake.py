@@ -115,3 +115,42 @@ def test_overwrite_and_lineage_defaults(spark, table):
     table.overwrite(df)
     assert table.read().count() == 1
     assert table.lineage().count() == 0
+
+
+def test_changelog_read_reproduces_target_version(spark, tmp_path):
+    """changes(v_from, v_to) over an engine-written table is a valid LWW
+    change set: applying it to the v_from state reproduces v_to exactly,
+    deletes included; net-effect semantics collapse intermediate flips;
+    same-version diff is empty."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 3000, seed=83)
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < 1000), 0)
+    v_from = engine.target().snapshot().version
+    engine.replay(ev.where((F.col("offset") >= 1000) & (F.col("offset") < 2000)), 1)
+    engine.replay(ev.where(F.col("offset") >= 2000), 2)
+    table = engine.target()
+    v_to = table.snapshot().version
+
+    log = table.changes(v_from, v_to)
+    assert set(log.select("op").distinct().toPandas()["op"]) == {"U", "D"}
+
+    # apply the log to the v_from state -> must equal the v_to state
+    old = table.read(version=v_from)
+    ups = log.where(F.col("op") == "U").select(*old.columns)
+    keys = log.select("repo", "path")
+    expected = old.join(keys, ["repo", "path"], "left_anti").unionByName(ups)
+    got = expected.orderBy("repo", "path").toPandas()
+    want = table.read(version=v_to).orderBy("repo", "path").toPandas()
+    assert got["content"].tolist() == want["content"].tolist()
+    assert len(got) == len(want)
+
+    # unchanged keys never appear in the log (net diff, not a dump):
+    # strictly fewer log rows than table rows
+    assert log.count() < table.read(version=v_to).count()
+
+    # net-effect: keys whose final state within the window is identical
+    # to their v_from state are absent; same-version diff is empty
+    assert table.changes(v_to, v_to).count() == 0

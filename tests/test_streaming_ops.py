@@ -391,3 +391,170 @@ def test_kafka_record_parsing_roundtrip(spark, tmp_path):
     want = duckdb.execute(oracle_final_state_sql(f"{raw}/*.parquet")).fetch_df()
     assert len(got) == len(want)
     assert got["content"].tolist() == want["content"].tolist()
+
+
+def test_kafka_shaped_streaming_plan_end_to_end(spark, tmp_path):
+    """The FULL Kafka S1 wiring as a running Structured Streaming query —
+    readStream over Kafka-shaped records (value binary JSON + partition)
+    -> parse_kafka_records INSIDE the streaming plan -> foreachBatch ->
+    CdcEngine._apply — i.e. everything stream_events_kafka produces
+    except the jar-gated .format("kafka").load() itself. Final state is
+    oracle-verified and multiple micro-batches must have fired."""
+    import duckdb
+
+    from rook_spark import sources
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import oracle_final_state_sql
+
+    ev = generate_events(spark, 2000, seed=61)
+    raw = str(tmp_path / "raw")
+    ev.write.parquet(raw)
+    # materialize the topic dump as ordered record files (file == poll)
+    records = spark.read.parquet(raw).select(
+        F.to_json(F.struct("*")).cast("binary").alias("value"),
+        F.col("source_partition").cast("int").alias("partition"),
+        F.col("offset").alias("__order"),
+    )
+    topic = str(tmp_path / "topic")
+    (records.repartitionByRange(4, "__order").drop("__order")
+     .write.parquet(topic))
+    # deliver record files oldest-mtime-first IN OFFSET ORDER — the same
+    # per-partition non-decreasing-offset contract a real Kafka poll loop
+    # provides (see fixtures.write_events for the rationale)
+    import os as _os
+    import time as _time
+
+    parts = sorted(f for f in _os.listdir(topic) if f.endswith(".parquet"))
+    base = _time.time() - len(parts) * 2
+    for i, f in enumerate(parts):
+        dst = _os.path.join(topic, f"poll-{i:05d}.parquet")
+        _os.rename(_os.path.join(topic, f), dst)
+        _os.utime(dst, (base + i * 2, base + i * 2))
+
+    raw_stream = (
+        spark.readStream.schema("value binary, partition int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream_events(
+        sources.parse_kafka_records(raw_stream), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # really ran as multiple micro-batches
+
+    got = engine.target().read().orderBy("repo", "path").toPandas()
+    want = duckdb.execute(oracle_final_state_sql(f"{raw}/*.parquet")).fetch_df()
+    assert len(got) == len(want)
+    assert got["content"].tolist() == want["content"].tolist()
+    # lineage landed through the streaming path too
+    assert engine.target().lineage().count() >= 1
+
+
+def _write_debezium_mixed(tmp_path):
+    """6 well-formed envelopes + one 't' (truncate), one heartbeat-style
+    'm', and one record with null binlog pos."""
+    import json
+
+    rows = []
+    for i in range(6):
+        rows.append({
+            "before": None,
+            "after": {"repo": "r0", "path": f"p{i}", "commit": f"c{i}",
+                      "lang": "py", "content": f"body{i}"},
+            "source": {"name": "db1", "ts_ms": 1000 + i, "db": "s", "table": "repos",
+                       "server_id": 1, "file": "mysql-bin.000001", "pos": 100 + i},
+            "op": "c", "ts_ms": 1000 + i,
+            "transaction": {"id": f"tx{i}", "total_order": i},
+        })
+    rows.append({"before": None, "after": None,
+                 "source": {"name": "db1", "ts_ms": 2000, "db": "s", "table": "repos",
+                            "server_id": 1, "file": "mysql-bin.000001", "pos": 200},
+                 "op": "t", "ts_ms": 2000, "transaction": None})
+    rows.append({"before": None, "after": None,
+                 "source": {"name": "db1", "ts_ms": 2001, "db": "s", "table": "repos",
+                            "server_id": 1, "file": "mysql-bin.000001", "pos": 201},
+                 "op": "m", "ts_ms": 2001, "transaction": None})
+    rows.append({"before": None,
+                 "after": {"repo": "r0", "path": "px", "commit": "cx",
+                           "lang": "py", "content": "bodyx"},
+                 "source": {"name": "db1", "ts_ms": 2002, "db": "s", "table": "repos",
+                            "server_id": 1, "file": "mysql-bin.000001", "pos": None},
+                 "op": "c", "ts_ms": 2002, "transaction": None})
+    p = tmp_path / "dbz_mixed"
+    p.mkdir()
+    (p / "events.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def test_debezium_unknown_op_fails_fast_by_default(spark, tmp_path):
+    """Out-of-contract Debezium records (op 't'/'m', null source.pos) must
+    not vanish: the default mode aborts the read in-plan."""
+    from rook_spark import sources
+
+    path = _write_debezium_mixed(tmp_path)
+    with pytest.raises(Exception, match="unknown op|null source.pos"):
+        sources.read_events_debezium(spark, path).collect()
+
+
+def test_debezium_dead_letter_partitions_input_exactly(spark, tmp_path):
+    """dead_letter mode: canonical feed + rejects == the whole input, with
+    per-reason tags — the counted quarantine path."""
+    from rook_spark import sources
+
+    path = _write_debezium_mixed(tmp_path)
+    good = sources.read_events_debezium(spark, path, on_unknown="dead_letter")
+    rejects = sources.read_debezium_rejects(spark, path)
+    assert good.count() == 6
+    assert good.where(F.col("op").isNull()).count() == 0
+    assert good.where(F.col("offset").isNull()).count() == 0
+    reasons = {r["reject_reason"]: r["n"] for r in
+               rejects.groupBy("reject_reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert reasons == {"unknown_op": 2, "null_pos": 1}
+    assert good.count() + rejects.count() == 9
+
+
+def test_sink_lifecycle_register_unregister(spark, tmp_path):
+    """ReplicationStream listener-lifecycle parity: with_sink /
+    without_sink / sink_names; removal is loud on unknown names and a
+    removed sink stops receiving batches."""
+    from rook_spark.cdc.engine import CdcEngine
+
+    seen = []
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    engine.with_sink("probe", lambda df, bid: seen.append((bid, df.count())),
+                     when="before")
+    assert engine.sink_names() == ("probe",)
+
+    ev = generate_events(spark, 400, seed=67)
+    engine.replay(ev.where(F.col("offset") < 200), 0)
+    assert len(seen) == 1 and seen[0][1] > 0
+
+    engine.without_sink("probe")
+    assert engine.sink_names() == ()
+    engine.replay(ev.where(F.col("offset") >= 200), 1)
+    assert len(seen) == 1  # no further deliveries after removal
+
+    with pytest.raises(KeyError, match="no sink named"):
+        engine.without_sink("probe")
+
+
+def test_await_stream_ready_and_isactive(spark, tmp_path):
+    """connect(timeout)/isConnected parity: await_stream_ready returns
+    once a trigger completed; isActive is the live connected check."""
+    from rook_spark.cdc.engine import CdcEngine, await_stream_ready
+    from rook_spark.cdc.fixtures import write_events
+
+    ev = generate_events(spark, 600, seed=71)
+    src = str(tmp_path / "log")
+    write_events(ev, src, n_files=3)
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    try:
+        assert await_stream_ready(q, timeout_s=60) is q
+        assert q.isActive
+    finally:
+        q.processAllAvailable()
+        q.stop()
+    assert not q.isActive
