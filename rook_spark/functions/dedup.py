@@ -92,6 +92,28 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- minhash
 
+#: smallest prime > 2^32 — modulus of the affine min-wise family
+MINHASH_PRIME = 4294967311
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic constants (a, b) of the affine min-wise family
+    ``h_i(x) = (a_i * x + b_i) mod p``: a is odd, < 2^30 (so a*x < 2^62
+    never overflows signed-64 arithmetic in ANY engine), b < p; both
+    derived from md5 of the hash index, so the exact literals inline
+    into the DuckDB oracle SQL (the repo's established inlined-constant
+    pattern, cf. the LSH hyperplanes)."""
+    import hashlib
+
+    out = []
+    for i in range(n_hashes):
+        d = hashlib.md5(f"minhash|{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (1 << 30)) | 1
+        b = int(d[8:16], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,16 +121,22 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per doc: sig_i = min(md5(i || '|' || shingle)).
-
-    md5-string min is a valid min-wise hash family for parity purposes
-    and is reproducible in any engine; one explode + one grouped agg —
-    linear, partial-combinable.
-    """
-    sh = shingles(df, id_col, text_col, k)
+    """MinHash signature per doc over an affine min-wise family:
+    ONE md5 per shingle (its first 8 hex chars → a 32-bit base hash x),
+    then ``sig_i = min((a_i * x + b_i) mod p)`` — the standard one-hash
+    construction. The round-2 shape hashed every shingle ``n_hashes``
+    times (16 md5 calls per shingle); this computes 1 md5 + 16 integer
+    FMAs, which matters doubly on hosts where JDK MessageDigest contends
+    across threads (measured 4× wall at 32 threads on this box). Min
+    aggs run over LONGs, not 32-char strings — cheaper compares and a
+    smaller shuffle. One explode + one grouped agg — linear,
+    partial-combinable."""
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "__x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -132,7 +160,10 @@ def minhash_lsh_pairs(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                    )
                 ).alias("key"),
             )
             for b in range(n_bands)
@@ -302,4 +333,81 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+# ------------------------------------------------- duplicate clustering
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list (the step that
+    turns near-dup PAIRS into duplicate CLUSTERS so a pipeline can keep
+    one representative per cluster): min-label propagation — every node
+    repeatedly takes the minimum label among itself and its neighbors
+    until a fixpoint. Converges in O(graph diameter) rounds; near-dup
+    graphs are unions of small dense cliques (diameter a few hops), so
+    a handful of rounds settles real corpora. Raises loudly if
+    ``max_iter`` rounds do not converge instead of returning a partial
+    clustering.
+
+    Scale shape per round: one shuffle join (labels onto the symmetric
+    edge list, partitioned by node id) + one min-aggregate — both
+    partial-combinable; the label frame is ``localCheckpoint``ed each
+    round to truncate the iterative lineage (on a cluster, use a
+    checkpoint dir — same call, durable). For adversarial long-chain
+    graphs swap in large-star/small-star (O(log n) rounds, same
+    join+agg building blocks); the fixpoint loop and convergence test
+    (sum of labels strictly decreases, one tiny agg action per round)
+    stay identical.
+
+    ``nodes``: optional one-column DataFrame of ALL node ids (singletons
+    included — they become their own component); defaults to the ids
+    present in ``edges``.
+
+    Output: ``(id, component)`` where component = min node id reachable.
+    """
+    e = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    if nodes is None:
+        ids = sym.select(F.col("u").alias("id")).distinct()
+    else:
+        ids = nodes.toDF("id").distinct()
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("component")).first()[0] or 0
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("v"), F.col("component").alias("vc")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("vc").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0] or 0
+        if cur_sum == prev_sum:  # min-label sum strictly decreases while active
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the graph has a very long path component; use more rounds or a "
+        "large-star/small-star variant"
     )

@@ -45,6 +45,10 @@ def register(name: str, sql: str | None = None):
 # against DuckDB in tests/test_queries_vs_duckdb.py, so nothing loses an
 # oracle — only the redundant driver row.
 _DRIVER_TAIL = (
+    # the documented oracle-only variant whose scale path (MinHash+LSH)
+    # holds three in-window rows (signatures are its first stage; pairs
+    # and clusters build on it); ngram Jaccard stays pytest-oracled
+    "dedup_ngram_jaccard",
     "doc_sha256_pandas_udf",   # same oracle as doc_sha256
     "emb_cosine_topk_arrow",   # same oracle as emb_cosine_topk
     "emb_near_dup_pairs_arrow",  # same oracle as emb_near_dup_pairs
@@ -526,8 +530,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY n.n_name
     """,
 )
@@ -536,10 +540,12 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     the join graph, broadcasts the small dims (nation/region/supplier at
     this SF), and pushes the region/date filters into the scans. The
     customer-nation = supplier-nation equality makes one join a
-    composite-key join (the classic Q5 trap)."""
+    composite-key join (the classic Q5 trap). Constants are adapted to
+    the synthetic tables' domain (orders start 1995) so the driver row
+    is non-vacuous."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
     )
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -576,8 +582,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
     GROUP BY 1, 2, 3
     """,
 )
@@ -585,7 +591,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 — the disjunctive nation-pair condition: Catalyst keeps
     the two broadcast nation joins and applies the OR'd pair predicate as
     a post-join filter (not a cartesian); year extraction on both
-    engines."""
+    engines. Nation names adapted to the synthetic domain (NATION_n) so
+    the driver row is non-vacuous."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
@@ -593,8 +600,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = F.broadcast(_t(spark, sf_dir, "nation")).alias("n1")
     n2 = F.broadcast(_t(spark, sf_dir, "nation")).alias("n2")
     pair = (
-        (F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY")
-    ) | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+        (F.col("n1.n_name") == "NATION_9") & (F.col("n2.n_name") == "NATION_10")
+    ) | ((F.col("n1.n_name") == "NATION_10") & (F.col("n2.n_name") == "NATION_9"))
     return (
         s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1079,10 +1086,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(n_hashes: int) -> str:
+    # same affine min-wise family as dedup.minhash_signatures, constants
+    # inlined (one md5 per shingle; sig_i = min((a_i*x + b_i) mod p))
     sigs = ", ".join(
-        f"min(md5(concat_ws('|', '{i}', shingle))) AS sig_{i}" for i in range(n_hashes)
+        f"min(({a} * x + {b}) % {dedup.MINHASH_PRIME}) AS sig_{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(n_hashes))
     )
-    return f"WITH {_SHINGLE_CTE} SELECT id, {sigs} FROM sh GROUP BY id"
+    return f"""WITH {_SHINGLE_CTE},
+    shx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh)
+    SELECT id, {sigs} FROM shx GROUP BY id"""
 
 
 @register("dedup_minhash_signatures", _minhash_sig_sql(8))
@@ -1112,6 +1124,42 @@ def _minhash_lsh_sql(n_hashes: int, n_bands: int) -> str:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), n_hashes=16, n_bands=8
+    )
+
+
+@register(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_sql(16, 8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    r AS (
+      SELECT id, id AS reach FROM nodes
+      UNION
+      SELECT r.id, e.v AS reach FROM r JOIN edges e ON r.reach = e.u
+    )
+    SELECT id, CAST(min(reach) AS BIGINT) AS component
+    FROM r GROUP BY id
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components
+    (iterative min-label propagation, rook_spark.functions.dedup
+    .connected_components) over the MinHash-LSH candidate graph, every
+    document labeled with the min doc_id of its component (singletons =
+    themselves) — the step that lets a training-data pipeline keep ONE
+    representative per duplicate cluster. The oracle recomputes the
+    fixpoint as a DuckDB RECURSIVE CTE (set-semantics reachability →
+    min per node), so the distributed loop is hash-checked against an
+    independent transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, n_bands=8)
+    return dedup.connected_components(
+        pairs, nodes=docs.select("doc_id")
     )
 
 

@@ -348,3 +348,24 @@ def test_ivf_kmeans_centroids_recall_on_clustered_data(spark):
     c1 = ann.kmeans_centroids(embs, n_centroids=10, n_iter=3)
     c2 = ann.kmeans_centroids(embs, n_centroids=10, n_iter=3)
     assert c1 == c2
+
+
+def test_connected_components_chain_singletons_and_convergence(spark):
+    """Min-label propagation: a 5-node chain collapses to one component
+    (diameter > 1 hop, so labels must propagate transitively), two
+    disconnected cliques stay separate, isolated nodes label themselves,
+    and an unconvergeable cap raises instead of returning partial
+    labels."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain 1-5
+         (10, 11), (11, 12), (10, 12)],    # triangle 10-12
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 99]],
+                                  "id long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, nodes=nodes, max_iter=1)
