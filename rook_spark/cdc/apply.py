@@ -54,9 +54,6 @@ OBS_FALLBACKS = {"count": 0}
 # can be alerted on BEFORE threads accumulate; each miss also logs.
 OBS_WATCHERS_LEAKED = {"count": 0}
 
-_OBS_TIMEOUT_S = float(os.environ.get("ROOK_OBS_TIMEOUT_S", "30"))
-
-
 def _observation_result(obs: Observation, timeout_s: float | None = None) -> dict:
     """Bounded wait on ``Observation.get`` (which blocks indefinitely):
     a delivery miss degrades to the caller's recompute fallback instead
@@ -72,7 +69,9 @@ def _observation_result(obs: Observation, timeout_s: float | None = None) -> dic
     import threading
 
     if timeout_s is None:
-        timeout_s = _OBS_TIMEOUT_S
+        # read per call, not at import: operators tune this on a live
+        # process (an import-time constant would silently ignore them)
+        timeout_s = float(os.environ.get("ROOK_OBS_TIMEOUT_S", "30"))
     box: dict = {}
     err: list[Exception] = []
 

@@ -274,10 +274,19 @@ class CdcEngine:
         closes the deleted-key resurrection caveat documented on
         :meth:`LakeTable.merge` for bootstrap-then-tail flows.
 
-        Every snapshot row carries ``as_of_ordinal`` (default: the max
-        as-of offset) as its commit ordinal, so genuinely-new tail
-        changes (which carry higher ordinals) win LWW over the snapshot
-        image, while any out-of-contract replay at-or-below it loses.
+        Every snapshot row carries ``as_of_ordinal`` as its stored LWW
+        commit ordinal. **Its default is 0, NOT an offset**: offsets
+        (Kafka positions, binlog coordinates) and commit ordinals (the
+        LWW domain) are different number lines — defaulting the snapshot
+        ordinal from the offsets would FREEZE bootstrapped keys whenever
+        offsets run numerically ahead of ordinals, because every genuine
+        tail update would lose ``s_ord >= t_ord`` in the MERGE. With 0,
+        every tail change (ordinal > 0) wins over the snapshot image —
+        correct, since the watermark filter already guarantees nothing
+        at-or-below the snapshot position reaches the MERGE. Pass an
+        explicit ``as_of_ordinal`` (in the ``commit_ordinal`` domain)
+        only if you also need ordinal-level protection against
+        out-of-contract feeds that bypass the watermark.
         Lineage ``rows_applied``/``bytes`` stay 0 — they count
         replicated CHANGE events, and a snapshot applies none.
         """
@@ -299,7 +308,7 @@ class CdcEngine:
             as_of = {int(p): int(o) for p, o in as_of_offsets.items()}
         if not as_of:
             raise ValueError("as_of_offsets must name at least one partition")
-        ordinal = int(max(as_of.values()) if as_of_ordinal is None else as_of_ordinal)
+        ordinal = int(0 if as_of_ordinal is None else as_of_ordinal)
 
         table = self.target(payload_schema=snapshot_df.schema)
         changes = (
@@ -412,10 +421,16 @@ def await_stream_ready(query: StreamingQuery, timeout_s: float = 30.0,
 
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        if not query.isActive:
-            query.awaitTermination()  # surfaces the stream's own exception
-            raise RuntimeError("stream terminated before completing a trigger")
+        # progress first: a query that completed its triggers and then
+        # stopped cleanly (processAllAvailable+stop in another thread,
+        # AvailableNow finishing) DID connect — inactivity alone is not
+        # a failure
         if query.recentProgress:
             return query
+        if not query.isActive:
+            query.awaitTermination()  # surfaces the stream's own exception
+            if query.recentProgress:
+                return query
+            raise RuntimeError("stream terminated before completing a trigger")
         time.sleep(poll_s)
     raise TimeoutError(f"stream not ready within {timeout_s}s")

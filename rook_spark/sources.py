@@ -148,6 +148,16 @@ def _debezium_envelope(payload_schema=None, evolved: bool = False):
     ])
 
 
+def _debezium_contract() -> tuple:
+    """The single definition of the Debezium in-contract predicates,
+    shared by BOTH readers so 'canonical + rejects == input' can never
+    drift: (known_op, has_pos), each null-safe (a NULL op must count as
+    out-of-contract, not vanish into three-valued-logic limbo)."""
+    known_op = F.coalesce(F.col("op").isin("c", "r", "u", "d"), F.lit(False))
+    has_pos = F.col("source.pos").isNotNull()
+    return known_op, has_pos
+
+
 def read_debezium_rejects(
     spark: SparkSession,
     path: str,
@@ -158,13 +168,14 @@ def read_debezium_rejects(
     on_unknown='dead_letter')``: every envelope OUTSIDE the c/r/u/d +
     has-binlog-coordinates contract, tagged with ``reject_reason``
     (``unknown_op`` / ``null_pos``). Together the two readers partition
-    the input exactly — count this one, alert on it, or sink it to a
-    quarantine table; nothing vanishes silently."""
+    the input exactly (same predicates, one definition —
+    :func:`_debezium_contract`; pinned by test, null op included) —
+    count this one, alert on it, or sink it to a quarantine table;
+    nothing vanishes silently."""
     raw = spark.read.schema(_debezium_envelope(payload_schema, evolved)).option(
         "mode", "FAILFAST"
     ).json(path)
-    known_op = F.col("op").isin("c", "r", "u", "d")
-    has_pos = F.col("source.pos").isNotNull()
+    known_op, has_pos = _debezium_contract()
     return raw.where(~known_op | ~has_pos).withColumn(
         "reject_reason", F.when(~known_op, "unknown_op").otherwise("null_pos")
     )
@@ -218,20 +229,33 @@ def read_events_debezium(
         F.regexp_extract(F.col("source.file"), "([0-9]+)$", 1).cast("long"), F.lit(0)
     )
     offset = file_seq * F.lit(file_seq_weight) + F.col("source.pos")
-    known_op = F.col("op").isin("c", "r", "u", "d")
-    has_pos = F.col("source.pos").isNotNull()
+    known_op, has_pos = _debezium_contract()
     if on_unknown == "error":
-        # fail fast IN THE PLAN (JVM-side, no extra pass): the first
-        # out-of-contract record aborts the read instead of vanishing
-        op_tail = F.raise_error(
-            F.concat(F.lit("debezium: unknown op "), F.coalesce(F.col("op"), F.lit("<null>")))
+        # fail fast via an UNPRUNABLE row filter: a raise_error riding an
+        # output projection is column-pruned away whenever the consumer
+        # doesn't read that column (e.g. .count()), silently skipping the
+        # check — a WHERE affects cardinality and always evaluates
+        guard = (
+            F.when(
+                ~known_op,
+                F.raise_error(
+                    F.concat(
+                        F.lit("debezium: unknown op "),
+                        F.coalesce(F.col("op"), F.lit("<null>")),
+                    )
+                ).cast("boolean"),
+            )
+            .when(
+                ~has_pos,
+                F.raise_error(
+                    F.lit("debezium: record has null source.pos")
+                ).cast("boolean"),
+            )
+            .otherwise(F.lit(True))
         )
-        offset = F.when(has_pos, offset).otherwise(
-            F.raise_error(F.lit("debezium: record has null source.pos")).cast("long")
-        )
+        raw = raw.where(guard)
     else:
         raw = raw.where(known_op & has_pos)
-        op_tail = F.lit(None).cast("string")
     return raw.select(
         offset.alias("offset"),
         F.when(
@@ -240,10 +264,11 @@ def read_events_debezium(
         F.col("source.server_id").alias("server_id"),
         F.col("source.db").alias("schema_name"),
         F.col("source.table").alias("table_name"),
+        # rows reaching this projection passed the contract filter above,
+        # so the mapping is total over c/r/u/d
         F.when(F.col("op").isin("c", "r"), "I")
         .when(F.col("op") == "u", "U")
         .when(F.col("op") == "d", "D")
-        .otherwise(op_tail)
         .alias("op"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),

@@ -305,3 +305,39 @@ def test_bootstrap_guards(spark, tmp_path):
     e2 = CdcEngine(spark, str(tmp_path / "repos2"))
     with pytest.raises(ValueError, match="n_source_partitions"):
         e2.bootstrap(snap, 100)
+
+
+def test_bootstrap_ordinal_domain_not_conflated_with_offsets(spark, tmp_path):
+    """Self-review round 3: offsets (transport positions) and commit
+    ordinals (the LWW domain) are different number lines. A snapshot
+    bootstrapped at a numerically huge transport offset must NOT freeze
+    its keys against tail updates that carry small commit ordinals."""
+    from pyspark.sql import functions as F
+
+    snap = spark.createDataFrame(
+        [("r1", "p1", "c0", "py", "old")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    engine = CdcEngine(spark, str(tmp_path / "repos"))
+    # Kafka-style: partition offset far ahead of any DB ordinal
+    engine.bootstrap(snap, {0: 5_000_000})
+    img = F.struct(
+        F.lit("r1").alias("repo"), F.lit("p1").alias("path"),
+        F.lit("c1").alias("commit"), F.lit("py").alias("lang"),
+        F.lit("new").alias("content"),
+    )
+    tail = spark.range(1).select(
+        F.lit(5_000_001).alias("offset"), F.lit(None).cast("long").alias("tx_id"),
+        F.lit(1).cast("long").alias("server_id"), F.lit("rook").alias("schema_name"),
+        F.lit("repos").alias("table_name"), F.lit("U").alias("op"),
+        F.lit(None).cast(
+            "struct<repo:string,path:string,commit:string,lang:string,content:string>"
+        ).alias("before"),
+        img.alias("after"),
+        F.lit(80_001).alias("commit_ordinal"),  # small DB ordinal
+        F.lit(0).cast("int").alias("source_partition"),
+        F.current_timestamp().alias("ts"),
+    )
+    engine.replay(tail)
+    row = engine.target().read().where(F.col("path") == "p1").first()
+    assert row["content"] == "new", "tail update lost LWW against the snapshot image"

@@ -558,3 +558,47 @@ def test_await_stream_ready_and_isactive(spark, tmp_path):
         q.processAllAvailable()
         q.stop()
     assert not q.isActive
+
+
+def test_debezium_null_op_neither_vanishes_nor_passes(spark, tmp_path):
+    """Three-valued-logic trap (self-review round 3): an envelope with a
+    NULL op must land in the rejects feed — not disappear from both
+    readers because `col IN (...)` evaluates to SQL NULL."""
+    import json
+
+    from rook_spark import sources
+
+    rows = [
+        {"before": None,
+         "after": {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+                   "content": "x"},
+         "source": {"name": "d", "ts_ms": 1, "db": "s", "table": "t",
+                    "server_id": 1, "file": "mysql-bin.000001", "pos": 1},
+         "op": "c", "ts_ms": 1, "transaction": None},
+        {"before": None, "after": None,
+         "source": {"name": "d", "ts_ms": 2, "db": "s", "table": "t",
+                    "server_id": 1, "file": "mysql-bin.000001", "pos": 2},
+         "op": None, "ts_ms": 2, "transaction": None},
+    ]
+    p = tmp_path / "dbz_nullop"
+    p.mkdir()
+    (p / "e.json").write_text("\n".join(json.dumps(r) for r in rows))
+    good = sources.read_events_debezium(spark, str(p), on_unknown="dead_letter")
+    rejects = sources.read_debezium_rejects(spark, str(p))
+    assert good.count() == 1
+    assert rejects.count() == 1
+    assert rejects.first()["reject_reason"] == "unknown_op"
+    # error mode fails even for a NULL op
+    with pytest.raises(Exception, match="unknown op"):
+        sources.read_events_debezium(spark, str(p)).collect()
+
+
+def test_debezium_fail_fast_survives_column_pruning(spark, tmp_path):
+    """The error-mode guard must fire even when the consumer never reads
+    op/offset (e.g. .count()) — a projection-riding raise_error would be
+    column-pruned away; the WHERE-based guard cannot be."""
+    from rook_spark import sources
+
+    path = _write_debezium_mixed(tmp_path)
+    with pytest.raises(Exception, match="unknown op|null source.pos"):
+        sources.read_events_debezium(spark, path).count()
