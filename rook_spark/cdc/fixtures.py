@@ -243,19 +243,21 @@ def map_driver_events(ev: DataFrame, n_repos: int = 25, tx_size: int = 8,
 # --------------------------------------------------------------------- oracle
 
 def oracle_final_state_sql(
-    events_parquet_glob: str, evolved: bool = False, union_by_name: bool = False
+    events_parquet_glob: str, evolved: bool = False, union_by_name: bool = False,
+    table: str = "rook.repos",
 ) -> str:
-    """DuckDB SQL computing the golden final state of the `repos` table
+    """DuckDB SQL computing the golden final state of one tracked table
     from the raw event log — an independent replay implementation
     (LWW by (commit_ordinal, offset), delete drops the key, ignored
     tables/servers filtered; duplicates collapse because replayed rows
-    are byte-identical)."""
+    are byte-identical). ``table`` picks the qualified table the oracle
+    replays (multi-table demux tests replay each table's oracle)."""
     extra = ', img.size_bytes AS size_bytes' if evolved else ""
     ubn = ", union_by_name=true" if union_by_name else ""
     return f"""
 WITH filtered AS (
   SELECT * FROM read_parquet('{events_parquet_glob}'{ubn})
-  WHERE lower(schema_name || '.' || table_name) = 'rook.repos'
+  WHERE lower(schema_name || '.' || table_name) = '{table.lower()}'
     AND server_id NOT IN ({IGNORED_SERVER_ID})
 ),
 keyed AS (

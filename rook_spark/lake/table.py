@@ -278,6 +278,37 @@ class LakeTable:
     def last_committed_batch(self) -> int:
         return self.snapshot().batch_id
 
+    def history(self) -> DataFrame:
+        """Version history as a DataFrame (Iceberg `snapshots` / Delta
+        `DESCRIBE HISTORY` analog): one row per retained snapshot —
+        version, batch id, run id, commit time, parent, file/delta
+        counts, and the total applied rows/bytes recorded in that
+        version's lineage. Ops surface: monitor delta backlog
+        (``n_delta_files`` growth → compaction cadence too slow), audit
+        the epoch cadence, and pick time-travel targets. Vacuumed
+        versions are absent (their snapshot json is retained metadata's
+        boundary). Driver-side metadata only — never scans data files."""
+        rows = []
+        cur = self.current_version()
+        for v in range(cur + 1):
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:  # vacuumed
+                continue
+            rows.append((
+                s.version, s.batch_id, s.run_id, float(s.committed_at), s.parent,
+                sum(len(f) for f in s.buckets.values()),
+                sum(len(f) for f in s.deltas.values()),
+                sum(int(m.get("rows_applied", 0)) for m in s.lineage.values()),
+                sum(int(m.get("bytes", 0)) for m in s.lineage.values()),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, batch_id long, run_id string, committed_at double, "
+            "parent int, n_data_files long, n_delta_files long, "
+            "total_rows_applied long, total_bytes long",
+        )
+
     def changes(
         self,
         from_version: int,

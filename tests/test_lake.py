@@ -154,3 +154,63 @@ def test_changelog_read_reproduces_target_version(spark, tmp_path):
     # net-effect: keys whose final state within the window is identical
     # to their v_from state are absent; same-version diff is empty
     assert table.changes(v_to, v_to).count() == 0
+
+
+def test_history_and_metrics_surfaces(spark, tmp_path):
+    """Ops surfaces: history() = one row per retained version with
+    file/delta counts and cumulative lineage totals; engine.metrics() =
+    per-epoch ApplyStats including fence skips."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 1200, seed=89)
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 600), 0)
+    eng.replay(ev.where(F.col("offset") >= 600), 1)
+    eng.replay(ev.where(F.col("offset") >= 600), 1)  # fenced duplicate
+    eng.target().compact()
+
+    h = eng.target().history().orderBy("version").collect()
+    assert [r["version"] for r in h] == list(range(len(h)))
+    assert h[0]["n_data_files"] == 0                      # empty create
+    assert any(r["n_delta_files"] > 0 for r in h)         # MOR epochs
+    assert h[-1]["n_delta_files"] == 0                    # compacted
+    totals = [r["total_rows_applied"] for r in h]
+    assert totals == sorted(totals) and totals[-1] > 0    # cumulative
+    assert h[-1]["total_bytes"] > 0
+
+    m = {r["batch_id"]: r for r in eng.metrics().collect()}
+    assert m[0]["rows_in"] > 0 and not m[0]["skipped"]
+    assert m[1]["skipped"]  # the fenced re-delivery shows up as a skip
+    assert m[1]["version"] >= 0
+
+
+def test_changelog_composes_across_versions(spark, tmp_path):
+    """Changelog algebra: applying changes(v0,v1) then changes(v1,v2) to
+    the v0 state must equal applying changes(v0,v2) directly — the net
+    diff composes, so consumers may batch windows freely."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 2400, seed=91)
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 800), 0)
+    t = eng.target()
+    v0 = t.snapshot().version
+    eng.replay(ev.where((F.col("offset") >= 800) & (F.col("offset") < 1600)), 1)
+    v1 = t.snapshot().version
+    eng.replay(ev.where(F.col("offset") >= 1600), 2)
+    v2 = t.snapshot().version
+
+    def apply_log(state, log):
+        ups = log.where(F.col("op") == "U").select(*state.columns)
+        return state.join(log.select("repo", "path"), ["repo", "path"],
+                          "left_anti").unionByName(ups)
+
+    s0 = t.read(version=v0)
+    stepwise = apply_log(apply_log(s0, t.changes(v0, v1)), t.changes(v1, v2))
+    direct = apply_log(s0, t.changes(v0, v2))
+    assert stepwise.exceptAll(direct).count() == 0
+    assert direct.exceptAll(stepwise).count() == 0
+    assert direct.exceptAll(t.read(version=v2)).count() == 0
