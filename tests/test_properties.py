@@ -104,3 +104,42 @@ def test_merge_commutes_across_batch_splits(spark, tmp_path_factory, events, dat
     one_shot = apply_batches([(0, len(events))])
     split_apply = apply_batches([(0, split), (split, len(events))])
     assert split_apply == one_shot
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=30))
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label fixpoint must equal a sequential
+    union-find on any random undirected graph (self-loops and duplicate
+    edges included) — the clustering the dedup pipeline keys off."""
+    from rook_spark.functions.dedup import connected_components
+
+    # sequential ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in parent}
+    # canonicalize to min-reachable-id per component
+    comp_min: dict = {}
+    for x, r in truth.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    truth = {x: comp_min[find(x)] for x in parent}
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == truth
