@@ -388,10 +388,11 @@ class CdcEngine:
         0, so cross-checkpoint fencing would drop new events); re-delivered
         *events* (source duplicates) hit the lineage watermark filter.
         """
-        src = (
-            self.spark.readStream.schema(cdc_schema.event_schema(evolved))
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
+        from rook_spark.sources import stream_events_files
+
+        src = stream_events_files(
+            self.spark, source_dir, max_files_per_trigger=max_files_per_trigger,
+            evolved=evolved,
         )
         return self.stream_events(src, checkpoint_dir)
 
@@ -491,10 +492,11 @@ class MultiTableCdcEngine:
         table's batch-id fence is scoped to it via run_id, and per-table
         watermarks make re-delivery after a partial epoch (crash between
         two tables' commits) exactly-once per table."""
-        src = (
-            self.spark.readStream.schema(cdc_schema.event_schema(evolved))
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
+        from rook_spark.sources import stream_events_files
+
+        src = stream_events_files(
+            self.spark, source_dir, max_files_per_trigger=max_files_per_trigger,
+            evolved=evolved,
         )
         run_id = os.path.abspath(checkpoint_dir)
 

@@ -175,6 +175,24 @@ def with_replayed_suffix(events: DataFrame, n_events: int, replay_frac: float = 
     return events.unionByName(events.where(F.col("offset") >= cutoff))
 
 
+def order_files_for_tail(path: str, prefix: str = "chunk") -> None:
+    """Rename a directory's parquet part files into name order with
+    strictly increasing mtimes, so Spark's FileStreamSource (which picks
+    oldest-mtime-first) delivers them in the order ``repartitionByRange``
+    wrote them — the mechanical half of the ordered-tail contract, shared
+    by :func:`write_events` and any test materializing a custom-shaped
+    topic dump (e.g. Kafka-record files)."""
+    import os
+    import time
+
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    base = time.time() - len(parts) * 2
+    for i, f in enumerate(parts):
+        dst = os.path.join(path, f"{prefix}-{i:05d}.parquet")
+        os.rename(os.path.join(path, f), dst)
+        os.utime(dst, (base + i * 2, base + i * 2))
+
+
 def write_events(events: DataFrame, path: str, n_files: int = 8) -> None:
     """Materialize the log as parquet chunks that a file-stream source
     delivers in OFFSET ORDER — the engine's source contract is
@@ -183,16 +201,8 @@ def write_events(events: DataFrame, path: str, n_files: int = 8) -> None:
     preserves it by single-threaded dispatch). Spark's FileStreamSource
     picks oldest-mtime-first, so chunks are renamed into range order
     with strictly increasing mtimes."""
-    import os
-    import time
-
     events.repartitionByRange(n_files, "offset").write.mode("overwrite").parquet(path)
-    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-    base = time.time() - len(parts) * 2
-    for i, f in enumerate(parts):
-        dst = os.path.join(path, f"chunk-{i:05d}.parquet")
-        os.rename(os.path.join(path, f), dst)
-        os.utime(dst, (base + i * 2, base + i * 2))
+    order_files_for_tail(path)
 
 
 def map_driver_events(ev: DataFrame, n_repos: int = 25, tx_size: int = 8,

@@ -252,6 +252,17 @@ def _ivf_cells_arrow(
     )
 
 
+def _sample_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic codebook seed: the ``n_centroids`` lowest-id corpus
+    vectors (a top-N take, not a full sort)."""
+    return [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -272,10 +283,7 @@ def kmeans_centroids(
     import numpy as np
     import pandas as pd
 
-    cents = [
-        (int(r[id_col]), [float(x) for x in r[vec_col]])
-        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-    ]
+    cents = _sample_centroids(corpus, n_centroids, id_col, vec_col)
 
     def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.array(pdf["__v"].tolist(), dtype=np.float64)
@@ -325,10 +333,7 @@ def ivf_topk(
     if centroids == "kmeans":
         cents = kmeans_centroids(corpus, n_centroids, id_col, vec_col)
     elif centroids == "sample":
-        cents = [
-            (int(r[id_col]), [float(x) for x in r[vec_col]])
-            for r in corpus.orderBy(id_col).limit(n_centroids).collect()
-        ]
+        cents = _sample_centroids(corpus, n_centroids, id_col, vec_col)
     else:
         raise ValueError(f"centroids must be 'sample' or 'kmeans', got {centroids!r}")
     if use_arrow:

@@ -421,15 +421,9 @@ def test_kafka_shaped_streaming_plan_end_to_end(spark, tmp_path):
     # deliver record files oldest-mtime-first IN OFFSET ORDER — the same
     # per-partition non-decreasing-offset contract a real Kafka poll loop
     # provides (see fixtures.write_events for the rationale)
-    import os as _os
-    import time as _time
+    from rook_spark.cdc.fixtures import order_files_for_tail
 
-    parts = sorted(f for f in _os.listdir(topic) if f.endswith(".parquet"))
-    base = _time.time() - len(parts) * 2
-    for i, f in enumerate(parts):
-        dst = _os.path.join(topic, f"poll-{i:05d}.parquet")
-        _os.rename(_os.path.join(topic, f), dst)
-        _os.utime(dst, (base + i * 2, base + i * 2))
+    order_files_for_tail(topic, prefix="poll")
 
     raw_stream = (
         spark.readStream.schema("value binary, partition int")
