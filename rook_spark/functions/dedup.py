@@ -349,21 +349,20 @@ def connected_components(
     turns near-dup PAIRS into duplicate CLUSTERS so a pipeline can keep
     one representative per cluster): min-label propagation — every node
     repeatedly takes the minimum label among itself and its neighbors
-    until a fixpoint. Converges in O(graph diameter) rounds; near-dup
-    graphs are unions of small dense cliques (diameter a few hops), so
-    a handful of rounds settles real corpora. Raises loudly if
-    ``max_iter`` rounds do not converge instead of returning a partial
-    clustering.
+    until a fixpoint, with POINTER DOUBLING each round (every node also
+    jumps to its current label's label — Shiloach–Vishkin style), so
+    label distances halve per round: convergence is O(log diameter),
+    not O(diameter) — a 1M-link chain settles in ~20 rounds instead of
+    1M. Raises loudly if ``max_iter`` rounds do not converge instead of
+    returning a partial clustering.
 
     Scale shape per round: one shuffle join (labels onto the symmetric
     edge list, partitioned by node id) + one min-aggregate — both
-    partial-combinable; the label frame is ``localCheckpoint``ed each
-    round to truncate the iterative lineage (on a cluster, use a
-    checkpoint dir — same call, durable). For adversarial long-chain
-    graphs swap in large-star/small-star (O(log n) rounds, same
-    join+agg building blocks); the fixpoint loop and convergence test
-    (sum of labels strictly decreases, one tiny agg action per round)
-    stay identical.
+    partial-combinable — plus one labels⋈labels self-join for the jump;
+    the label frame is ``localCheckpoint``ed each round to truncate the
+    iterative lineage (on a cluster, use a checkpoint dir — same call,
+    durable). The convergence test (sum of labels strictly decreases,
+    one tiny agg action per round) doubles as the fixpoint detector.
 
     ``nodes``: optional one-column DataFrame of ALL node ids (singletons
     included — they become their own component); defaults to the ids
@@ -407,12 +406,24 @@ def connected_components(
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("vc").alias("nmin"))
         )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: follow component -> its component (labels are
+        # node ids, so the label table IS the pointer table); halves the
+        # remaining label distance every round
+        jump = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("cc")
+        )
         labels = (
-            labels.join(nbr, "id", "left")
+            stepped.join(jump, "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()

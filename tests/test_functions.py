@@ -369,3 +369,15 @@ def test_connected_components_chain_singletons_and_convergence(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(edges, nodes=nodes, max_iter=1)
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer doubling makes convergence O(log diameter): a 300-link
+    path graph must settle within 12 rounds (plain min-label propagation
+    would need ~300) and label every node with the chain head."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    got = dedup.connected_components(chain, max_iter=12).collect()
+    assert len(got) == 301
+    assert all(r["component"] == 0 for r in got)
