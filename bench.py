@@ -61,6 +61,7 @@ N_BUCKETS = 64
 WRITE_MODE = os.environ.get("ROOK_BENCH_MODE", "cow")
 HEAD_REPS = int(os.environ.get("ROOK_BENCH_HEAD_REPS", 2))
 STEADY_REPS = int(os.environ.get("ROOK_BENCH_STEADY_REPS", 3))
+QUERY_REPS = int(os.environ.get("ROOK_BENCH_QUERY_REPS", 3))
 
 BENCH_QUERIES = [
     "cdc_lww_state",
@@ -73,7 +74,7 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",
-    "ann_ivf_topk_arrow",
+    "ann_ivf_topk_expr",
     "emb_near_dup_pairs",
     "emb_near_dup_pairs_arrow",
 ]
@@ -226,17 +227,26 @@ def warmup(spark, log_path: str) -> None:
     run_replay(spark, log_path, min(300_000, N_EVENTS), n_epochs=1)
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark, reps: int = QUERY_REPS) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query timings with INTERLEAVED reps (round-4 verdict item 2):
+    each pass runs every query once, so host noise hits all queries in a
+    pass symmetrically instead of punishing whichever query a burst lands
+    on. Reported value = median across passes; all reps attached."""
+    import statistics
+
     from rook_spark import queries as q
 
-    out = {}
     reg = q.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = reg[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 2)
-        log(f"  query {name}: {out[name]}s ({n} rows)")
-    return out
+    all_reps: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for rep in range(reps):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = reg[name](spark, SF_DIR).count()
+            dt = round(time.time() - t0, 2)
+            all_reps[name].append(dt)
+            log(f"  query {name} rep {rep + 1}/{reps}: {dt}s ({n} rows)")
+    medians = {name: round(statistics.median(ts), 2) for name, ts in all_reps.items()}
+    return medians, all_reps
 
 
 def main() -> None:
@@ -275,13 +285,14 @@ def main() -> None:
     steady = run_steady_state(spark, log_dir)
 
     log("query timings ...")
-    queries = run_queries(spark)
+    queries, query_reps = run_queries(spark)
 
     result = {
         "metric": "change-events/sec applied (end-to-end MERGE throughput)",
         "value": head["seconds"],
         "unit": "sec",
         "queries": queries,
+        "query_reps": query_reps,
         "sf": SF_DIR,
         "n_events": N_EVENTS,
         "n_epochs": N_EPOCHS,

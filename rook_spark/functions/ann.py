@@ -227,7 +227,9 @@ def _ivf_cells_arrow(
 
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     C = np.array([v for _, v in centroids], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # clamp zero norms: an all-zero centroid/embedding must score 0
+    # everywhere, not emit NaN that silently poisons argmax (ADVICE r3)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-cids)  # columns in cid-desc order: argmax tie → max cid
     cids_desc, Cn_desc = cids[order], Cn[order]
 
@@ -238,7 +240,7 @@ def _ivf_cells_arrow(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
             S = np.round(Vn @ Cn_desc.T, 6)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
@@ -287,7 +289,7 @@ def kmeans_centroids(
 
     def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.array(pdf["__v"].tolist(), dtype=np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         return pd.DataFrame({
             "__cell": [int(pdf["__cell"].iloc[0])],
             "__mean": [np.mean(Vn, axis=0).tolist()],

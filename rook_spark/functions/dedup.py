@@ -344,6 +344,7 @@ def connected_components(
     id_b: str = "id_b",
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list (the step that
     turns near-dup PAIRS into duplicate CLUSTERS so a pipeline can keep
@@ -359,10 +360,15 @@ def connected_components(
     Scale shape per round: one shuffle join (labels onto the symmetric
     edge list, partitioned by node id) + one min-aggregate — both
     partial-combinable — plus one labels⋈labels self-join for the jump;
-    the label frame is ``localCheckpoint``ed each round to truncate the
-    iterative lineage (on a cluster, use a checkpoint dir — same call,
-    durable). The convergence test (sum of labels strictly decreases,
-    one tiny agg action per round) doubles as the fixpoint detector.
+    the label frame is checkpointed each round to truncate the iterative
+    lineage. Pass ``checkpoint_dir`` on a cluster to use DURABLE
+    ``checkpoint()`` (survives executor loss; localCheckpoint blocks are
+    lost with the executor, killing a long iteration); default is
+    ``localCheckpoint`` — right for local mode. The fixpoint detector is
+    EXACT: the count of labels that changed this round (carried through
+    the round as a column, one tiny agg action) — not a sum comparison,
+    which Spark's non-ANSI long arithmetic could silently wrap on very
+    large 64-bit node ids (ADVICE r3).
 
     ``nodes``: optional one-column DataFrame of ALL node ids (singletons
     included — they become their own component); defaults to the ids
@@ -370,21 +376,25 @@ def connected_components(
 
     Output: ``(id, component)`` where component = min node id reachable.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     e = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     # materialize the symmetric edge list ONCE — every round joins it, and
     # without this the whole upstream pipeline (e.g. the MinHash LSH
     # candidate generation) would re-execute per round
-    sym = (
+    sym = _ckpt(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     edge_ids = sym.select(F.col("u").alias("id")).distinct()
     # only nodes that touch an edge iterate; everything else is its own
     # component by definition and is appended after the fixpoint — the
     # per-round join scales with the candidate graph, not the corpus
-    labels = edge_ids.withColumn("component", F.col("id")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("component")).first()[0] or 0
+    labels = _ckpt(edge_ids.withColumn("component", F.col("id")))
 
     def finish(lab: DataFrame) -> DataFrame:
         if nodes is None:
@@ -408,6 +418,7 @@ def connected_components(
         )
         stepped = labels.join(nbr, "id", "left").select(
             "id",
+            F.col("component").alias("__prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
             ).alias("component"),
@@ -418,20 +429,27 @@ def connected_components(
         jump = stepped.select(
             F.col("id").alias("component"), F.col("component").alias("cc")
         )
-        labels = (
+        labels = _ckpt(
             stepped.join(jump, "component", "left")
             .select(
                 "id",
+                "__prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0] or 0
-        if cur_sum == prev_sum:  # min-label sum strictly decreases while active
+        # EXACT fixpoint: zero labels changed this round ⇒ the step is
+        # idempotent ⇒ converged (no overflow-prone sum comparison)
+        n_changed = (
+            labels.agg(
+                F.sum((F.col("component") != F.col("__prev")).cast("long"))
+            ).first()[0]
+            or 0
+        )
+        labels = labels.select("id", "component")
+        if n_changed == 0:
             return finish(labels)
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the graph has a very long path component; use more rounds or a "

@@ -179,8 +179,18 @@ def test_minhash_signature_agg_is_partial_and_python_free(spark):
 def test_ivf_expr_path_repartitions_corpus_scan(spark):
     """The interpreted IVF cell assignment must not inherit the source's
     input splits (round-3 fix): a round-robin exchange sits below it."""
-    plan = _plan(q.ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q.ann_ivf_topk_expr(spark, "/root/testdata/sf0.001"))
     assert "RoundRobinPartitioning" in plan
+
+
+def test_ivf_primary_is_arrow_cell_assignment(spark):
+    """Round-4 verdict item 1: the registered ``ann_ivf_topk`` primary
+    must plan the vectorized (mapInPandas matmul) cell assignment, not
+    the interpreted HOF fold — the driver bench runs the primary."""
+    plan = _plan(q.ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "MapInPandas" in plan
+    # and the expression twin's marker must NOT be how cells are computed
+    assert "RoundRobinPartitioning" not in plan
 
 
 def test_changelog_diff_joins_on_keys_no_cartesian(spark):

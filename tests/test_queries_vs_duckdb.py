@@ -112,3 +112,48 @@ def test_driver_window_head_capacity():
     # tail entries come last and are all registered + oracle'd
     assert names[-len(q._DRIVER_TAIL):] == [n for n in q._DRIVER_TAIL if n in names]
     assert set(q._DRIVER_TAIL) <= set(q.oracle_sql())
+
+
+def test_registry_count_matches_readme():
+    """Round-4 verdict item 5 (third round of count drift): the README's
+    'N-query registry' claim is pinned to the actual registry size."""
+    import os
+    import re
+
+    n = len(q.queries())
+    assert n == 57, f"registry changed size to {n}: update this pin AND README.md"
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    ).read()
+    m = re.search(r"(\d+)-query registry", readme)
+    assert m, "README.md no longer mentions the query registry"
+    assert int(m.group(1)) == n, (
+        f"README claims {m.group(1)} queries, registry has {n}"
+    )
+
+
+def test_driver_window_rotation_r4():
+    """Round-4 rotation (verdict item 4): every round-3 tail twin must
+    now sit INSIDE the first-50 window so it gets a driver-verified
+    correctness row, and each rotated-out primary must have an in-window
+    oracle sibling (or be a thrice-green twin-free query sitting one
+    round out). This encodes the rotation so a future edit can't silently
+    undo the coverage guarantee."""
+    names = list(q.queries())
+    head = set(names[:50])
+    rotated_in = {
+        "dedup_ngram_jaccard", "doc_sha256_pandas_udf", "emb_cosine_topk_arrow",
+        "emb_near_dup_pairs_arrow", "ann_lsh_recall_curve",
+        "dedup_minhash_signatures", "ann_ivf_topk",
+    }
+    assert rotated_in <= head, f"missing from window: {rotated_in - head}"
+    # each rotated-out primary's oracle signal is carried in-window
+    sibling = {
+        "doc_sha256": "doc_sha256_pandas_udf",
+        "emb_cosine_topk": "emb_cosine_topk_arrow",
+        "emb_near_dup_pairs": "emb_near_dup_pairs_arrow",
+        "ann_lsh_recall": "ann_lsh_recall_curve",
+        "ann_ivf_topk_expr": "ann_ivf_topk",
+    }
+    for out, in_w in sibling.items():
+        assert out in q._DRIVER_TAIL and in_w in head
