@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "doc_sha256_pandas_udf",
     "dedup_minhash_lsh_pairs",
+    "dedup_duplicate_clusters",
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",

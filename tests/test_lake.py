@@ -214,3 +214,33 @@ def test_changelog_composes_across_versions(spark, tmp_path):
     assert stepwise.exceptAll(direct).count() == 0
     assert direct.exceptAll(stepwise).count() == 0
     assert direct.exceptAll(t.read(version=v2)).count() == 0
+
+
+def test_snapshot_metadata_flat_per_epoch(spark, tmp_path):
+    """Round-4 hardening (verdict item 7): snapshot JSON size must not
+    grow epoch-over-epoch on a steady compact+vacuum cadence. Each
+    version file carries the FULL bucket->files map, so its size is
+    O(n_buckets x files_per_bucket) — with compaction holding
+    files_per_bucket at 1, consecutive post-compaction snapshots must be
+    the same size (±10%: file names embed uuids of equal length), and
+    vacuum must bound the _meta dir to keep_last version files + LATEST."""
+    import glob
+
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 4000, seed=101)
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    sizes = []
+    for i in range(4):
+        eng.replay(ev.where((F.col("offset") >= i * 1000) & (F.col("offset") < (i + 1) * 1000)), i)
+        t = eng.target()
+        t.compact()
+        t.vacuum(keep_last=2)
+        v = t.current_version()
+        sizes.append(os.path.getsize(str(tmp_path / "repos" / "_meta" / f"v{v:010d}.json")))
+    # flat after the first full-coverage epoch: no epoch-over-epoch growth
+    assert sizes[-1] <= sizes[1] * 1.10, sizes
+    # vacuum keeps exactly keep_last snapshot files
+    metas = glob.glob(str(tmp_path / "repos" / "_meta" / "v*.json"))
+    assert len(metas) == 2, metas
