@@ -359,7 +359,13 @@ def connected_components(
 
     Scale shape per round: one shuffle join (labels onto the symmetric
     edge list, partitioned by node id) + one min-aggregate — both
-    partial-combinable — plus one labels⋈labels self-join for the jump;
+    partial-combinable — plus one labels⋈labels self-join for the jump.
+    The iterative phase's shuffle width is sized to the CANDIDATE GRAPH
+    (~1M edges per partition, capped at defaultParallelism, restored on
+    exit): the graph is usually orders of magnitude smaller than the
+    corpus, and paying the session's full shuffle width in near-empty
+    tasks ~20 times over is pure scheduling overhead — while a 10^9-edge
+    graph still gets full parallelism from the same rule;
     the label frame is checkpointed each round to truncate the iterative
     lineage. Pass ``checkpoint_dir`` on a cluster to use DURABLE
     ``checkpoint()`` (survives executor loss; localCheckpoint blocks are
@@ -390,11 +396,24 @@ def connected_components(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
+    # Size the iterative phase's shuffle width to the GRAPH, not the
+    # session default: every round is 2 joins + 1 agg over the candidate
+    # graph, which is typically orders of magnitude smaller than the
+    # corpus — at 64 session shuffle partitions a few-thousand-edge graph
+    # pays ~20 rounds × 64 near-empty tasks of pure scheduling overhead,
+    # while at 10^9 edges the same count() picks full parallelism
+    # (~1M edges/partition). sym is already materialized, so count() is
+    # one cheap cached pass. Restored in finally — the returned frame
+    # (and the singleton anti-join over the full corpus) plans under the
+    # caller's width.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    iter_parts = max(
+        1,
+        min(int(spark.sparkContext.defaultParallelism), n_edges // 1_000_000 + 1),
+    )
     edge_ids = sym.select(F.col("u").alias("id")).distinct()
-    # only nodes that touch an edge iterate; everything else is its own
-    # component by definition and is appended after the fixpoint — the
-    # per-round join scales with the candidate graph, not the corpus
-    labels = _ckpt(edge_ids.withColumn("component", F.col("id")))
 
     def finish(lab: DataFrame) -> DataFrame:
         if nodes is None:
@@ -404,6 +423,21 @@ def connected_components(
             .withColumn("component", F.col("id"))
         )
         return lab.unionByName(singles)
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        return _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt) -> DataFrame:
+    """The eager per-round body of :func:`connected_components` (runs
+    under the graph-sized shuffle width its caller sets)."""
+    # only nodes that touch an edge iterate; everything else is its own
+    # component by definition and is appended after the fixpoint — the
+    # per-round join scales with the candidate graph, not the corpus
+    labels = _ckpt(edge_ids.withColumn("component", F.col("id")))
 
     for _ in range(max_iter):
         nbr = (
