@@ -259,6 +259,18 @@ def main() -> None:
         scaling = True
     log_dir = os.path.join(tempfile.gettempdir(), f"rook_bench_log_{N_EVENTS}")
 
+    # --queries-only: just the per-query medians (re-measure after a
+    # query-path change without re-paying the replay suite)
+    if "--queries-only" in sys.argv:
+        spark = make_spark(CPUS)
+        queries, query_reps = run_queries(spark)
+        print(json.dumps({
+            "metric": "per-query medians only", "value": 0, "unit": "sec",
+            "queries": queries, "query_reps": query_reps, "sf": SF_DIR,
+            "cpus": CPUS,
+        }), flush=True)
+        return
+
     spark = make_spark(CPUS)
     log(f"materializing {N_EVENTS} events at {log_dir} ...")
     materialize_log(spark, log_dir, N_EVENTS)

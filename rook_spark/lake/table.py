@@ -832,6 +832,61 @@ class LakeTable:
         self._write_snapshot(new_snap)
         return {"compacted_buckets": len(fat), "version": new_snap.version}
 
+    def rebucket(self, n_buckets: int, batch_id: int | None = None) -> dict[str, int]:
+        """Change the table's bucket count (Iceberg partition-spec
+        evolution analog — the classic ops need when a table created at
+        2^8 buckets grows to 100 TB and every bucket is now tens of GB):
+        ONE full rewrite into the new layout, committed as one atomic
+        snapshot — readers are never blocked, time travel still reads old
+        versions under their own bucket maps, and every subsequent MERGE
+        routes by the NEW count because all write paths take
+        ``n_buckets`` from the current snapshot, never from config.
+        Pending MOR deltas are folded in by the rewrite (it reads through
+        ``read(include_internal=True)``). Write parallelism = new bucket
+        count; vacuum reclaims the old files. At scale this is the one
+        deliberately O(table) operation here — schedule it like a
+        compaction of everything, which is what it is."""
+        snap = self.snapshot()
+        if n_buckets == snap.n_buckets:
+            return {"rebucketed": 0, "n_buckets": n_buckets}
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        df = self.read(include_internal=True).withColumn(
+            "__bucket", bucket_expr(snap.key_cols, n_buckets)
+        )
+        new_version = snap.version + 1
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        (
+            df.repartition(n_buckets, "__bucket")
+            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("__bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            fs = sorted(
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            )
+            if fs:
+                new_buckets[b] = fs
+        new_snap = self._child_snapshot(
+            snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
+        )
+        new_snap.n_buckets = n_buckets
+        new_snap.buckets = new_buckets
+        new_snap.deltas = {}
+        self._write_snapshot(new_snap)
+        return {
+            "rebucketed": 1,
+            "n_buckets": n_buckets,
+            "version": new_snap.version,
+            "files": sum(len(f) for f in new_buckets.values()),
+        }
+
     def _child_snapshot(
         self,
         parent: Snapshot,

@@ -244,3 +244,59 @@ def test_snapshot_metadata_flat_per_epoch(spark, tmp_path):
     # vacuum keeps exactly keep_last snapshot files
     metas = glob.glob(str(tmp_path / "repos" / "_meta" / "v*.json"))
     assert len(metas) == 2, metas
+
+
+def test_rebucket_evolution(spark, tmp_path):
+    """Bucket-count evolution (Iceberg partition-spec evolution analog):
+    rebucket mid-stream preserves state exactly, folds pending MOR
+    deltas, routes every subsequent MERGE by the new count (write paths
+    read n_buckets from the snapshot, not config), keeps time travel
+    working under the OLD bucket map, and the end state matches an
+    independent replay into a fresh table."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 3000, seed=113)
+    eng = CdcEngine(
+        spark, str(tmp_path / "repos"), n_buckets=4, write_mode="mor"
+    ).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 1500), 0)
+    t = eng.target()
+    v_pre = t.snapshot().version
+    before = [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ]
+    assert any(fs for fs in t.snapshot().deltas.values())  # MOR deltas pending
+
+    res = t.rebucket(16)
+    assert res["n_buckets"] == 16 and t.snapshot().n_buckets == 16
+    assert t.snapshot().deltas == {}  # folded by the rewrite
+    after = [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ]
+    assert after == before  # rebucket is state-identity
+
+    # no-op short circuit
+    assert t.rebucket(16) == {"rebucketed": 0, "n_buckets": 16}
+
+    # subsequent merges route by the NEW count; end state == fresh replay
+    eng.replay(ev.where(F.col("offset") >= 1500), 1)
+    eng2 = CdcEngine(
+        spark, str(tmp_path / "repos2"), n_buckets=16
+    ).ignoring_servers(99)
+    eng2.replay(ev, 0)
+    got = t.read().orderBy("repo", "path").collect()
+    want = eng2.target().read().orderBy("repo", "path").collect()
+    assert [(r["repo"], r["path"], r["content"]) for r in got] == [
+        (r["repo"], r["path"], r["content"]) for r in want
+    ]
+
+    # bucket pruning under the new layout: per-bucket reads partition the
+    # table exactly
+    n = t.read().count()
+    assert sum(t.read(buckets=[b]).count() for b in range(16)) == n
+
+    # time travel reads the OLD version under its own 4-bucket map
+    assert t.read(version=v_pre).count() == len(before)
