@@ -832,6 +832,48 @@ class LakeTable:
         self._write_snapshot(new_snap)
         return {"compacted_buckets": len(fat), "version": new_snap.version}
 
+    def rollback(self, version: int) -> dict[str, int]:
+        """Atomic revert to a retained ``version`` (Iceberg
+        ``rollback_to_snapshot`` analog — the bad-batch recovery path):
+        commits a NEW snapshot whose bucket map, deltas, schema, lineage
+        watermarks, and batch/run fences are copied from the target
+        version — history moves FORWARD (the bad versions stay readable
+        for audit until vacuumed), readers flip atomically, and because
+        the lineage watermarks revert WITH the data, the exactly-once
+        anti-filter re-admits the rolled-back offsets: recovery is
+        ``rollback(v_good)`` + re-replay of the source log, no manual
+        fence surgery. Zero data movement — metadata-only, same ~ms cost
+        as any commit. Refuses to roll back onto files vacuum already
+        reclaimed (checked against the live tree before the flip)."""
+        cur = self.snapshot()
+        target = self.snapshot(version)  # FileNotFoundError if expired
+        missing = [
+            f
+            for fs in list(target.buckets.values()) + list(target.deltas.values())
+            for f in fs
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot roll back to version {version}: {len(missing)} of its "
+                f"data files were vacuumed (first: {missing[0]})"
+            )
+        new = Snapshot(
+            version=cur.version + 1,
+            batch_id=target.batch_id,
+            schema_json=target.schema_json,
+            key_cols=list(target.key_cols),
+            n_buckets=target.n_buckets,
+            buckets={b: list(fs) for b, fs in target.buckets.items()},
+            lineage={p: dict(m) for p, m in target.lineage.items()},
+            committed_at=time.time(),
+            parent=cur.version,
+            deltas={b: list(fs) for b, fs in target.deltas.items()},
+            run_id=target.run_id,
+        )
+        self._write_snapshot(new)
+        return {"rolled_back_to": version, "version": new.version}
+
     def rebucket(self, n_buckets: int, batch_id: int | None = None) -> dict[str, int]:
         """Change the table's bucket count (Iceberg partition-spec
         evolution analog — the classic ops need when a table created at

@@ -300,3 +300,51 @@ def test_rebucket_evolution(spark, tmp_path):
 
     # time travel reads the OLD version under its own 4-bucket map
     assert t.read(version=v_pre).count() == len(before)
+
+
+def test_rollback_bad_batch_recovery(spark, tmp_path):
+    """rollback(v) is a metadata-only atomic revert whose watermark
+    reversion makes recovery = rollback + re-replay: the exactly-once
+    anti-filter re-admits the rolled-back offsets, and the final state
+    is identical to the never-rolled-back replay. Vacuumed targets are
+    refused loudly."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 2400, seed=127)
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 1200), 0)
+    t = eng.target()
+    v_good = t.snapshot().version
+    good = [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ]
+    eng.replay(ev.where(F.col("offset") >= 1200), 1)  # the "bad" batch
+    final_want = [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ]
+
+    res = t.rollback(v_good)
+    assert res["rolled_back_to"] == v_good
+    # state reverted exactly; the bad version remains readable for audit
+    assert [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ] == good
+    assert t.read(version=res["version"] - 1).count() == len(final_want)
+    # watermarks reverted with the data -> re-replay is re-admitted and
+    # reconverges to the never-rolled-back state
+    eng.replay(ev.where(F.col("offset") >= 1200), 2)
+    assert [
+        (r["repo"], r["path"], r["content"])
+        for r in t.read().orderBy("repo", "path").collect()
+    ] == final_want
+
+    # a second rollback to the same good version still works (forward
+    # history), and a vacuumed target is refused
+    t.rollback(v_good)
+    t.vacuum(keep_last=1)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.rollback(v_good)
