@@ -1,3 +1,14 @@
+from rook_spark.lake.metastore import (
+    InMemoryMetadataStore,
+    MetadataStore,
+    PosixMetadataStore,
+)
 from rook_spark.lake.table import LakeTable, Snapshot
 
-__all__ = ["LakeTable", "Snapshot"]
+__all__ = [
+    "LakeTable",
+    "Snapshot",
+    "MetadataStore",
+    "PosixMetadataStore",
+    "InMemoryMetadataStore",
+]

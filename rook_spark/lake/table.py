@@ -49,7 +49,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -118,10 +117,18 @@ class Snapshot:
 class LakeTable:
     """Transactional bucketed table; see module docstring for guarantees."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, store=None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta_dir = os.path.join(self.path, _META)
+        # the six-operation catalog seam (lake/metastore.py): every
+        # snapshot read/commit goes through it; default = the POSIX
+        # directory layout this table has always used
+        if store is None:
+            from rook_spark.lake.metastore import PosixMetadataStore
+
+            store = PosixMetadataStore(self._meta_dir)
+        self._store = store
 
     # ---------------------------------------------------------------- create
 
@@ -133,9 +140,10 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str] | tuple[str, ...],
         n_buckets: int = 32,
+        store=None,
     ) -> "LakeTable":
-        t = cls(spark, path)
-        os.makedirs(t._meta_dir, exist_ok=True)
+        t = cls(spark, path, store=store)
+        t._store.init()
         if t.current_version() >= 0:
             raise ValueError(f"table already exists at {path}")
         snap = Snapshot(
@@ -150,46 +158,31 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        t = cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, store=None) -> "LakeTable":
+        t = cls(spark, path, store=store)
         if t.current_version() < 0:
             raise FileNotFoundError(f"no lake table at {path}")
         return t
 
     @classmethod
     def exists(cls, path: str) -> bool:
+        # POSIX-layout convenience check (callers with a custom store use
+        # LakeTable(..., store=...).current_version() >= 0 instead)
         return os.path.exists(os.path.join(os.path.abspath(path), _META, _LATEST))
 
     # ------------------------------------------------------------- snapshots
 
     def current_version(self) -> int:
-        try:
-            with open(os.path.join(self._meta_dir, _LATEST)) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return -1
+        return self._store.read_pointer()
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self._meta_dir, f"v{v:010d}.json")) as f:
-            return Snapshot.from_json(f.read())
+        return Snapshot.from_json(self._store.read(v))
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Write snapshot file, then atomically flip the LATEST pointer."""
-        snap_path = os.path.join(self._meta_dir, f"v{snap.version:010d}.json")
-        tmp = snap_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, snap_path)
-        ptr_tmp = os.path.join(self._meta_dir, f".latest.tmp.{uuid.uuid4().hex}")
-        with open(ptr_tmp, "w") as f:
-            f.write(str(snap.version))
-            f.flush()
-            os.fsync(f.fileno())
-        # the commit point: everything before this is invisible to readers
-        os.replace(ptr_tmp, os.path.join(self._meta_dir, _LATEST))
+        """Durably store the snapshot, then atomically move the table
+        pointer (the store's ``commit`` contract carries atomicity)."""
+        self._store.commit(snap.version, snap.to_json())
 
     # ----------------------------------------------------------------- reads
 
@@ -779,10 +772,9 @@ class LakeTable:
             if not any(os.scandir(d)):
                 os.rmdir(d)
         removed_snaps = 0
-        for f in glob.glob(os.path.join(self._meta_dir, "v*.json")):
-            v = int(os.path.basename(f)[1:-5])
+        for v in self._store.versions():
             if v < keep_versions[0]:
-                os.remove(f)
+                self._store.delete(v)
                 removed_snaps += 1
         return {"removed_files": removed_files, "removed_snapshots": removed_snaps,
                 "kept_versions": len(keep_versions)}
