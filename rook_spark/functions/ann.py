@@ -227,8 +227,12 @@ def _ivf_cells_arrow(
 
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
     C = np.array([v for _, v in centroids], dtype=np.float64)
-    # clamp zero norms: an all-zero centroid/embedding must score 0
-    # everywhere, not emit NaN that silently poisons argmax (ADVICE r3)
+    # clamp zero norms on CENTROIDS (internal, derived values — a
+    # clamped centroid scores 0 everywhere instead of emitting NaN that
+    # silently poisons argmax, ADVICE r3); zero-norm DATA vectors raise
+    # below instead — clamping them would silently diverge from the
+    # expression twin and the SQL oracle, which both map zero-norm to
+    # NULL cosine (reviewer finding r4)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-cids)  # columns in cid-desc order: argmax tie → max cid
     cids_desc, Cn_desc = cids[order], Cn[order]
@@ -240,7 +244,17 @@ def _ivf_cells_arrow(
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            if not norms.all():
+                bad = pdf[id_col].iloc[int(np.argmin(norms))]
+                raise ValueError(
+                    f"zero-norm embedding ({id_col}={bad}): cosine cell "
+                    "assignment is undefined — filter degenerate vectors "
+                    "upstream (the expression twin and SQL oracle would "
+                    "silently NULL these out; failing loudly keeps the "
+                    "twins value-identical on every input they accept)"
+                )
+            Vn = V / norms
             S = np.round(Vn @ Cn_desc.T, 6)
             yield pd.DataFrame({
                 id_col: pdf[id_col],

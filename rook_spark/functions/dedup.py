@@ -19,10 +19,15 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rook_spark.functions.text import fingerprint
+
+# serializes the session-conf mutation window of connected_components
+_CC_CONF_LOCK = threading.Lock()
 
 HEX = "0123456789abcdef"
 
@@ -370,7 +375,19 @@ def connected_components(
     lineage. Pass ``checkpoint_dir`` on a cluster to use DURABLE
     ``checkpoint()`` (survives executor loss; localCheckpoint blocks are
     lost with the executor, killing a long iteration); default is
-    ``localCheckpoint`` — right for local mode. The fixpoint detector is
+    ``localCheckpoint`` — right for local mode. Cluster caveats for the
+    durable path: set ``spark.cleaner.referenceTracking.cleanCheckpoints
+    =true`` so superseded per-round checkpoints are reclaimed when their
+    RDDs are GC'd, and note ``setCheckpointDir`` is context-global — a
+    pre-existing dir is restored on exit, but other checkpoints issued
+    DURING the loop land under ours.
+
+    Concurrency: the shuffle-width resize below mutates session conf, so
+    the iterative phase is serialized per-process by a module lock, and
+    concurrent OTHER queries planned on the same session during a loop
+    running at width 1 would plan narrow too — run clustering on its own
+    session (``spark.newSession()``) if you interleave it with
+    corpus-scale work on one driver. The fixpoint detector is
     EXACT: the count of labels that changed this round (carried through
     the round as a column, one tiny agg action) — not a sum comparison,
     which Spark's non-ANSI long arithmetic could silently wrap on very
@@ -382,8 +399,12 @@ def connected_components(
 
     Output: ``(id, component)`` where component = min node id reachable.
     """
+    sc = edges.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
@@ -408,7 +429,6 @@ def connected_components(
     # caller's width.
     spark = edges.sparkSession
     n_edges = sym.count()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     iter_parts = max(
         1,
         min(int(spark.sparkContext.defaultParallelism), n_edges // 1_000_000 + 1),
@@ -424,11 +444,19 @@ def connected_components(
         )
         return lab.unionByName(singles)
 
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
-        return _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # the lock serializes concurrent connected_components calls in this
+    # process (read-old / set / restore of session conf would otherwise
+    # race and could strand the session at width 1); reading old_sp
+    # INSIDE the lock makes restore exact
+    with _CC_CONF_LOCK:
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        try:
+            return _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            if prev_ckpt_dir is not None:
+                sc.setCheckpointDir(prev_ckpt_dir)
 
 
 def _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt) -> DataFrame:

@@ -336,8 +336,23 @@ class LakeTable:
 
         Schema evolution: columns added inside the window are
         null-backfilled on the 'D' (old-image) side.
+
+        ``buckets`` pruning requires both versions to share a bucket
+        layout: across a ``rebucket`` boundary the same bucket id names
+        DISJOINT key sets, so a pruned diff would emit phantom
+        deletes/upserts — refused loudly (full unpruned diffs stay
+        correct: the key join never uses bucket ids).
         """
         snap_to = self.snapshot(to_version)
+        if buckets is not None:
+            n_from = self.snapshot(from_version).n_buckets
+            if n_from != snap_to.n_buckets:
+                raise ValueError(
+                    f"changes(buckets=...) across a rebucket boundary: "
+                    f"version {from_version} has {n_from} buckets, version "
+                    f"{snap_to.version} has {snap_to.n_buckets} — bucket ids "
+                    "name different key sets; run without buckets= pruning"
+                )
         old = self.read(version=from_version, buckets=buckets, include_internal=True)
         new = self.read(version=snap_to.version, buckets=buckets, include_internal=True)
         keys = snap_to.key_cols
@@ -596,30 +611,12 @@ class LakeTable:
 
         # --- write new files for touched buckets (copy-on-write)
         new_version = snap.version + 1
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
-        out_dir = os.path.join(self.path, out_dir_rel)
-        # one shuffle partition per bucket value: write parallelism scales
-        # with n_buckets (≥ cores at scale), and each task writes whole
-        # buckets so the per-bucket file count stays ~1 (no small-file
-        # explosion; hash collisions of bucket ids give ≤2-3 buckets/task)
-        (
-            merged.repartition(snap.n_buckets, "__bucket")
-            .write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        written = self._write_bucket_files(merged, new_version, snap.n_buckets)
 
         new_buckets = dict(snap.buckets)
         buckets_rewritten = 0
         for b in touched:
-            bdir = os.path.join(out_dir, f"__bucket={b}")
-            if os.path.isdir(bdir):
-                fs = sorted(
-                    os.path.join(out_dir_rel, f"__bucket={b}", fn)
-                    for fn in os.listdir(bdir) if fn.endswith(".parquet")
-                )
-            else:
-                fs = []  # bucket emptied out (all rows deleted)
+            fs = written.get(str(b), [])  # [] = bucket emptied (all deleted)
             if fs:
                 new_buckets[str(b)] = fs
                 buckets_rewritten += 1
@@ -678,27 +675,13 @@ class LakeTable:
         src = src.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
 
         new_version = snap.version + 1
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
-        out_dir = os.path.join(self.path, out_dir_rel)
-        (
-            src.repartition(snap.n_buckets, "__bucket")
-            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
-        )
+        delta_files = self._write_bucket_files(src, new_version, snap.n_buckets)
 
         new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
         written = 0
-        for entry in os.listdir(out_dir):
-            if not entry.startswith("__bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            fs = sorted(
-                os.path.join(out_dir_rel, entry, fn)
-                for fn in os.listdir(os.path.join(out_dir, entry))
-                if fn.endswith(".parquet")
-            )
-            if fs:
-                new_deltas.setdefault(b, []).extend(fs)
-                written += 1
+        for b, fs in delta_files.items():
+            new_deltas.setdefault(b, []).extend(fs)
+            written += 1
         if post_write_lineage is not None:
             lineage_update = post_write_lineage(lineage_update or {})
         new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
@@ -712,21 +695,8 @@ class LakeTable:
         snap = self.snapshot()
         schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
         new_version = snap.version + 1
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
-        out_dir = os.path.join(self.path, out_dir_rel)
         with_bucket = df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.n_buckets))
-        with_bucket.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
-        buckets: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
-            if entry.startswith("__bucket="):
-                b = entry.split("=", 1)[1]
-                fs = sorted(
-                    os.path.join(out_dir_rel, entry, fn)
-                    for fn in os.listdir(os.path.join(out_dir, entry))
-                    if fn.endswith(".parquet")
-                )
-                if fs:
-                    buckets[b] = fs
+        buckets = self._write_bucket_files(with_bucket, new_version, None)
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, schema, None
         )
@@ -797,20 +767,10 @@ class LakeTable:
             "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
         )
         new_version = snap.version + 1
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
-        out_dir = os.path.join(self.path, out_dir_rel)
-        (
-            df.repartition(len(fat), "__bucket")
-            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
-        )
+        written = self._write_bucket_files(df, new_version, len(fat))
         new_buckets = dict(snap.buckets)
         for b in fat:
-            bdir = os.path.join(out_dir, f"__bucket={b}")
-            fs = sorted(
-                os.path.join(out_dir_rel, f"__bucket={b}", fn)
-                for fn in (os.listdir(bdir) if os.path.isdir(bdir) else [])
-                if fn.endswith(".parquet")
-            )
+            fs = written.get(str(b), [])
             if fs:
                 new_buckets[str(b)] = fs
             else:
@@ -889,24 +849,7 @@ class LakeTable:
             "__bucket", bucket_expr(snap.key_cols, n_buckets)
         )
         new_version = snap.version + 1
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
-        out_dir = os.path.join(self.path, out_dir_rel)
-        (
-            df.repartition(n_buckets, "__bucket")
-            .write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
-        )
-        new_buckets: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
-            if not entry.startswith("__bucket="):
-                continue
-            b = entry.split("=", 1)[1]
-            fs = sorted(
-                os.path.join(out_dir_rel, entry, fn)
-                for fn in os.listdir(os.path.join(out_dir, entry))
-                if fn.endswith(".parquet")
-            )
-            if fs:
-                new_buckets[b] = fs
+        new_buckets = self._write_bucket_files(df, new_version, n_buckets)
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
         )
@@ -920,6 +863,35 @@ class LakeTable:
             "version": new_snap.version,
             "files": sum(len(f) for f in new_buckets.values()),
         }
+
+    def _write_bucket_files(
+        self, df: DataFrame, new_version: int, repartition_n: int | None
+    ) -> dict[str, list[str]]:
+        """Shared write-then-list step for every bucket-file producer
+        (COW merge, MOR delta append, overwrite, compact, rebucket):
+        write ``df`` (carrying ``__bucket``) partitioned by bucket under
+        the new version's data dir and return the bucket → relative-file
+        map of what landed (non-empty buckets only). With
+        ``repartition_n`` set, one shuffle partition per bucket value:
+        write parallelism scales with the bucket count and each task
+        writes whole buckets — ~1 file per bucket, no small-file
+        explosion."""
+        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        out_dir = os.path.join(self.path, out_dir_rel)
+        out = df if repartition_n is None else df.repartition(repartition_n, "__bucket")
+        out.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("__bucket="):
+                continue
+            fs = sorted(
+                os.path.join(out_dir_rel, entry, fn)
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            )
+            if fs:
+                files[entry.split("=", 1)[1]] = fs
+        return files
 
     def _child_snapshot(
         self,

@@ -87,16 +87,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _scratch_dir(name: str) -> str:
-    """One FIXED scratch path per query, wiped and rebuilt at the start
-    of each invocation — repeated bench/correctness runs reuse the slot
-    instead of leaking a fresh mkdtemp per call (ADVICE r3). The caller's
-    returned DataFrame reads lazily from this path, so deletion happens
-    on the NEXT invocation, never while the current result is pending."""
+    """One scratch slot per (query, PROCESS), wiped and rebuilt at the
+    start of each invocation — repeated bench/correctness runs reuse
+    their slot instead of leaking a fresh mkdtemp per call (ADVICE r3),
+    and the pid in the slot name means a concurrently-running second
+    process (pytest alongside bench.py) can never rmtree a table this
+    process is lazily reading. Slots left by DEAD pids are reaped on the
+    next invocation of the same query, so total leakage is bounded by
+    one slot per live process. The caller's returned DataFrame reads
+    lazily from this path; deletion happens on this process's NEXT
+    invocation, never while the current result is pending."""
     import os
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"rook_scratch_{os.getuid()}_{name}")
+    root = os.path.join(tempfile.gettempdir(), f"rook_scratch_{os.getuid()}")
+    os.makedirs(root, exist_ok=True)
+    try:
+        for entry in os.listdir(root):
+            base, _, pid = entry.rpartition("_")
+            if base == name and pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(root, f"{name}_{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

@@ -400,3 +400,36 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     got = dedup.connected_components(chain, max_iter=12).collect()
     assert len(got) == 301
     assert all(r["component"] == 0 for r in got)
+
+
+def test_ivf_arrow_zero_norm_raises(spark):
+    """Reviewer finding r4: a zero-norm DATA vector must fail loudly in
+    the Arrow cell assignment (the expression twin and SQL oracle would
+    silently NULL it out — silent twin divergence), while zero-norm
+    derived CENTROIDS are clamped, not fatal."""
+    import pytest as _pytest
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = embs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(Exception, match="zero-norm embedding"):
+        ann.ivf_topk(embs, queries, n_centroids=2, nprobe=1, k=2,
+                     use_arrow=True).collect()
+    # zero-norm CENTROID (sampled from data) with clean data vectors: the
+    # clamp keeps assignment NaN-free and the query completes
+    clean = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # centroids = lowest-id vectors -> includes the zero vector as a
+    # centroid; corpus passed to assignment must be non-degenerate
+    good = clean.where(F.col("vec_id") > 0)
+    from rook_spark.functions.ann import _ivf_cells_arrow, _sample_centroids
+    cents = _sample_centroids(clean, 2, "vec_id", "embedding")
+    assert any(all(x == 0.0 for x in v) for _, v in cents)
+    rows = _ivf_cells_arrow(good, cents, "vec_id", "embedding").collect()
+    assert len(rows) == 2 and all(r["__cell"] is not None for r in rows)

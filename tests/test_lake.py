@@ -407,3 +407,33 @@ def test_inmemory_metadata_store_runs_full_engine(spark, tmp_path):
         (r["repo"], r["path"], r["content"])
         for r in mem_t.read().orderBy("repo", "path").collect()
     ] == want
+
+
+def test_changes_refuses_bucket_pruning_across_rebucket(spark, tmp_path):
+    """Reviewer finding r4: bucket ids name DISJOINT key sets across a
+    rebucket boundary, so a bucket-pruned changelog would emit phantom
+    deletes — refused loudly; the unpruned diff stays correct."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 1200, seed=137)
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 600), 0)
+    t = eng.target()
+    v_pre = t.snapshot().version
+    t.rebucket(8)
+    eng.replay(ev.where(F.col("offset") >= 600), 1)
+
+    with pytest.raises(ValueError, match="rebucket boundary"):
+        t.changes(v_pre, buckets=[3])
+    # unpruned diff across the boundary is a valid LWW change set
+    log = t.changes(v_pre)
+    old = t.read(version=v_pre)
+    ups = log.where(F.col("op") == "U").select(*old.columns)
+    expected = old.join(log.select("repo", "path"), ["repo", "path"],
+                        "left_anti").unionByName(ups)
+    want = t.read().orderBy("repo", "path").toPandas()
+    got = expected.orderBy("repo", "path").toPandas()
+    assert got["content"].tolist() == want["content"].tolist()
+    # same-layout pruning still allowed
+    assert t.changes(t.snapshot().version, buckets=[3]).count() == 0
