@@ -17,6 +17,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
 
@@ -143,3 +144,74 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["id"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == truth
+
+
+# --------------------------------------------------------- lake ops algebra
+
+_OP = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 99))),
+            min_size=1, max_size=6, unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8, 16])),
+    st.tuples(st.just("rollback"), st.floats(0, 1)),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_OP, min_size=2, max_size=7))
+def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of MERGE / rebucket / rollback / compact matches
+    a dict model, at the final version AND at every retained version
+    (time travel) — the maintenance operations are state-identities and
+    rollback is exact, regardless of order or bucket layout history."""
+    from rook_spark.lake.table import LakeTable
+
+    tmp = tmp_path_factory.mktemp("lake_alg")
+    table = LakeTable.create(
+        spark, str(tmp / "t"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        ["repo", "path"], n_buckets=4,
+    )
+    model: dict[str, str] = {}
+    history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
+
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "merge":
+            rows = [
+                ("r", f"p{k}", f"v{i}_{k}" if v is not None else None,
+                 "U" if v is not None else "D")
+                for k, v in arg
+            ]
+            table.merge(spark.createDataFrame(
+                rows, "repo string, path string, content string, op string"), i)
+            for k, v in arg:
+                if v is None:
+                    model.pop(f"p{k}", None)
+                else:
+                    model[f"p{k}"] = f"v{i}_{k}"
+        elif kind == "rebucket":
+            table.rebucket(arg)
+        elif kind == "rollback":
+            versions = sorted(history)
+            target = versions[int(arg * (len(versions) - 1))]
+            table.rollback(target)
+            model = dict(history[target])
+        elif kind == "compact":
+            table.compact()
+        history[table.current_version()] = dict(model)
+
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got == model
+    # time travel: every retained version matches its model snapshot
+    for v, m in history.items():
+        tv = {r["path"]: r["content"] for r in table.read(version=v).collect()}
+        assert tv == m, f"version {v}"
