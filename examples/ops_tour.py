@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Day-2 operations tour: everything an operator does AFTER the stream
+is running, in one runnable script.
+
+1. replay a seeded log in epochs (the steady state),
+2. inspect the commit log (``history()``) and per-partition watermarks,
+3. suffer a bad batch → **atomic rollback** (watermark reversion makes
+   recovery = rollback + re-replay, no fence surgery),
+4. outgrow the bucket layout → **rebucket** (partition-spec evolution:
+   one atomic rewrite; subsequent MERGEs route by the new count),
+5. bound read amplification → **compact** (fold MOR deltas),
+6. reclaim storage → **vacuum** (expire old versions),
+7. swap the catalog → the same table logic running on an
+   ``InMemoryMetadataStore`` (the six-operation seam a JDBC/REST
+   catalog would implement).
+
+Run:  python examples/ops_tour.py   (local[4], ~1 min)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events
+from rook_spark.lake.metastore import InMemoryMetadataStore
+from rook_spark.lake.table import LakeTable
+from rook_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("ops_tour", master="local[4]", shuffle_partitions=8)
+    work = tempfile.mkdtemp(prefix="rook_ops_tour_")
+    try:
+        events = generate_events(spark, 24_000, seed=21)
+        engine = CdcEngine(
+            spark, os.path.join(work, "repos"), n_buckets=4, write_mode="mor",
+        ).ignoring_servers(99)
+
+        # --- 1. steady state: three epochs through the full engine path
+        for i, (lo, hi) in enumerate([(0, 8_000), (8_000, 16_000), (16_000, 24_000)]):
+            engine.replay(
+                events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i
+            )
+        table = engine.target()
+
+        # --- 2. ops surfaces
+        print("\n== commit log (history) ==")
+        table.history().orderBy("version").show(truncate=False)
+        print("== per-partition watermarks (lineage) ==")
+        table.lineage().orderBy("partition_id").show(5)
+
+        # --- 3. bad batch → rollback + re-replay
+        v_good = table.current_version()
+        rows_good = table.read().count()
+        bad = (
+            events.where(F.col("offset") >= 16_000)
+            .withColumn("content", F.lit("CORRUPTED BY A BAD DEPLOY"))
+        )
+        engine.replay(bad, 3)
+        print(f"\n== bad batch applied: version {table.current_version()} ==")
+        res = table.rollback(v_good)
+        print(f"rollback -> {res}  (metadata-only, ~ms; bad version stays auditable)")
+        engine.replay(events.where(F.col("offset") >= 16_000), 4)  # re-admitted
+        assert table.read().count() == rows_good
+        print(f"re-replay converged: {rows_good} rows, state == pre-incident")
+
+        # --- 4. the table outgrew 4 buckets
+        print(f"\n== rebucket 4 -> 16: {table.rebucket(16)} ==")
+        engine.replay(  # subsequent merges route by the NEW count
+            events.where(F.col("offset") >= 20_000), 5
+        )
+
+        # --- 5 + 6. compaction + retention
+        print(f"compact -> {table.compact()}")
+        print(f"vacuum  -> {table.vacuum(keep_last=2)}")
+        print("history after maintenance (expired versions gone):")
+        table.history().orderBy("version").show(truncate=False)
+
+        # --- 7. same engine logic, different catalog: zero _meta/ on disk
+        store = InMemoryMetadataStore()
+        mem = LakeTable.create(
+            spark, os.path.join(work, "mem"), table.snapshot().schema(),
+            key_cols=table.snapshot().key_cols, n_buckets=8, store=store,
+        )
+        mem.merge(table.read().withColumn("op", F.lit("U")), batch_id=0)
+        assert mem.read().count() == table.read().count()
+        print(
+            f"\n== catalog seam: {mem.read().count()} rows via "
+            f"InMemoryMetadataStore ({len(store.versions())} versions, "
+            "no _meta directory) =="
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
