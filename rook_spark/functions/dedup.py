@@ -153,10 +153,25 @@ def minhash_lsh_pairs(
     k: int = 3,
     n_hashes: int = 16,
     n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band's
     concatenated signature collide. The band join shuffles on the band
-    key — only colliding docs meet, never the full cross product."""
+    key — only colliding docs meet, never the full cross product.
+
+    ``max_bucket_size`` is the HOT-BUCKET guard for corpus scale: a band
+    bucket of m boilerplate-identical docs emits m² pairs, so one
+    100k-doc license-header cluster alone is 10^10 join rows — the
+    classic LSH blowup at 100 TB. With the cap set, (band, key) groups
+    larger than it are dropped before the self-join (one extra
+    partial-combinable count per bucket — linear), the same trade as the
+    winnowing stop-fingerprint cap (:func:`~rook_spark.functions.text
+    .winnow_near_dup_pairs`): mega-clusters of exact boilerplate are
+    better handled by exact/fingerprint dedup first, and a dropped
+    bucket's pairs can still surface through the doc's other bands.
+    Not a silent cap — use :func:`lsh_hot_buckets` to see what a given
+    cap would drop. Default None preserves exact all-candidates
+    semantics (the oracle-verified configuration)."""
     assert n_hashes % n_bands == 0
     rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
@@ -177,6 +192,13 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(bands).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        banded = (
+            banded.join(counts, ["band", "key"])
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -188,6 +210,46 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_size: int = 2,
+) -> DataFrame:
+    """Monitoring companion of ``minhash_lsh_pairs(max_bucket_size=...)``:
+    (band, key, bucket_size) for every collision bucket ≥ ``min_size``,
+    largest first — run it to SIZE a cap before setting one (the
+    'no silent caps' rule: know what you drop). One groupBy over the
+    banded signatures, linear."""
+    assert n_hashes % n_bands == 0
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sigs.select(F.explode(bands).alias("bk"))
+        .groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_size)
+        .orderBy(F.desc("bucket_size"), "band", "key")
     )
 
 

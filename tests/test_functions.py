@@ -433,3 +433,30 @@ def test_ivf_arrow_zero_norm_raises(spark):
     assert any(all(x == 0.0 for x in v) for _, v in cents)
     rows = _ivf_cells_arrow(good, cents, "vec_id", "embedding").collect()
     assert len(rows) == 2 and all(r["__cell"] is not None for r in rows)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """The 100 TB hot-bucket guard: a boilerplate cluster larger than the
+    cap emits ZERO pairs (m^2 blowup prevented), normal near-dup pairs
+    survive, and lsh_hot_buckets reports what the cap drops. Default
+    (None) keeps exact all-candidates semantics."""
+    boiler = [(i, "license header identical text apache foundation") for i in range(30)]
+    near = [
+        (100, "a genuinely unique document about spark engines"),
+        (101, "a genuinely unique document about spark engines extra"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.minhash_lsh_pairs(df, k=3, n_hashes=16, n_bands=8).collect()}
+    assert (100, 101) in uncapped
+    assert len(uncapped) > 400  # 30 identical docs -> 435 boilerplate pairs
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.minhash_lsh_pairs(
+                  df, k=3, n_hashes=16, n_bands=8, max_bucket_size=10).collect()}
+    assert (100, 101) in capped          # small buckets untouched
+    assert all(a >= 100 for a, _ in capped), capped  # boilerplate m^2 gone
+
+    hot = dedup.lsh_hot_buckets(df, k=3, n_hashes=16, n_bands=8).collect()
+    assert hot[0]["bucket_size"] == 30   # the monitor names the cluster
