@@ -796,7 +796,17 @@ class LakeTable:
         ``rollback(v_good)`` + re-replay of the source log, no manual
         fence surgery. Zero data movement — metadata-only, same ~ms cost
         as any commit. Refuses to roll back onto files vacuum already
-        reclaimed (checked against the live tree before the flip)."""
+        reclaimed (checked against the live tree before the flip).
+
+        Streaming caveat: a Structured Streaming checkpoint tracks its
+        OWN source progress and will not re-deliver batches it already
+        committed, so after a rollback the re-replay leg must come from
+        outside the stream — a batch backfill of the source log over the
+        rolled-back offset range (``CdcEngine.replay``; the reverted
+        watermarks admit exactly that range, and the run_id-scoped fence
+        means the backfill's batch ids never collide with the stream's),
+        or a fresh checkpoint dir. Resuming the OLD checkpoint alone
+        would silently leave the rolled-back window unapplied."""
         cur = self.snapshot()
         target = self.snapshot(version)  # FileNotFoundError if expired
         missing = [

@@ -206,3 +206,42 @@ def test_stream_sink_fanout_and_error_isolation(spark, source_dir, tmp_path):
     dead = spark.read.parquet(engine.dead_letter_path)
     assert dead.where(F.col("sink") == "broken").count() >= 2
     assert "sink exploded" in dead.first()["error"]
+
+
+def test_stream_rollback_batch_backfill_recovery(spark, source_dir, tmp_path):
+    """The documented rollback recovery path for STREAMED apply: the old
+    checkpoint will not re-deliver committed batches, so after
+    rollback(v_good) the rolled-back window comes back via a BATCH
+    backfill (different run_id lineage → the run-scoped fence falls
+    through to the reverted watermarks, which admit exactly that range)
+    — final state equals the oracle, and the resumed stream continues
+    exactly-once on top."""
+    import os
+
+    engine = CdcEngine(spark, str(tmp_path / "repos")).ignoring_servers(99)
+    q = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q.processAllAvailable()
+    q.stop()
+    t = engine.target()
+    _assert_state(t, source_dir)
+    v_final = t.current_version()
+
+    # operator decides the last stream epoch was bad -> revert one commit
+    v_good = t.snapshot(v_final).parent
+    t.rollback(v_good)
+    assert t.current_version() == v_final + 1  # forward history
+    assert t.read().count() == t.read(version=v_good).count()
+
+    # recovery leg: batch backfill of the FULL source log (watermarks
+    # dedup everything below the reverted high-water mark; the stream's
+    # committed batch ids don't fence it — different run lineage)
+    log = spark.read.parquet(os.path.join(source_dir, "*.parquet"))
+    engine.replay(log, start_batch_id=10_000)
+    _assert_state(t, source_dir)
+
+    # the resumed stream (same checkpoint) stays exactly-once: nothing
+    # re-applies, state still oracle-identical
+    q2 = engine.stream(source_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    q2.processAllAvailable()
+    q2.stop()
+    _assert_state(engine.target(), source_dir)
