@@ -253,6 +253,47 @@ def lsh_hot_buckets(
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination scan — the training-data hygiene step
+    next to dedup: per corpus document, the fraction of its distinct
+    word k-shingles that appear ANYWHERE in the benchmark/eval set
+    (docs whose n-grams overlap an eval suite leak test answers into
+    training). Scale shape: the benchmark side is tiny relative to a
+    100 TB corpus (a full eval battery is ~10^5-10^6 distinct shingles),
+    so it BROADCASTS — one hash-join probe per corpus shingle, the
+    corpus never shuffles on shingle — then one partial-combinable
+    per-doc aggregate. Returns only contaminated docs:
+    ``(id, n_shingles, n_contaminated, contamination)``."""
+    corp = shingles(docs, id_col, text_col, k)
+    bset = (
+        shingles(bench, id_col, text_col, k)
+        .select("shingle").distinct().withColumn("__hit", F.lit(1))
+    )
+    return (
+        corp.join(F.broadcast(bset), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") > 0)
+        .select(
+            "id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def _nibble(h: Column, pos: int) -> Column:

@@ -65,6 +65,9 @@ _DRIVER_TAIL = (
     # rotate back in round 5
     "dedup_exact",
     "set_ops_nations",
+    # registered mid-round-4 (pytest-oracled now); rotates into the
+    # driver window in round 5
+    "doc_contamination",
 )
 
 
@@ -1120,6 +1123,40 @@ _SHINGLE_CTE = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.3
+    )
+
+
+@register(
+    "doc_contamination",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+    corp AS (SELECT * FROM sh WHERE id % 97 <> 0),
+    agg AS (
+      SELECT c.id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.id
+    )
+    SELECT id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 4) AS contamination
+    FROM agg WHERE n_contaminated > 0
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (rook_spark.functions.dedup
+    .benchmark_contamination): every 97th document stands in for the
+    eval suite; the rest is the training corpus. The benchmark shingle
+    set broadcasts (plan-asserted) — at 100 TB the corpus never
+    shuffles on shingle. Oracle recomputes the overlap as a LEFT JOIN
+    against the same deterministic split."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        k=3,
     )
 
 

@@ -460,3 +460,26 @@ def test_lsh_hot_bucket_cap(spark):
 
     hot = dedup.lsh_hot_buckets(df, k=3, n_hashes=16, n_bands=8).collect()
     assert hot[0]["bucket_size"] == 30   # the monitor names the cluster
+
+
+def test_benchmark_contamination(spark):
+    """Planted leak: a corpus doc embedding a benchmark passage scores
+    high contamination; clean docs are absent from the result; the
+    fraction is exact."""
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "training text what is the capital of france paris and more words"),
+            (2, "completely clean document about distributed joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.benchmark_contamination(corpus, bench, k=3).collect()
+    assert [r["id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["n_contaminated"] >= 5  # the embedded passage's tri-shingles
+    assert 0 < r["contamination"] <= 1.0
+    assert r["contamination"] == round(r["n_contaminated"] / r["n_shingles"], 4)

@@ -209,3 +209,11 @@ def test_changelog_diff_joins_on_keys_no_cartesian(spark):
     plan = _plan(eng.target().changes(v1))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The decontamination scan must broadcast the (tiny) benchmark
+    shingle set — the corpus never shuffles on shingle."""
+    plan = _plan(q.doc_contamination(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
