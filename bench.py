@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "doc_sha256_pandas_udf",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_clusters",
+    "doc_contamination",
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",
