@@ -39,13 +39,13 @@ def main() -> None:
     spark = get_spark("ops_tour", master="local[4]", shuffle_partitions=8)
     work = tempfile.mkdtemp(prefix="rook_ops_tour_")
     try:
-        events = generate_events(spark, 24_000, seed=21)
+        events = generate_events(spark, 32_000, seed=21)
         engine = CdcEngine(
             spark, os.path.join(work, "repos"), n_buckets=4, write_mode="mor",
         ).ignoring_servers(99)
 
-        # --- 1. steady state: three epochs through the full engine path
-        for i, (lo, hi) in enumerate([(0, 8_000), (8_000, 16_000), (16_000, 24_000)]):
+        # --- 1. steady state: two epochs through the full engine path
+        for i, (lo, hi) in enumerate([(0, 8_000), (8_000, 16_000)]):
             engine.replay(
                 events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i
             )
@@ -57,26 +57,40 @@ def main() -> None:
         print("== per-partition watermarks (lineage) ==")
         table.lineage().orderBy("partition_id").show(5)
 
-        # --- 3. bad batch → rollback + re-replay
+        # --- 3. bad batch → rollback + re-replay. The corrupted epoch
+        # carries FRESH offsets (16k-24k, above every watermark), so it
+        # genuinely lands in the table.
         v_good = table.current_version()
-        rows_good = table.read().count()
-        bad = (
-            events.where(F.col("offset") >= 16_000)
-            .withColumn("content", F.lit("CORRUPTED BY A BAD DEPLOY"))
+        third = events.where((F.col("offset") >= 16_000) & (F.col("offset") < 24_000))
+        engine.replay(
+            third.withColumn(
+                "after",
+                F.col("after").withField("content", F.lit("CORRUPTED BY A BAD DEPLOY")),
+            ),
+            2,
         )
-        engine.replay(bad, 3)
-        print(f"\n== bad batch applied: version {table.current_version()} ==")
+        n_corrupted = table.read().where(
+            F.col("content") == "CORRUPTED BY A BAD DEPLOY"
+        ).count()
+        assert n_corrupted > 0
+        print(f"\n== bad batch applied: {n_corrupted} corrupted rows at "
+              f"version {table.current_version()} ==")
         res = table.rollback(v_good)
         print(f"rollback -> {res}  (metadata-only, ~ms; bad version stays auditable)")
-        engine.replay(events.where(F.col("offset") >= 16_000), 4)  # re-admitted
-        assert table.read().count() == rows_good
-        print(f"re-replay converged: {rows_good} rows, state == pre-incident")
+        engine.replay(third, 3)  # reverted watermarks re-admit 16k-24k
+        assert table.read().where(
+            F.col("content") == "CORRUPTED BY A BAD DEPLOY"
+        ).count() == 0
+        rows_good = table.read().count()
+        print(f"clean re-replay converged: {rows_good} rows, 0 corrupted")
 
-        # --- 4. the table outgrew 4 buckets
+        # --- 4. the table outgrew 4 buckets; the NEXT epoch (fresh
+        # offsets 24k-32k) routes by the new count
         print(f"\n== rebucket 4 -> 16: {table.rebucket(16)} ==")
-        engine.replay(  # subsequent merges route by the NEW count
-            events.where(F.col("offset") >= 20_000), 5
-        )
+        stats = engine.replay(events.where(F.col("offset") >= 24_000), 4)
+        assert stats.rows_applied > 0
+        print(f"post-rebucket epoch applied {stats.rows_applied} rows "
+              f"across {stats.touched_buckets} of 16 buckets")
 
         # --- 5 + 6. compaction + retention
         print(f"compact -> {table.compact()}")

@@ -245,14 +245,19 @@ def _ivf_cells_arrow(
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             norms = np.linalg.norm(V, axis=1, keepdims=True)
-            if not norms.all():
-                bad = pdf[id_col].iloc[int(np.argmin(norms))]
+            # degenerate = zero OR non-finite (NaN/inf components give a
+            # NaN/inf norm, which is truthy — a bare .all() would let it
+            # through to silently poison argmax; r4 review finding)
+            ok = np.isfinite(norms) & (norms > 0)
+            if not ok.all():
+                bad = pdf[id_col].iloc[int(np.argmin(ok.ravel()))]
                 raise ValueError(
-                    f"zero-norm embedding ({id_col}={bad}): cosine cell "
-                    "assignment is undefined — filter degenerate vectors "
-                    "upstream (the expression twin and SQL oracle would "
-                    "silently NULL these out; failing loudly keeps the "
-                    "twins value-identical on every input they accept)"
+                    f"degenerate embedding ({id_col}={bad}: zero or "
+                    "non-finite norm): cosine cell assignment is undefined "
+                    "— filter these upstream (the expression twin and SQL "
+                    "oracle would silently NULL them out; failing loudly "
+                    "keeps the twins value-identical on every input they "
+                    "accept)"
                 )
             Vn = V / norms
             S = np.round(Vn @ Cn_desc.T, 6)

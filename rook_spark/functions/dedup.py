@@ -23,6 +23,7 @@ import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rook_spark.functions.text import fingerprint
 
@@ -163,8 +164,9 @@ def minhash_lsh_pairs(
     bucket of m boilerplate-identical docs emits m² pairs, so one
     100k-doc license-header cluster alone is 10^10 join rows — the
     classic LSH blowup at 100 TB. With the cap set, (band, key) groups
-    larger than it are dropped before the self-join (one extra
-    partial-combinable count per bucket — linear), the same trade as the
+    larger than it are dropped before the self-join (one window count
+    riding the same band-key shuffle the join needs — no recompute of
+    the signature subtree), the same trade as the
     winnowing stop-fingerprint cap (:func:`~rook_spark.functions.text
     .winnow_near_dup_pairs`): mega-clusters of exact boilerplate are
     better handled by exact/fingerprint dedup first, and a dropped
@@ -173,29 +175,15 @@ def minhash_lsh_pairs(
     cap would drop. Default None preserves exact all-candidates
     semantics (the oracle-verified configuration)."""
     assert n_hashes % n_bands == 0
-    rows = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
-                    )
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = _banded_keys(sigs, n_hashes, n_bands)
     if max_bucket_size is not None:
-        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        # window count over (band, key): rides the same shuffle key the
+        # self-join needs — NOT a groupBy + re-join, which would rebuild
+        # the signature subtree twice more (r4 review finding)
+        w = Window.partitionBy("band", "key")
         banded = (
-            banded.join(counts, ["band", "key"])
+            banded.withColumn("__n", F.count(F.lit(1)).over(w))
             .where(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
@@ -213,23 +201,12 @@ def minhash_lsh_pairs(
     )
 
 
-def lsh_hot_buckets(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    n_hashes: int = 16,
-    n_bands: int = 4,
-    min_size: int = 2,
-) -> DataFrame:
-    """Monitoring companion of ``minhash_lsh_pairs(max_bucket_size=...)``:
-    (band, key, bucket_size) for every collision bucket ≥ ``min_size``,
-    largest first — run it to SIZE a cap before setting one (the
-    'no silent caps' rule: know what you drop). One groupBy over the
-    banded signatures, linear."""
-    assert n_hashes % n_bands == 0
+def _banded_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """Exploded (id, band, key) frame over a signature table — the ONE
+    definition of the band hashing, shared by the pair join and the
+    hot-bucket monitor so the monitor can never drift from what the cap
+    actually drops (r4 review finding)."""
     rows = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -244,9 +221,31 @@ def lsh_hot_buckets(
             for b in range(n_bands)
         ]
     )
+    return sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_size: int = 2,
+) -> DataFrame:
+    """Monitoring companion of ``minhash_lsh_pairs(max_bucket_size=...)``:
+    (band, key, bucket_size) for every collision bucket ≥ ``min_size``,
+    largest first — run it to SIZE a cap before setting one (the
+    'no silent caps' rule: know what you drop). Bit-identical bucket
+    derivation by construction (same :func:`_banded_keys` the pair join
+    uses). One groupBy over the banded signatures, linear."""
+    assert n_hashes % n_bands == 0
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
     return (
-        sigs.select(F.explode(bands).alias("bk"))
-        .groupBy(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        _banded_keys(sigs, n_hashes, n_bands)
+        .groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .where(F.col("bucket_size") >= min_size)
         .orderBy(F.desc("bucket_size"), "band", "key")
@@ -503,58 +502,59 @@ def connected_components(
     Output: ``(id, component)`` where component = min node id reachable.
     """
     sc = edges.sparkSession.sparkContext
-    prev_ckpt_dir = None
-    if checkpoint_dir is not None:
-        prev_opt = sc._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
-        sc.setCheckpointDir(checkpoint_dir)
+    spark = edges.sparkSession
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
     e = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    # materialize the symmetric edge list ONCE — every round joins it, and
-    # without this the whole upstream pipeline (e.g. the MinHash LSH
-    # candidate generation) would re-execute per round
-    sym = _ckpt(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
-    # Size the iterative phase's shuffle width to the GRAPH, not the
-    # session default: every round is 2 joins + 1 agg over the candidate
-    # graph, which is typically orders of magnitude smaller than the
-    # corpus — at 64 session shuffle partitions a few-thousand-edge graph
-    # pays ~20 rounds × 64 near-empty tasks of pure scheduling overhead,
-    # while at 10^9 edges the same count() picks full parallelism
-    # (~1M edges/partition). sym is already materialized, so count() is
-    # one cheap cached pass. Restored in finally — the returned frame
-    # (and the singleton anti-join over the full corpus) plans under the
-    # caller's width.
-    spark = edges.sparkSession
-    n_edges = sym.count()
-    iter_parts = max(
-        1,
-        min(int(spark.sparkContext.defaultParallelism), n_edges // 1_000_000 + 1),
-    )
-    edge_ids = sym.select(F.col("u").alias("id")).distinct()
 
-    def finish(lab: DataFrame) -> DataFrame:
-        if nodes is None:
-            return lab
-        singles = (
-            nodes.toDF("id").distinct().join(edge_ids, "id", "left_anti")
-            .withColumn("component", F.col("id"))
-        )
-        return lab.unionByName(singles)
-
-    # the lock serializes concurrent connected_components calls in this
-    # process (read-old / set / restore of session conf would otherwise
-    # race and could strand the session at width 1); reading old_sp
-    # INSIDE the lock makes restore exact
+    # EVERYTHING touching context/session-global state (checkpoint dir,
+    # shuffle-partition conf) sits inside ONE lock + try/finally: the
+    # r4 review found the checkpoint-dir set racing outside the lock and
+    # an exception window (e.g. sym materialization failing) that could
+    # strand the session on a temp checkpoint dir.
     with _CC_CONF_LOCK:
+        prev_ckpt_dir = None
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
         try:
+            if checkpoint_dir is not None:
+                prev_opt = sc._jsc.sc().getCheckpointDir()
+                prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+                sc.setCheckpointDir(checkpoint_dir)
+
+            # materialize the symmetric edge list ONCE — every round joins
+            # it, and without this the whole upstream pipeline (e.g. the
+            # MinHash LSH candidate generation) would re-execute per round
+            sym = _ckpt(
+                e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+                .distinct()
+            )
+            # Size the iterative phase's shuffle width to the GRAPH, not
+            # the session default: every round is 2 joins + 1 agg over the
+            # candidate graph, typically orders of magnitude smaller than
+            # the corpus — at 64 session shuffle partitions a
+            # few-thousand-edge graph pays ~20 rounds × 64 near-empty
+            # tasks of pure scheduling overhead, while at 10^9 edges the
+            # same count() picks full parallelism (~1M edges/partition).
+            # sym is already materialized, so count() is one cheap pass.
+            n_edges = sym.count()
+            iter_parts = max(
+                1,
+                min(int(sc.defaultParallelism), n_edges // 1_000_000 + 1),
+            )
+            edge_ids = sym.select(F.col("u").alias("id")).distinct()
+
+            def finish(lab: DataFrame) -> DataFrame:
+                if nodes is None:
+                    return lab
+                singles = (
+                    nodes.toDF("id").distinct().join(edge_ids, "id", "left_anti")
+                    .withColumn("component", F.col("id"))
+                )
+                return lab.unionByName(singles)
+
+            spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
             return _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -104,12 +104,24 @@ def _scratch_dir(name: str) -> str:
     import shutil
     import tempfile
 
+    def _pid_alive(pid: int) -> bool:
+        # portable liveness probe (the r4 review caught a /proc check
+        # that would judge every foreign pid dead off-Linux): signal 0
+        # delivers nothing; PermissionError still means the pid exists
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
     root = os.path.join(tempfile.gettempdir(), f"rook_scratch_{os.getuid()}")
     os.makedirs(root, exist_ok=True)
     try:
         for entry in os.listdir(root):
             base, _, pid = entry.rpartition("_")
-            if base == name and pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            if base == name and pid.isdigit() and not _pid_alive(int(pid)):
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     except OSError:
         pass

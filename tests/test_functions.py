@@ -416,8 +416,17 @@ def test_ivf_arrow_zero_norm_raises(spark):
     queries = embs.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    with _pytest.raises(Exception, match="zero-norm embedding"):
+    with _pytest.raises(Exception, match="degenerate embedding"):
         ann.ivf_topk(embs, queries, n_centroids=2, nprobe=1, k=2,
+                     use_arrow=True).collect()
+    # NaN components are equally degenerate (NaN norm is truthy — must
+    # not slip past the guard and silently poison argmax)
+    nan_embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [float("nan"), 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="degenerate embedding"):
+        ann.ivf_topk(nan_embs, queries, n_centroids=2, nprobe=1, k=2,
                      use_arrow=True).collect()
     # zero-norm CENTROID (sampled from data) with clean data vectors: the
     # clamp keeps assignment NaN-free and the query completes
