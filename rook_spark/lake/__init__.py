@@ -1,4 +1,5 @@
 from rook_spark.lake.metastore import (
+    CommitConflict,
     InMemoryMetadataStore,
     MetadataStore,
     PosixMetadataStore,
@@ -11,4 +12,5 @@ __all__ = [
     "MetadataStore",
     "PosixMetadataStore",
     "InMemoryMetadataStore",
+    "CommitConflict",
 ]

@@ -39,9 +39,13 @@ commit-or-rollback):
   ``MySQLReplicationStream.java:212`` "todo: do something about schema
   changes").
 
-Single-writer assumption: one streaming query owns the table (true for
-the reference too — one binlog client per stream). Readers are never
-blocked and always see a consistent snapshot.
+Single-writer deployment, multi-writer SAFETY: one streaming query owns
+the table (true for the reference too — one binlog client per stream),
+but the commit is a compare-and-swap on the parent version
+(``lake/metastore.py``), so a second writer — a zombie driver after a
+partition, an operator double-start — fails loudly with
+``CommitConflict`` instead of silently last-write-winning. Readers are
+never blocked and always see a consistent snapshot.
 """
 
 from __future__ import annotations
@@ -181,8 +185,15 @@ class LakeTable:
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         """Durably store the snapshot, then atomically move the table
-        pointer (the store's ``commit`` contract carries atomicity)."""
-        self._store.commit(snap.version, snap.to_json())
+        pointer (the store's ``commit`` contract carries atomicity).
+
+        Conditional on the parent this snapshot was built from: every
+        construction path sets ``snap.parent`` to the version it read
+        (``-1`` for ``create``), so a concurrent writer that committed
+        in between surfaces as :class:`~rook_spark.lake.metastore
+        .CommitConflict` instead of silently clobbering its bucket map
+        — the Iceberg optimistic-concurrency contract."""
+        self._store.commit(snap.version, snap.to_json(), expected_parent=snap.parent)
 
     # ----------------------------------------------------------------- reads
 

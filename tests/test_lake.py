@@ -437,3 +437,83 @@ def test_changes_refuses_bucket_pruning_across_rebucket(spark, tmp_path):
     assert got["content"].tolist() == want["content"].tolist()
     # same-layout pruning still allowed
     assert t.changes(t.snapshot().version, buckets=[3]).count() == 0
+
+
+# --------------------------------------------------- concurrent-writer CAS
+
+
+def _two_writer_conflict(spark, make_tables):
+    """Deterministic two-writer interleave: writer B reads its parent
+    snapshot and builds its commit, but at B's commit point writer A has
+    already advanced the pointer — exactly the zombie-driver /
+    double-start scenario the catalog CAS exists for (verdict r4 item 1).
+    One winner, one loud CommitConflict, and a clean retry path."""
+    from rook_spark.lake.metastore import CommitConflict
+
+    t_a, t_b = make_tables()
+    t_a.merge(_changes(spark, [("r1", "a", "v1", "I")]), 0)
+    assert t_b.current_version() == t_a.current_version()
+
+    # interleave: when B reaches its commit point, A commits first
+    store_b = t_b._store
+    orig_commit = store_b.commit
+    fired = {}
+
+    def commit_with_interloper(version, payload, expected_parent):
+        if not fired:
+            fired["x"] = True
+            t_a.merge(_changes(spark, [("r1", "winner", "vA", "I")]), 1)
+        orig_commit(version, payload, expected_parent)
+
+    store_b.commit = commit_with_interloper
+    try:
+        with pytest.raises(CommitConflict):
+            t_b.merge(_changes(spark, [("r1", "loser", "vB", "I")]), 1)
+    finally:
+        store_b.commit = orig_commit
+
+    # the winner's commit survives intact (bucket map not clobbered)
+    state = {r["path"]: r["content"] for r in t_a.read().collect()}
+    assert state == {"a": "v1", "winner": "vA"}
+    # the loser retries against the NEW current snapshot and succeeds
+    t_b.merge(_changes(spark, [("r1", "loser", "vB", "I")]), 2)
+    state = {r["path"]: r["content"] for r in t_a.read().collect()}
+    assert state == {"a": "v1", "winner": "vA", "loser": "vB"}
+
+
+def test_concurrent_commit_conflicts_posix(spark, tmp_path):
+    def make_tables():
+        t_a = LakeTable.create(
+            spark, str(tmp_path / "cas"), SCHEMA, ["repo", "path"], n_buckets=4
+        )
+        t_b = LakeTable.load(spark, str(tmp_path / "cas"))
+        return t_a, t_b
+
+    _two_writer_conflict(spark, make_tables)
+
+
+def test_concurrent_commit_conflicts_in_memory(spark, tmp_path):
+    from rook_spark.lake.metastore import InMemoryMetadataStore
+
+    def make_tables():
+        store = InMemoryMetadataStore()
+        t_a = LakeTable.create(
+            spark, str(tmp_path / "cas_mem"), SCHEMA, ["repo", "path"],
+            n_buckets=4, store=store,
+        )
+        t_b = LakeTable(spark, str(tmp_path / "cas_mem"), store=store)
+        return t_a, t_b
+
+    _two_writer_conflict(spark, make_tables)
+
+
+def test_create_conflicts_on_existing_table(spark, tmp_path):
+    """create() builds from parent -1; racing a second create against a
+    committed table surfaces as the ValueError guard (pointer already
+    ≥ 0), and a raw commit with a stale -1 parent is a CommitConflict."""
+    from rook_spark.lake.metastore import CommitConflict, PosixMetadataStore
+
+    t = LakeTable.create(spark, str(tmp_path / "c"), SCHEMA, ["repo", "path"])
+    store = PosixMetadataStore(t._meta_dir)
+    with pytest.raises(CommitConflict):
+        store.commit(0, t.snapshot().to_json(), expected_parent=-1)
