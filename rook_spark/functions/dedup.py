@@ -48,9 +48,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # --------------------------------------------------------------- shingles
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str | list[str] = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
 ) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle).
+    """Distinct word k-shingles per document: (id, shingle) — or, with a
+    LIST of id columns (composite document keys, e.g. the CDC engine's
+    ``(repo, path)``), the id columns kept as-is plus ``shingle``.
 
     Built from a lateral sequence expression — sliding windows over the
     token array, JVM-side, no UDF.
@@ -61,9 +66,14 @@ def shingles(
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
     )
+    ids = (
+        [F.col(id_col).alias("id")]
+        if isinstance(id_col, str)
+        else [F.col(c) for c in id_col]
+    )
     return (
         df.where(n >= k)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select(*ids, F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -340,12 +350,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _cap_hot_groups(df: DataFrame, group_col: str, max_bucket_size: int) -> DataFrame:
+    """Drop rows belonging to ``group_col`` groups larger than the cap —
+    ONE window count riding the same group-key shuffle the downstream
+    self-join / applyInPandas needs (no groupBy + re-join, no recompute
+    of the upstream subtree). Shared by both embedding near-dup paths so
+    the cap's derivation is bit-identical to :func:`embedding_hot_buckets`
+    by construction."""
+    w = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
+
+
+def embedding_hot_buckets(
+    df: DataFrame, group_col: str, min_size: int = 2
+) -> DataFrame:
+    """Monitoring companion of the embedding near-dup paths'
+    ``max_bucket_size`` cap (the same monitor/cap pair as
+    :func:`lsh_hot_buckets` / ``minhash_lsh_pairs``): every bucket of
+    ``min_size``+ vectors, largest first — run it to SIZE a cap before
+    setting one ('no silent caps': know what you drop). A bucket of m
+    vectors is an m×m matmul in ONE task on the Arrow path — at 100 TB a
+    100k-vector boilerplate bucket is a 10^10-cell numpy matrix (OOM,
+    not just slow), which is exactly what the cap exists to refuse.
+    One groupBy, linear, partial-combinable."""
+    return (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_size)
+        .orderBy(F.desc("bucket_size"), group_col)
+    )
+
+
 def embedding_near_dup_pairs_arrow(
     df: DataFrame,
     group_col: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Arrow twin of the bucketed :func:`embedding_near_dup_pairs`: one
     numpy ``Vn @ Vn.T`` per bucket group (``applyInPandas``) instead of
@@ -353,8 +399,24 @@ def embedding_near_dup_pairs_arrow(
     shared round-to-4 (asserted in tests). The bucket groupBy is the same
     single shuffle the equi-join pays; within a bucket the pairwise work
     is vectorized. At 100 TB, bucket size is the knob: more LSH planes →
-    smaller buckets → less O(bucket²) work per group."""
+    smaller buckets → less O(bucket²) work per group.
+
+    ``max_bucket_size`` is the HOT-BUCKET guard (verdict r4 item 2): one
+    bucket of m near-identical boilerplate vectors is an m² matmul in a
+    SINGLE task — 100k vectors → a 10^10-cell matrix → executor OOM, the
+    embedding-side analog of the LSH band blowup. With the cap set,
+    oversized buckets are dropped BEFORE the applyInPandas (a window
+    count riding the same group-key shuffle), so the huge group's rows
+    never reach one task. Not a silent cap: size it first with
+    :func:`embedding_hot_buckets`, which shares the derivation
+    (:func:`_cap_hot_groups`) and therefore predicts exactly what a
+    given cap drops. Mega-clusters of boilerplate belong to
+    exact/fingerprint dedup anyway. Default None preserves the
+    oracle-verified all-pairs-within-bucket semantics."""
     import numpy as np
+
+    if max_bucket_size is not None:
+        df = _cap_hot_groups(df, group_col, max_bucket_size)
 
     def pairs(pdf):
         import pandas as pd
@@ -389,6 +451,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     group_col: str | None = None,
     salt: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b) above threshold.
 
@@ -408,7 +471,20 @@ def embedding_near_dup_pairs(
     pair still appears exactly once: an a-row carries one salt value.
     The true 100 TB fast path remains the Arrow twin
     (:func:`embedding_near_dup_pairs_arrow`) — one matmul per bucket.
+
+    ``max_bucket_size`` (requires ``group_col``): the same hot-bucket
+    guard as the Arrow twin — buckets larger than the cap are dropped
+    before the self-join via the shared :func:`_cap_hot_groups`
+    derivation, so :func:`embedding_hot_buckets` predicts exactly what a
+    given cap drops and both twins drop identically. Salting bounds the
+    per-TASK work but not the O(bucket²) pair count itself; the cap
+    bounds the pair count. Default None = exact all-pairs-within-bucket
+    (the oracle-verified configuration).
     """
+    if max_bucket_size is not None:
+        if not group_col:
+            raise ValueError("max_bucket_size requires group_col")
+        df = _cap_hot_groups(df, group_col, max_bucket_size)
     if group_col and salt > 1:
         # force the shuffle even under a broadcast-hash plan, so the
         # probe side's task count is n_buckets × salt, not the source's
@@ -464,6 +540,16 @@ def connected_components(
     1M. Raises loudly if ``max_iter`` rounds do not converge instead of
     returning a partial clustering.
 
+    Synchronization points are minimized (verdict r4 item 3 — on a noisy
+    host every per-round action multiplies the host's stall tax, and on
+    a real cluster every action is a driver round-trip): labels are
+    SEEDED with ``min(id, min 1-hop neighbor)`` (one aggregate folded
+    into initialization — it is exactly what round 1 used to compute, so
+    the loop starts one round ahead), and each round's checkpoint is
+    LAZY — the exact-fixpoint count is the single action per round and
+    materializes the checkpointed label frame as it runs, instead of an
+    eager-checkpoint job followed by a separate count job.
+
     Scale shape per round: one shuffle join (labels onto the symmetric
     edge list, partitioned by node id) + one min-aggregate — both
     partial-combinable — plus one labels⋈labels self-join for the jump.
@@ -482,7 +568,12 @@ def connected_components(
     =true`` so superseded per-round checkpoints are reclaimed when their
     RDDs are GC'd, and note ``setCheckpointDir`` is context-global — a
     pre-existing dir is restored on exit, but other checkpoints issued
-    DURING the loop land under ours.
+    DURING the loop land under ours, and — ADVERTISED ONE-WAY SET
+    (ADVICE r4) — if the session had NO checkpoint dir before the call,
+    the caller's dir REMAINS the context's checkpoint dir after return
+    (Spark exposes no unset API), so later unrelated ``df.checkpoint()``
+    calls land there and fail if the caller deletes the directory; a
+    WARNING is logged when this one-way set happens.
 
     Concurrency: the shuffle-width resize below mutates session conf, so
     the iterative phase is serialized per-process by a module lock, and
@@ -505,7 +596,14 @@ def connected_components(
     spark = edges.sparkSession
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # LAZY: the caller's next action over the frame materializes the
+        # checkpoint — one job per round instead of eager-checkpoint +
+        # count (half the synchronization points of the r4 shape)
+        return (
+            df.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=False)
+        )
 
     e = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
 
@@ -521,6 +619,17 @@ def connected_components(
             if checkpoint_dir is not None:
                 prev_opt = sc._jsc.sc().getCheckpointDir()
                 prev_ckpt_dir = prev_opt.get() if prev_opt.isDefined() else None
+                if prev_ckpt_dir is None:
+                    import warnings
+
+                    warnings.warn(
+                        "connected_components(checkpoint_dir=...): the session "
+                        "had no checkpoint dir, so this dir remains the "
+                        "context's checkpoint dir after return (Spark has no "
+                        "unset API) — do not delete it while the session may "
+                        "still issue checkpoints",
+                        stacklevel=2,
+                    )
                 sc.setCheckpointDir(checkpoint_dir)
 
             # materialize the symmetric edge list ONCE — every round joins
@@ -543,33 +652,45 @@ def connected_components(
                 1,
                 min(int(sc.defaultParallelism), n_edges // 1_000_000 + 1),
             )
-            edge_ids = sym.select(F.col("u").alias("id")).distinct()
 
             def finish(lab: DataFrame) -> DataFrame:
                 if nodes is None:
                     return lab
                 singles = (
-                    nodes.toDF("id").distinct().join(edge_ids, "id", "left_anti")
+                    nodes.toDF("id").distinct()
+                    .join(lab.select("id"), "id", "left_anti")
                     .withColumn("component", F.col("id"))
                 )
                 return lab.unionByName(singles)
 
             spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-            return _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt)
+            # seed = min(id, min 1-hop neighbor): exactly the relabel the
+            # first loop round used to compute, folded into one aggregate
+            # at initialization — the fixpoint arrives a round earlier
+            seed = _ckpt(
+                sym.groupBy("u")
+                .agg(F.min("v").alias("nmin"))
+                .select(
+                    F.col("u").alias("id"),
+                    F.least(F.col("u"), F.col("nmin")).alias("component"),
+                )
+            )
+            return _label_propagation_loop(sym, seed, finish, max_iter, _ckpt)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             if prev_ckpt_dir is not None:
                 sc.setCheckpointDir(prev_ckpt_dir)
 
 
-def _label_propagation_loop(sym, edge_ids, finish, max_iter, _ckpt) -> DataFrame:
-    """The eager per-round body of :func:`connected_components` (runs
-    under the graph-sized shuffle width its caller sets)."""
-    # only nodes that touch an edge iterate; everything else is its own
-    # component by definition and is appended after the fixpoint — the
-    # per-round join scales with the candidate graph, not the corpus
-    labels = _ckpt(edge_ids.withColumn("component", F.col("id")))
-
+def _label_propagation_loop(sym, labels, finish, max_iter, _ckpt) -> DataFrame:
+    """The per-round body of :func:`connected_components` (runs under
+    the graph-sized shuffle width its caller sets). ``labels`` arrives
+    pre-seeded with the 1-hop minimum; only nodes that touch an edge
+    iterate — everything else is its own component by definition and is
+    appended after the fixpoint, so the per-round join scales with the
+    candidate graph, not the corpus. ONE action per round: the exact
+    changed-label count, which also materializes that round's lazily
+    checkpointed label frame."""
     for _ in range(max_iter):
         nbr = (
             sym.join(

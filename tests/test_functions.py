@@ -471,6 +471,59 @@ def test_lsh_hot_bucket_cap(spark):
     assert hot[0]["bucket_size"] == 30   # the monitor names the cluster
 
 
+def test_embedding_hot_bucket_cap_both_paths(spark):
+    """Verdict r4 item 2: the Arrow embedding near-dup path (an m×m
+    matmul per bucket in ONE task) gets the same hot-bucket guard as the
+    LSH band join — an oversized bucket is dropped before the
+    applyInPandas/self-join, small buckets are untouched, BOTH twins
+    drop identically (shared _cap_hot_groups derivation), and the
+    embedding_hot_buckets monitor predicts exactly what the cap drops."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    # bucket 0: a 30-vector boilerplate cluster (pairwise near-identical)
+    boiler = [
+        (i, 0, (base + 1e-4 * rng.normal(size=8)).tolist()) for i in range(30)
+    ]
+    # bucket 1: two genuine near-dups
+    v = rng.normal(size=8)
+    near = [(100, 1, v.tolist()), (101, 1, (v + 1e-4 * rng.normal(size=8)).tolist())]
+    df = spark.createDataFrame(
+        boiler + near, "vec_id long, bucket int, embedding array<double>"
+    )
+
+    def pairs(fn, **kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in fn(
+                df, group_col="bucket", threshold=0.99, max_bucket_size=10, **kw
+            ).collect()
+        }
+
+    capped_arrow = pairs(dedup.embedding_near_dup_pairs_arrow)
+    capped_expr = pairs(dedup.embedding_near_dup_pairs)
+    assert capped_arrow == capped_expr == {(100, 101)}  # big bucket gone, twin parity
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_arrow(
+            df, group_col="bucket", threshold=0.99
+        ).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) == 1 + 30 * 29 // 2
+
+    # monitor's bucket list == exactly what the cap dropped
+    hot = dedup.embedding_hot_buckets(df, "bucket", min_size=11).collect()
+    assert [(r["bucket"], r["bucket_size"]) for r in hot] == [(0, 30)]
+    dropped = uncapped - capped_arrow
+    assert dropped == {(a, b) for a in range(30) for b in range(a + 1, 30)}
+
+    # cap without a group_col on the expression path is refused loudly
+    with pytest.raises(ValueError, match="group_col"):
+        dedup.embedding_near_dup_pairs(df, max_bucket_size=10)
+
+
 def test_benchmark_contamination(spark):
     """Planted leak: a corpus doc embedding a benchmark passage scores
     high contamination; clean docs are absent from the result; the
@@ -492,3 +545,71 @@ def test_benchmark_contamination(spark):
     assert r["n_contaminated"] >= 5  # the embedded passage's tri-shingles
     assert 0 < r["contamination"] <= 1.0
     assert r["contamination"] == round(r["n_contaminated"] / r["n_shingles"], 4)
+
+
+def test_benchmark_contamination_k8_vs_duckdb(spark):
+    """Verdict r4 item 7: real eval decontamination runs 8-13-gram
+    overlap, where shingle counts and hit rates behave very differently
+    from k=3 (an 8-gram match is near-certain verbatim leakage; random
+    collisions vanish). Full DuckDB oracle at k=8 over the sf0.01
+    documents table, same deterministic 97-split as the k=3 driver
+    query. CHOOSING k: 3-grams measure topical overlap (high false-hit
+    rate — any doc sharing phrasing fires); 8+-grams measure verbatim
+    contamination (the thing decontamination actually removes);
+    production pipelines typically use k=8-13 with a 'any hit = drop'
+    or windowed-overlap policy. The k=3 driver query stays as-is (the
+    oracle-rotation entry); this pins the realistic operating point."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    k = 8
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+        for r in dedup.benchmark_contamination(
+            docs.where(F.col("doc_id") % 97 != 0),
+            docs.where(F.col("doc_id") % 97 == 0),
+            k=k,
+        ).collect()
+    }
+
+    grams = ", ".join(f"t[i+{j}]" for j in range(k))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT id, concat_ws(' ', {grams}) AS shingle
+          FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS g(i)
+          WHERE len(t) >= {k}
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+        corp AS (SELECT * FROM sh WHERE id % 97 <> 0),
+        agg AS (
+          SELECT c.id, CAST(count(*) AS BIGINT) AS n_shingles,
+                 CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_contaminated
+          FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+          GROUP BY c.id
+        )
+        SELECT id, n_shingles, n_contaminated,
+               round(n_contaminated * 1.0 / n_shingles, 4) AS contamination
+        FROM agg WHERE n_contaminated > 0
+    """).fetchall()
+    con.close()
+    want = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert got == want
+    # at k=8 hits are verbatim runs: strictly fewer contaminated docs
+    # than the k=3 sweep finds on the same split
+    k3 = dedup.benchmark_contamination(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        k=3,
+    ).count()
+    assert len(got) <= k3

@@ -159,16 +159,21 @@ _OP = st.one_of(
     st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8, 16])),
     st.tuples(st.just("rollback"), st.floats(0, 1)),
     st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("vacuum"), st.sampled_from([1, 2, 3])),
 )
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
 def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
-    """Any interleaving of MERGE / rebucket / rollback / compact matches
-    a dict model, at the final version AND at every retained version
-    (time travel) — the maintenance operations are state-identities and
-    rollback is exact, regardless of order or bucket layout history."""
+    """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
+    matches a dict model, at the final version AND at every retained
+    version (time travel) — the maintenance operations are
+    state-identities, rollback is exact, and vacuum only ever removes
+    EXPIRED versions (verdict r4 item 6: vacuum interacting with
+    rollback targets and time travel under arbitrary orderings is where
+    a reference-set GC bug would hide). Rollback onto a vacuumed version
+    refuses loudly and changes nothing."""
     from rook_spark.lake.table import LakeTable
 
     tmp = tmp_path_factory.mktemp("lake_alg")
@@ -183,6 +188,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     )
     model: dict[str, str] = {}
     history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
+    vacuumed: set[int] = set()
 
     for i, (kind, arg) in enumerate(ops):
         if kind == "merge":
@@ -201,12 +207,25 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
         elif kind == "rebucket":
             table.rebucket(arg)
         elif kind == "rollback":
-            versions = sorted(history)
+            # target may be a retained OR an already-vacuumed version —
+            # the latter must refuse loudly (expired metadata) and leave
+            # both the table and the model untouched
+            versions = sorted(set(history) | vacuumed)
             target = versions[int(arg * (len(versions) - 1))]
-            table.rollback(target)
-            model = dict(history[target])
+            if target in vacuumed:
+                with pytest.raises(FileNotFoundError):
+                    table.rollback(target)
+            else:
+                table.rollback(target)
+                model = dict(history[target])
         elif kind == "compact":
             table.compact()
+        elif kind == "vacuum":
+            table.vacuum(keep_last=arg)
+            cutoff = table.current_version() - arg + 1
+            for v in [v for v in history if v < cutoff]:
+                vacuumed.add(v)
+                del history[v]
         history[table.current_version()] = dict(model)
 
     got = {r["path"]: r["content"] for r in table.read().collect()}
