@@ -1,0 +1,142 @@
+"""CDC-maintained incremental MinHash dedup index (cdc/dedup_index.py):
+the invariant is that maintaining signatures incrementally from the
+change feed is indistinguishable from recomputing them over the final
+table — under multi-epoch replay, deletes, duplicate re-delivery,
+crash-window re-delivery, and long→short content updates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rook_spark.cdc.dedup_index import DedupIndex
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events, with_replayed_suffix
+
+N_EVENTS = 3000
+
+
+def _index_state(idx):
+    return {
+        tuple(r[c] for c in idx.key_cols): tuple(r[c] for c in idx.sig_cols)
+        for r in idx.signatures().collect()
+    }
+
+
+def _recompute_state(idx, docs):
+    return {
+        tuple(r[c] for c in idx.key_cols): tuple(r[c] for c in idx.sig_cols)
+        for r in idx.compute_signatures(docs).collect()
+    }
+
+
+def test_incremental_index_equals_full_recompute(spark, tmp_path):
+    """Three epochs + a duplicated suffix through the real engine with
+    the index sink: the index must equal a full signature recompute over
+    the final main-table state, key for key, hash for hash."""
+    ev = generate_events(spark, N_EVENTS, seed=51)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=3, n_hashes=8, n_buckets=8)
+    engine.with_sink("dedup_index", idx.sink(), when="before")
+
+    bounds = [(0, 900), (900, 2100), (2100, N_EVENTS)]
+    for i, (lo, hi) in enumerate(bounds):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    # at-least-once source: re-deliver the last 30% — watermark filter
+    # hands the sink an EMPTY fresh set, index must not change
+    before = _index_state(idx)
+    engine.replay(ev.where(F.col("offset") >= int(N_EVENTS * 0.7)), 3)
+    assert _index_state(idx) == before
+
+    want = _recompute_state(idx, engine.target().read())
+    got = _index_state(idx)
+    assert got == want
+    assert len(got) > 100
+    # deletes really dropped keys: strictly fewer index rows than events
+    assert len(got) < N_EVENTS
+
+
+def test_duplicates_within_one_batch_collapse(spark, tmp_path):
+    ev = generate_events(spark, 1500, seed=52)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), n_buckets=8)
+    engine.with_sink("dedup_index", idx.sink(), when="before")
+    engine.replay(with_replayed_suffix(ev, 1500, 0.2), 0)
+    assert _index_state(idx) == _recompute_state(idx, engine.target().read())
+
+
+def _flat(spark, rows):
+    """Hand-built normalized batch rows:
+    (repo, path, content, op, commit_ordinal, offset)."""
+    return spark.createDataFrame(
+        [(r, p, c, op, o, o, 0, 0) for (r, p, c, op, o) in rows],
+        "repo string, path string, content string, op string, "
+        "commit_ordinal long, offset long, source_partition int, tx_id long",
+    )
+
+
+def test_long_to_short_update_clears_stale_signature(spark, tmp_path):
+    """A doc whose content shrinks below k tokens must carry an all-null
+    signature row after the update — NOT the stale signature of the old
+    long content (the left-join-including-shingleless-docs contract)."""
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=3, n_hashes=4, n_buckets=4)
+    sink = idx.sink()
+    sink(_flat(spark, [("r", "a", "one two three four five", "I", 1)]), 0)
+    st = _index_state(idx)
+    assert st[("r", "a")][0] is not None
+    sink(_flat(spark, [("r", "a", "two words", "U", 2)]), 1)
+    st = _index_state(idx)
+    assert st[("r", "a")] == (None,) * 4
+    # and a delete drops the key entirely
+    sink(_flat(spark, [("r", "a", None, "D", 3)]), 2)
+    assert _index_state(idx) == {}
+
+
+def test_crash_window_redelivery_is_idempotent(spark, tmp_path):
+    """The 'before'-phase crash scenario: the index committed batch 0
+    but the main table did not, so restart re-delivers the SAME batch id
+    with the same rows — the index's batch fence skips it; and a stale
+    lower-ordinal change for the same key inside a later batch loses to
+    the stored ordinal (conditional MERGE)."""
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=3, n_hashes=4, n_buckets=4)
+    sink = idx.sink()
+    batch = _flat(spark, [("r", "a", "alpha beta gamma delta", "I", 5)])
+    sink(batch, 0)
+    st = _index_state(idx)
+    v = idx.table().current_version()
+    sink(batch, 0)  # re-delivery, same batch id -> fenced, no new version
+    assert idx.table().current_version() == v
+    assert _index_state(idx) == st
+    # out-of-order stale change in a later batch: stored ordinal wins
+    sink(_flat(spark, [("r", "a", "totally different old text", "U", 3)]), 1)
+    assert _index_state(idx) == st
+
+
+def test_candidates_probe_batch_against_index(spark, tmp_path):
+    """Incremental near-dup probe: a new doc near-identical to an
+    already-indexed doc collides in a band; unrelated docs do not; the
+    batch never joins itself (cross pairs only, self-matches removed)."""
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=2, n_hashes=8, n_buckets=4)
+    sink = idx.sink()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    sink(
+        _flat(
+            spark,
+            [
+                ("r", "orig", base, "I", 1),
+                ("r", "other", "completely unrelated legal boilerplate text here", "I", 2),
+                ("r", "tiny", "x", "I", 3),  # shingleless: must never collide
+            ],
+        ),
+        0,
+    )
+    batch = spark.createDataFrame(
+        [("r", "copy", base + " trailing"), ("r", "fresh", "nothing in common with anything")],
+        "repo string, path string, content string",
+    )
+    pairs = {
+        ((r["repo_a"], r["path_a"]), (r["repo_b"], r["path_b"]))
+        for r in idx.candidates(idx.compute_signatures(batch)).collect()
+    }
+    assert (("r", "orig"), ("r", "copy")) in pairs
+    assert all(b != ("r", "fresh") for _, b in pairs)
+    assert all(a != ("r", "tiny") for a, _ in pairs)

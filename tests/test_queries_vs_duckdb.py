@@ -121,7 +121,7 @@ def test_registry_count_matches_readme():
     import re
 
     n = len(q.queries())
-    assert n == 58, f"registry changed size to {n}: update this pin AND README.md"
+    assert n == 59, f"registry changed size to {n}: update this pin AND README.md"
     readme = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
     ).read()
@@ -132,28 +132,48 @@ def test_registry_count_matches_readme():
     )
 
 
-def test_driver_window_rotation_r4():
-    """Round-4 rotation (verdict item 4): every round-3 tail twin must
-    now sit INSIDE the first-50 window so it gets a driver-verified
-    correctness row, and each rotated-out primary must have an in-window
-    oracle sibling (or be a thrice-green twin-free query sitting one
-    round out). This encodes the rotation so a future edit can't silently
-    undo the coverage guarantee."""
+def test_driver_window_rotation_r5():
+    """Round-5 rotation (verdict r4 item 4): the entire round-4 tail —
+    doc_sha256, emb_cosine_topk, emb_near_dup_pairs, ann_lsh_recall,
+    ann_ivf_topk_expr, dedup_exact, set_ops_nations, doc_contamination —
+    must now sit INSIDE the first-50 window so each gets a driver-
+    verified correctness row this round; every rotated-out query must
+    have been driver-green in round 4 (CORRECTNESS_r04), so one round of
+    tail is the maximum driver-blindness any query accrues. This encodes
+    the rotation so a future edit can't silently undo the coverage
+    guarantee."""
+    import json
+    import os
+
     names = list(q.queries())
     head = set(names[:50])
     rotated_in = {
-        "dedup_ngram_jaccard", "doc_sha256_pandas_udf", "emb_cosine_topk_arrow",
-        "emb_near_dup_pairs_arrow", "ann_lsh_recall_curve",
-        "dedup_minhash_signatures", "ann_ivf_topk",
+        "doc_sha256", "emb_cosine_topk", "emb_near_dup_pairs",
+        "ann_lsh_recall", "ann_ivf_topk_expr", "dedup_exact",
+        "set_ops_nations", "doc_contamination",
     }
     assert rotated_in <= head, f"missing from window: {rotated_in - head}"
-    # each rotated-out primary's oracle signal is carried in-window
+    # every tail entry was driver-green in the immediately preceding round
+    r04 = json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r04.json")))
+    # registered mid-round-5, pytest-oracled; takes its driver row in r6
+    # (the doc_contamination precedent from r4)
+    new_this_round = {"cdc_dedup_index"}
+    for name in set(q._DRIVER_TAIL) - new_this_round:
+        row = r04.get(name)
+        assert row and row["hash_match"] and row["err"] is None, (
+            f"tail entry {name} was not driver-green in round 4 — it may "
+            f"not sit out round 5"
+        )
+    assert new_this_round <= set(q.oracle_sql())
+    # where a tail entry has an oracle-sharing twin, the twin is in-window
     sibling = {
-        "doc_sha256": "doc_sha256_pandas_udf",
-        "emb_cosine_topk": "emb_cosine_topk_arrow",
-        "emb_near_dup_pairs": "emb_near_dup_pairs_arrow",
-        "ann_lsh_recall": "ann_lsh_recall_curve",
-        "ann_ivf_topk_expr": "ann_ivf_topk",
+        "doc_sha256_pandas_udf": "doc_sha256",
+        "emb_cosine_topk_arrow": "emb_cosine_topk",
+        "emb_near_dup_pairs_arrow": "emb_near_dup_pairs",
+        "ann_lsh_recall_curve": "ann_lsh_recall",
+        "ann_ivf_topk": "ann_ivf_topk_expr",
+        "cdc_lww_state_salted": "cdc_lww_state",
     }
     for out, in_w in sibling.items():
         assert out in q._DRIVER_TAIL and in_w in head
