@@ -70,6 +70,24 @@ def bucket_expr(key_cols: list[str] | tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _stats_may_match(stats: dict | None, ranges: dict[str, tuple]) -> bool:
+    """True unless the file's footer stats PROVE no row can fall in every
+    requested range (missing stats for a column ⇒ cannot prove ⇒ keep —
+    skipping is only ever an optimization, never a filter)."""
+    if not stats:
+        return True
+    for col, (lo, hi) in ranges.items():
+        mm = stats.get(col)
+        if not mm:
+            continue
+        mn, mx = mm
+        if mn is None or mx is None:
+            continue
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            return False
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -92,6 +110,11 @@ class Snapshot:
     # dir, so the batch-id fence is only valid within one run. "" = batch
     # (non-streaming) lineage.
     run_id: str = ""
+    # file-level column statistics for BASE data files (Iceberg manifest
+    # min/max analog): relative file path -> {column: [min, max]} for
+    # numeric columns, harvested from the parquet footers at commit time.
+    # Drives read(ranges=...) file skipping; see LakeTable.read.
+    stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -110,6 +133,7 @@ class Snapshot:
                 "parent": self.parent,
                 "deltas": self.deltas,
                 "run_id": self.run_id,
+                "stats": self.stats,
             }
         )
 
@@ -203,6 +227,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_internal: bool = False,
         spark: SparkSession | None = None,
+        ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
@@ -211,6 +236,24 @@ class LakeTable:
         mechanism the MERGE uses to avoid scanning untouched data.
         Old files are read through the *current* schema, so columns added
         by schema evolution are null-backfilled for pre-evolution rows.
+
+        ``ranges`` — STATS-BASED FILE SKIPPING (Iceberg manifest min/max
+        analog, the second pruning axis next to buckets): a dict
+        ``{column: (lo, hi)}`` (either bound None = unbounded) drops
+        base files whose footer [min, max] for every named column cannot
+        intersect the requested range — before Spark ever lists them, so
+        at 100 TB a bounded scan (e.g. ``{"__ordinal": (watermark,
+        None)}`` for an incremental sweep) reads only the files a
+        predicate pushdown could never skip at the scan level. Contract:
+        the result is a SUPERSET of the matching rows — the caller still
+        applies the exact row filter; files are skipped only when no row
+        can match (missing stats ⇒ file kept). Soundness under
+        merge-on-read: pruning base files under a key-state (LWW)
+        resolution could surface a stale delta as the apparent winner,
+        so buckets carrying ANY deltas keep all their base files —
+        pruning applies in full force exactly where rows ARE final state
+        (COW / compacted buckets, where each key's single stored row is
+        its current winner).
 
         ``spark``: session to build the plan under (defaults to the
         table's). The MERGE passes the change set's session so the whole
@@ -224,13 +267,18 @@ class LakeTable:
         schema = snap.schema()
         keys = {str(b) for b in buckets} if buckets is not None else None
 
-        def pick(mapping: dict[str, list[str]]) -> list[str]:
+        def pick(mapping: dict[str, list[str]], prune: bool = False) -> list[str]:
             items = mapping.items() if keys is None else (
                 (b, fs) for b, fs in mapping.items() if b in keys
             )
-            return [os.path.join(self.path, f) for _, fs in items for f in fs]
+            out = []
+            for b, fs in items:
+                if prune and ranges and not snap.deltas.get(b):
+                    fs = [f for f in fs if _stats_may_match(snap.stats.get(f), ranges)]
+                out.extend(os.path.join(self.path, f) for f in fs)
+            return out
 
-        base_files = pick(snap.buckets)
+        base_files = pick(snap.buckets, prune=True)
         if base_files:
             df = spark.read.schema(schema).parquet(*base_files)
         else:
@@ -641,6 +689,7 @@ class LakeTable:
         # touched buckets' deltas were folded into the rewrite above
         for b in touched:
             new_snap.deltas.pop(str(b), None)
+        self._carry_stats(new_snap, snap, self._file_stats(written))
         self._write_snapshot(new_snap)
         return {"skipped": False, "version": new_snap.version,
                 "touched_buckets": len(touched), "buckets_rewritten": buckets_rewritten}
@@ -712,6 +761,7 @@ class LakeTable:
             snap, snap.batch_id if batch_id is None else batch_id, schema, None
         )
         new_snap.buckets = buckets
+        self._carry_stats(new_snap, snap, self._file_stats(buckets))
         self._write_snapshot(new_snap)
 
     # ----------------------------------------------------------- maintenance
@@ -792,6 +842,7 @@ class LakeTable:
         new_snap.buckets = new_buckets
         for b in fat:  # deltas folded into the new base files
             new_snap.deltas.pop(str(b), None)
+        self._carry_stats(new_snap, snap, self._file_stats(written))
         self._write_snapshot(new_snap)
         return {"compacted_buckets": len(fat), "version": new_snap.version}
 
@@ -843,6 +894,7 @@ class LakeTable:
             parent=cur.version,
             deltas={b: list(fs) for b, fs in target.deltas.items()},
             run_id=target.run_id,
+            stats={f: dict(mm) for f, mm in target.stats.items()},
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -877,6 +929,7 @@ class LakeTable:
         new_snap.n_buckets = n_buckets
         new_snap.buckets = new_buckets
         new_snap.deltas = {}
+        self._carry_stats(new_snap, snap, self._file_stats(new_buckets))
         self._write_snapshot(new_snap)
         return {
             "rebucketed": 1,
@@ -914,6 +967,57 @@ class LakeTable:
                 files[entry.split("=", 1)[1]] = fs
         return files
 
+    def _file_stats(self, files: dict[str, list[str]]) -> dict[str, dict[str, list]]:
+        """Harvest per-file [min, max] for NUMERIC columns from the
+        parquet footers of freshly written base files (the Iceberg
+        writer collects the same stats into manifests at commit time).
+        Driver-local footer reads, O(files written this commit) — the
+        same order of work as the existing write-then-list step; strings
+        are skipped (lower/upper-bound truncation semantics are not
+        worth their subtlety here), so stats-missing columns simply
+        never prune."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for fs in files.values():
+            for rel in fs:
+                try:
+                    md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+                except Exception:  # unreadable footer -> no stats, no pruning
+                    continue
+                col_mm: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if not isinstance(mn, (int, float)) or isinstance(mn, bool):
+                            continue
+                        name = col.path_in_schema
+                        cur = col_mm.get(name)
+                        if cur is None:
+                            col_mm[name] = [mn, mx]
+                        else:
+                            col_mm[name] = [min(cur[0], mn), max(cur[1], mx)]
+                if col_mm:
+                    out[rel] = col_mm
+        return out
+
+    def _carry_stats(
+        self, new_snap: Snapshot, prev: Snapshot,
+        fresh: dict[str, dict[str, list]],
+    ) -> None:
+        """Snapshot stats bookkeeping: carry the previous snapshot's
+        entries for files still referenced, add the fresh files', drop
+        everything else (stats always describe exactly the base files of
+        THIS snapshot)."""
+        live = {f for fs in new_snap.buckets.values() for f in fs}
+        merged = {**prev.stats, **fresh}
+        new_snap.stats = {f: merged[f] for f in live if f in merged}
+
     def _child_snapshot(
         self,
         parent: Snapshot,
@@ -946,4 +1050,9 @@ class LakeTable:
             # maintenance commits (compact/vacuum/overwrite) pass None and
             # inherit the committing run's identity unchanged
             run_id=parent.run_id if run_id is None else run_id,
+            # base files unchanged unless the caller rewrites buckets, in
+            # which case it re-derives stats via _carry_stats; stats are
+            # keyed by version-scoped paths so carried entries can never
+            # describe the wrong file
+            stats={f: dict(mm) for f, mm in parent.stats.items()},
         )

@@ -111,6 +111,27 @@ def test_crash_window_redelivery_is_idempotent(spark, tmp_path):
     assert _index_state(idx) == st
 
 
+def test_streaming_tail_maintains_index(spark, tmp_path):
+    """The index sink under a REAL Structured Streaming tail (S1 →
+    foreachBatch): micro-batched delivery must land the same index as a
+    full recompute — the production deployment shape, not just batch
+    replay. Note the sink runs inside foreachBatch's cloned session;
+    the index's lake MERGE plans under the change set's session, so the
+    listener plumbing is exercised too."""
+    from rook_spark.cdc.fixtures import write_events
+
+    src = str(tmp_path / "log")
+    write_events(generate_events(spark, 1200, seed=53), src, n_files=4)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), n_buckets=8)
+    engine.with_sink("dedup_index", idx.sink(), when="before")
+    q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # genuinely micro-batched
+    assert _index_state(idx) == _recompute_state(idx, engine.target().read())
+
+
 def test_candidates_probe_batch_against_index(spark, tmp_path):
     """Incremental near-dup probe: a new doc near-identical to an
     already-indexed doc collides in a band; unrelated docs do not; the

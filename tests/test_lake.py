@@ -517,3 +517,109 @@ def test_create_conflicts_on_existing_table(spark, tmp_path):
     store = PosixMetadataStore(t._meta_dir)
     with pytest.raises(CommitConflict):
         store.commit(0, t.snapshot().to_json(), expected_parent=-1)
+
+
+# ------------------------------------------------- file-level stats skipping
+
+
+def _ord_changes(spark, rows):
+    """(repo, path, size, op, ordinal) -> change set with LWW ordinals."""
+    return spark.createDataFrame(
+        [(r, p, s, op, o, o) for (r, p, s, op, o) in rows],
+        "repo string, path string, size long, op string, "
+        "__ordinal long, __offset long",
+    )
+
+
+@pytest.fixture()
+def stats_table(spark, tmp_path):
+    """Two commits with disjoint key sets and disjoint value bands — the
+    shape stats skipping exists for: later commits' files carry higher
+    ordinals/values, so a bounded scan can skip every untouched bucket's
+    files."""
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "st"), schema, ["repo", "path"], n_buckets=8
+    )
+    t.merge(_ord_changes(
+        spark, [("r", f"p{i:03d}", i * 10, "I", 1) for i in range(64)]), 0)
+    t.merge(_ord_changes(
+        spark, [("r", f"q{i}", 9000 + i, "I", 2) for i in range(3)]), 1)
+    return t
+
+
+def test_stats_skipping_prunes_files_and_loses_nothing(spark, stats_table):
+    """read(ranges=...) must scan strictly fewer parquet files than a
+    full read while returning every matching row (superset contract:
+    caller applies the exact filter) — the Iceberg manifest min/max
+    analog on top of bucket pruning. The incremental-scan shape
+    (ordinal > watermark) skips every bucket the later commit did not
+    rewrite."""
+    t = stats_table
+    full = t.read()
+    n_full = full.select(F.input_file_name()).distinct().count()
+
+    for ranges, flt, want_rows in [
+        ({"size": (8000, None)}, "size >= 8000", {"q0", "q1", "q2"}),
+        ({"__ordinal": (2, None)}, None, {"q0", "q1", "q2"}),
+    ]:
+        pruned = t.read(ranges=ranges, include_internal=True)
+        n_pruned = pruned.select(F.input_file_name()).distinct().count()
+        assert n_pruned < n_full, (ranges, n_pruned, n_full)
+        got = pruned.where(flt or "__ordinal >= 2")
+        assert {r["path"] for r in got.collect()} == want_rows
+    # the exact filter over the pruned scan equals the full scan's result
+    a = sorted(r["path"] for r in t.read(ranges={"size": (0, 100)})
+               .where("size <= 100").collect())
+    b = sorted(r["path"] for r in full.where("size <= 100").collect())
+    assert a == b and len(a) == 11
+    # stats describe exactly the current base files
+    snap = t.snapshot()
+    live = {f for fs in snap.buckets.values() for f in fs}
+    assert set(snap.stats) == live and len(live) > 0
+
+
+def test_stats_skipping_exempts_mor_buckets(spark, stats_table):
+    """Soundness under merge-on-read: pruning a base file under LWW
+    resolution could surface a stale delta as the winner, so buckets
+    carrying deltas keep ALL base files. A newer delta overwrite whose
+    size falls OUTSIDE the range must still shadow its base row."""
+    t = stats_table
+    # p001 (size 10) gets overwritten by a delta with size 9000
+    t.merge_mor(_ord_changes(spark, [("r", "p001", 9000, "U", 5)]), 2)
+    pruned = t.read(ranges={"size": (0, 50)}).where("size between 0 and 50")
+    got = {r["path"]: r["size"] for r in pruned.collect()}
+    want = {
+        r["path"]: r["size"]
+        for r in t.read().where("size between 0 and 50").collect()
+    }
+    assert got == want
+    assert "p001" not in got  # the out-of-range delta winner shadowed it
+
+
+def test_stats_survive_maintenance_ops(spark, stats_table):
+    """compact / rebucket / rollback re-derive or carry stats so skipping
+    keeps working across the table's whole maintenance lifecycle."""
+    t = stats_table
+    t.merge_mor(_ord_changes(spark, [("r", "p001", 9000, "U", 5)]), 2)
+    t.compact()
+    v_compacted = t.current_version()
+    t.rebucket(4)
+    for step in ["compact", "rebucket"]:
+        snap = t.snapshot()
+        live = {f for fs in snap.buckets.values() for f in fs}
+        assert set(snap.stats) == live, step
+    # after compaction the delta is folded -> pruning applies again and
+    # the 9000-size row lives in some file whose stats admit it
+    got = {r["path"] for r in t.read(ranges={"size": (8000, None)})
+           .where("size >= 8000").collect()}
+    assert got == {"p001", "q0", "q1", "q2"}
+    t.rollback(v_compacted)
+    snap = t.snapshot()
+    live = {f for fs in snap.buckets.values() for f in fs}
+    assert set(snap.stats) == live
+    assert t.read(ranges={"size": (8000, None)}).where("size >= 8000").count() == 4
