@@ -12,21 +12,38 @@ them into the index under the same conditional-ordinal LWW discipline
 as the main table; deletes drop their key. Near-dup candidates for the
 epoch then come from a banded-LSH equi-join of the BATCH's signatures
 against the index (``O(batch × collisions)``), never an all-pairs or
-full-corpus recompute.
+full-corpus recompute. The hashing primitives are the shared ones from
+:mod:`rook_spark.functions.dedup` (``minhash_signatures`` /
+``_banded_keys``), so the index's buckets can never drift from the
+corpus-side LSH family or its hot-bucket monitor.
 
 Exactly-once: the sink is registered in the **"before"** phase
-(event-fed — see ``CdcEngine.with_sink``), so a crash between the index
-commit and the main-table commit re-delivers the batch on restart; the
-index's own batch-id fence skips the duplicate, and the conditional
-ordinal makes any overlap idempotent. (The "after" phase would be
-WRONG here: main commit + crash before fan-out ⇒ the watermark filter
-drops the rows on re-delivery and the index misses the batch forever.)
+(event-fed — see ``CdcEngine.with_sink``) and declares the third
+``run_id`` parameter, so its fence is scoped to the SAME checkpoint
+lineage as the main table's: a crash between the index commit and the
+main-table commit re-delivers the batch and the fence skips the
+duplicate, while a restart from a FRESH checkpoint (batch ids restart
+at 0, new run_id) falls through to the conditional-ordinal MERGE
+instead of being silently dropped. (The "after" phase would be WRONG
+here: main commit + crash before fan-out ⇒ the watermark filter drops
+the rows on re-delivery and the index misses the batch forever.)
 
 Invariant (test-pinned): after ANY replay — multi-epoch, duplicated
-suffixes, kill/resume — the index equals a full signature recompute
-over the final main-table state, nulls included (a live document whose
-content yields no k-shingle carries an all-null signature row, so
-long→short content updates cannot leave a stale signature behind).
+suffixes, kill/resume, fresh-checkpoint restart — the index equals a
+full signature recompute over the final main-table state, nulls
+included (a live document whose content yields no k-shingle carries an
+all-null signature row, so long→short content updates cannot leave a
+stale signature behind).
+
+FAILURE CONTRACT — the one way the invariant can break in operation: a
+sink exception (executor OOM, filesystem hiccup) is isolated by the
+engine's dead-letter path while the MAIN table still commits and
+advances its watermarks, so that epoch never reaches the index again
+through the stream. This is inherent to any derived table fed from an
+at-most-once-after-isolation fan-out; the repair is (1) monitor the
+engine's dead-letter table, (2) call :meth:`rebuild` — an O(corpus)
+recompute from the main table that also restores the stored LWW
+ordinals, the same repair shape as ``Rollup.full_recompute``.
 
 Scope: assumes no KEEP/SKIP/REMOVE policy on the engine (the index
 tracks the raw change feed; a policy makes the main table diverge from
@@ -43,18 +60,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rook_spark.cdc.reduce import lww_reduce
-from rook_spark.functions.dedup import MINHASH_PRIME, minhash_params, shingles
+from rook_spark.functions.dedup import _banded_keys, minhash_signatures
 from rook_spark.lake.table import LakeTable
 
 
 class DedupIndex:
     """Derived signature table ``(key_cols..., sig_0..sig_{n-1})`` kept
     in lockstep with a CDC-replicated document table. See module
-    docstring for the scale story and guarantees.
+    docstring for the scale story, guarantees, and failure contract.
 
     Parameters mirror :func:`rook_spark.functions.dedup
     .minhash_signatures` (same affine min-wise family, same inlinable
-    constants — a DuckDB oracle can recompute every signature).
+    constants — a DuckDB oracle can recompute every signature). The
+    index table is created lazily from the first batch (or
+    :meth:`rebuild` source), taking the key columns' ACTUAL types from
+    that frame — composite and non-string keys both work.
     """
 
     def __init__(
@@ -78,11 +98,22 @@ class DedupIndex:
 
     # ---------------------------------------------------------------- table
 
-    def table(self) -> LakeTable:
+    def table(self, reference: DataFrame | None = None) -> LakeTable:
+        """Load the index table, creating it on first use. ``reference``
+        (any frame carrying the key columns — the sink passes the batch)
+        supplies the key columns' types at creation; loading an existing
+        table needs no reference."""
         if LakeTable.exists(self.path):
             return LakeTable.load(self.spark, self.path)
+        if reference is None:
+            raise FileNotFoundError(
+                f"no dedup index at {self.path} yet — it is created by the "
+                "first applied batch (or rebuild()); pass a reference frame "
+                "to create it explicitly"
+            )
+        by_name = {f.name: f.dataType for f in reference.schema.fields}
         schema = T.StructType(
-            [T.StructField(c, T.StringType()) for c in self.key_cols]
+            [T.StructField(c, by_name[c]) for c in self.key_cols]
             + [T.StructField(c, T.LongType()) for c in self.sig_cols]
         )
         return LakeTable.create(
@@ -96,25 +127,16 @@ class DedupIndex:
 
     # ----------------------------------------------------------- signatures
 
-    def _sig_aggs(self):
-        return [
-            F.min(
-                (F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME)
-            ).alias(f"sig_{i}")
-            for i, (a, b) in enumerate(minhash_params(self.n_hashes))
-        ]
-
     def compute_signatures(self, docs: DataFrame) -> DataFrame:
         """``(key_cols..., sig_*)`` for EVERY row of ``docs`` — including
         an all-null row when the text yields no k-shingle (shorter than
         k tokens), which is what lets the incremental index agree with a
         full recompute after long→short updates. Linear: one shingle
-        explode + one grouped min-agg + one key-equi left join."""
-        sh = shingles(docs, self.key_cols, self.text_col, self.k).withColumn(
-            "__x",
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long"),
+        explode + one grouped min-agg (the shared
+        ``minhash_signatures``) + one key-equi left join."""
+        sigs = minhash_signatures(
+            docs, self.key_cols, self.text_col, self.k, self.n_hashes
         )
-        sigs = sh.groupBy(*self.key_cols).agg(*self._sig_aggs())
         return docs.select(*self.key_cols).join(sigs, self.key_cols, "left")
 
     # ----------------------------------------------------------------- sink
@@ -123,27 +145,54 @@ class DedupIndex:
         """The engine listener: register with
         ``engine.with_sink("dedup_index", idx.sink(), when="before")``.
         Receives the normalized, watermark-filtered batch (the SAME
-        event set the main MERGE applies), LWW-reduces it per key, and
-        MERGEs fresh signatures / tombstones into the index table in one
-        atomic, fenced commit."""
+        event set the main MERGE applies) plus the checkpoint-scoped
+        run_id, LWW-reduces it per key, and MERGEs fresh signatures /
+        tombstones into the index table in one atomic, fenced commit."""
 
-        def fn(flat: DataFrame, batch_id: int) -> None:
+        def fn(flat: DataFrame, batch_id: int, run_id: str = "") -> None:
             reduced = lww_reduce(flat, key_cols=self.key_cols)
-            with_sigs = self.compute_signatures(reduced).join(
-                reduced.select(
-                    *self.key_cols, "op",
-                    F.col("commit_ordinal").alias("__ordinal"),
-                    F.col("offset").alias("__offset"),
-                ),
-                self.key_cols,
-            )
-            # cardinality is guaranteed by the LWW reduce above; skip the
-            # validation aggregate on the per-epoch hot path
-            self.table().merge(
-                with_sigs, batch_id, op_col="op", validate_cardinality=False
-            )
+            # the reduce feeds three plan branches (shingle explode,
+            # doc-key left join, ordinal projection) — materialize it
+            # once instead of re-running the aggregate per branch
+            reduced.persist()
+            try:
+                with_sigs = self.compute_signatures(reduced).join(
+                    reduced.select(
+                        *self.key_cols, "op",
+                        F.col("commit_ordinal").alias("__ordinal"),
+                        F.col("offset").alias("__offset"),
+                    ),
+                    self.key_cols,
+                )
+                # cardinality is guaranteed by the LWW reduce above; skip
+                # the validation aggregate on the per-epoch hot path
+                self.table(reference=reduced).merge(
+                    with_sigs, batch_id, op_col="op",
+                    validate_cardinality=False, run_id=run_id,
+                )
+            finally:
+                reduced.unpersist()
 
         return fn
+
+    # --------------------------------------------------------------- repair
+
+    def rebuild(self, main_table: LakeTable, batch_id: int | None = None) -> int:
+        """O(corpus) repair/bootstrap: recompute every signature from the
+        main table's CURRENT state and overwrite the index in one atomic
+        commit — the recovery path after a dead-lettered sink epoch (see
+        FAILURE CONTRACT in the module docstring) or for indexing a
+        pre-existing table. The stored LWW ordinals are carried over
+        from the main table, so post-rebuild incremental maintenance
+        keeps refusing stale re-deliveries exactly as before. Returns
+        the number of indexed documents."""
+        docs = main_table.read(include_internal=True)
+        with_sigs = self.compute_signatures(docs).join(
+            docs.select(*self.key_cols, "__ordinal", "__offset"), self.key_cols
+        )
+        t = self.table(reference=docs)
+        t.overwrite(with_sigs, batch_id=batch_id)
+        return t.read().count()
 
     # ----------------------------------------------------- candidate pairs
 
@@ -155,7 +204,8 @@ class DedupIndex:
         keys. Returns distinct cross pairs
         ``(key_a..., key_b...)`` (a = index side, b = batch side,
         self-matches removed). All-null signature rows (no-shingle docs)
-        never collide (null band keys are dropped)."""
+        never collide (they are dropped before banding). Band derivation
+        is the shared :func:`rook_spark.functions.dedup._banded_keys`."""
         assert self.n_hashes % n_bands == 0
         a = self._banded(self.signatures(), "a", n_bands)
         b = self._banded(batch_sigs, "b", n_bands)
@@ -173,34 +223,12 @@ class DedupIndex:
             .distinct()
         )
 
-    def _banded(self, sigs: DataFrame, side: str, n_bands: int = 4) -> DataFrame:
-        rows = self.n_hashes // n_bands
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(bd).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"sig_{bd * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                    ).alias("key"),
-                )
-                for bd in range(n_bands)
-            ]
+    def _banded(self, sigs: DataFrame, side: str, n_bands: int) -> DataFrame:
+        banded = _banded_keys(
+            sigs.where(F.col(self.sig_cols[0]).isNotNull()),
+            self.n_hashes, n_bands, id_cols=self.key_cols,
         )
-        return (
-            sigs.where(F.col(self.sig_cols[0]).isNotNull())
-            .select(
-                *[F.col(c).alias(f"{side}_{c}") for c in self.key_cols],
-                F.explode(bands).alias("bk"),
-            )
-            .select(
-                *[f"{side}_{c}" for c in self.key_cols],
-                F.col("bk.band").alias("band"),
-                F.col("bk.key").alias("key"),
-            )
+        return banded.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in self.key_cols],
+            "band", "key",
         )

@@ -72,7 +72,7 @@ class CdcEngine:
         self.ignored_server_ids: tuple[int, ...] = ()
         self.policy = None  # per-row KEEP/SKIP/REMOVE interceptor column
         # name -> (fn, phase); phase ∈ {"before", "after"} the table commit
-        self.sinks: dict[str, tuple[SinkFn, str]] = {}
+        self.sinks: dict[str, tuple[SinkFn, str, bool]] = {}
         self.stats: list[ApplyStats] = []
         # "cow" rewrites touched buckets per epoch (read-optimized);
         # "mor" appends delta files and resolves at read (write cost
@@ -135,10 +135,32 @@ class CdcEngine:
 
         Both beat losing the batch silently in steady state; pick the
         phase that matches what the sink reads.
+
+        A sink whose callable accepts a THIRD positional parameter is
+        additionally handed the epoch's checkpoint-scoped ``run_id``
+        (same value the table's batch fence is scoped to) — required by
+        any sink that maintains its OWN fenced table (e.g.
+        ``DedupIndex``): without it a restart from a fresh checkpoint
+        restarts batch ids at 0 and a run-unscoped fence would silently
+        drop every genuinely-new batch until the counter catches up.
         """
+        import inspect
+
         if when not in ("before", "after"):
             raise ValueError(f"when must be 'before' or 'after', got {when!r}")
-        self.sinks[name] = (fn, when)
+        try:
+            params = inspect.signature(fn).parameters.values()
+            positional = [
+                p for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+            wants_run_id = (
+                any(p.kind == p.VAR_POSITIONAL for p in params)
+                or len(positional) >= 3
+            )
+        except (TypeError, ValueError):
+            wants_run_id = False
+        self.sinks[name] = (fn, when, wants_run_id)
         return self
 
     def without_sink(self, name: str) -> "CdcEngine":
@@ -221,7 +243,7 @@ class CdcEngine:
                 if not fenced:
                     fresh = watermark_filter(ev, snap.lineage)
                     flat_fresh = flatten_events(fresh, self.key_cols)
-                    self._fan_out(flat_fresh, batch_id, phase="before")
+                    self._fan_out(flat_fresh, batch_id, phase="before", run_id=run_id)
             stats = apply_batch(
                 target,
                 ev,
@@ -241,21 +263,24 @@ class CdcEngine:
                     self.target().compact()
                     self._epochs_since_compact = 0
             if flat_fresh is not None:
-                self._fan_out(flat_fresh, batch_id, phase="after")
+                self._fan_out(flat_fresh, batch_id, phase="after", run_id=run_id)
         finally:
             if self.cache_batches or self.sinks:
                 ev.unpersist()
         self.stats.append(stats)
         return stats
 
-    def _fan_out(self, flat: DataFrame, batch_id: int, phase: str = "after") -> None:
+    def _fan_out(self, flat: DataFrame, batch_id: int, phase: str = "after",
+                 run_id: str = "") -> None:
         """Per-sink error isolation + dead-letter
-        (``MySQLReplicationStream.java:167-176``)."""
-        for name, (fn, when) in self.sinks.items():
+        (``MySQLReplicationStream.java:167-176``). Sinks that declared a
+        third positional parameter receive the checkpoint-scoped run_id
+        (see with_sink)."""
+        for name, (fn, when, wants_run_id) in self.sinks.items():
             if when != phase:
                 continue
             try:
-                fn(flat, batch_id)
+                fn(flat, batch_id, run_id) if wants_run_id else fn(flat, batch_id)
             except Exception as exc:  # noqa: BLE001 — isolation is the point
                 dead = self.spark.createDataFrame(
                     [(int(batch_id), name, str(exc), traceback.format_exc())],

@@ -132,7 +132,7 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(
     df: DataFrame,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 16,
@@ -146,7 +146,9 @@ def minhash_signatures(
     across threads (measured 4× wall at 32 threads on this box). Min
     aggs run over LONGs, not 32-char strings — cheaper compares and a
     smaller shuffle. One explode + one grouped agg — linear,
-    partial-combinable."""
+    partial-combinable. ``id_col`` may be a LIST of columns (composite
+    document keys — the CDC dedup index groups by them directly)."""
+    ids = ["id"] if isinstance(id_col, str) else list(id_col)
     sh = shingles(df, id_col, text_col, k).withColumn(
         "__x", F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     )
@@ -154,7 +156,7 @@ def minhash_signatures(
         F.min((F.lit(a) * F.col("__x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return sh.groupBy(*ids).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -211,11 +213,17 @@ def minhash_lsh_pairs(
     )
 
 
-def _banded_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """Exploded (id, band, key) frame over a signature table — the ONE
-    definition of the band hashing, shared by the pair join and the
-    hot-bucket monitor so the monitor can never drift from what the cap
-    actually drops (r4 review finding)."""
+def _banded_keys(
+    sigs: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    id_cols: tuple[str, ...] | list[str] = ("id",),
+) -> DataFrame:
+    """Exploded (*id_cols, band, key) frame over a signature table — the
+    ONE definition of the band hashing, shared by the pair join, the
+    hot-bucket monitor, AND the CDC dedup index's candidate probe, so no
+    consumer can drift from the others' bucket derivation (r4 review
+    finding, re-affirmed r5)."""
     rows = n_hashes // n_bands
     bands = F.array(
         *[
@@ -231,8 +239,9 @@ def _banded_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    return sigs.select("id", F.explode(bands).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ids = list(id_cols)
+    return sigs.select(*ids, F.explode(bands).alias("bk")).select(
+        *ids, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 

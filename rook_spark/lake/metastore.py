@@ -157,6 +157,11 @@ class PosixMetadataStore(MetadataStore):
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, snap_path)
+            # barrier between the two renames: without it a filesystem may
+            # persist the pointer flip but not the payload rename across
+            # power loss (POSIX gives no directory-op ordering), leaving
+            # read_pointer() -> N with read(N) -> FileNotFoundError
+            self._fsync_dir()
             ptr_tmp = os.path.join(self.meta_dir, f".latest.tmp.{uuid.uuid4().hex}")
             with open(ptr_tmp, "w") as f:
                 f.write(str(version))

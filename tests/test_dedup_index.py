@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from rook_spark.cdc.dedup_index import DedupIndex
 from rook_spark.cdc.engine import CdcEngine
 from rook_spark.cdc.fixtures import generate_events, with_replayed_suffix
@@ -130,6 +132,86 @@ def test_streaming_tail_maintains_index(spark, tmp_path):
     q.stop()
     assert len(engine.stats) >= 3  # genuinely micro-batched
     assert _index_state(idx) == _recompute_state(idx, engine.target().read())
+
+
+def test_fresh_checkpoint_restart_does_not_fence_new_batches(spark, tmp_path):
+    """r5 review finding 1: the index's fence is scoped to the engine's
+    checkpoint run_id. A restart from a FRESH checkpoint restarts batch
+    ids at 0 — with an unscoped fence the index would silently drop
+    every new batch until the counter caught up; with the run_id
+    threaded through the sink fan-out it falls through to the
+    conditional-ordinal MERGE and stays in lockstep."""
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=3, n_hashes=4, n_buckets=4)
+    sink = idx.sink()
+    # "run A" applies batches 0..2
+    for bid in range(3):
+        sink(_flat(spark, [("r", f"a{bid}", f"alpha beta gamma {bid}", "I", bid + 1)]),
+             bid, "ckptA")
+    before = _index_state(idx)
+    assert len(before) == 3
+    # restart from a fresh checkpoint: batch ids restart at 0, new run_id
+    sink(_flat(spark, [("r", "new", "delta epsilon zeta eta", "I", 10)]), 0, "ckptB")
+    st = _index_state(idx)
+    assert ("r", "new") in st and len(st) == 4
+    # same run_id + old batch id IS still fenced (crash-window replay)
+    v = idx.table().current_version()
+    sink(_flat(spark, [("r", "dup", "theta iota kappa lambda", "I", 11)]), 0, "ckptB")
+    assert idx.table().current_version() == v and ("r", "dup") not in _index_state(idx)
+
+
+def test_non_string_keys_get_typed_index(spark, tmp_path):
+    """r5 review finding 4: the index table's key columns take their
+    ACTUAL types from the first batch — a long doc_id must round-trip as
+    long, not be silently declared string."""
+    idx = DedupIndex(
+        spark, str(tmp_path / "sigs"), key_cols=["doc_id"], text_col="text",
+        k=2, n_hashes=4, n_buckets=4,
+    )
+    flat = spark.createDataFrame(
+        [(7, "some words to shingle here", "I", 1, 1, 0, 0)],
+        "doc_id long, text string, op string, commit_ordinal long, "
+        "offset long, source_partition int, tx_id long",
+    )
+    idx.sink()(flat, 0)
+    row = idx.signatures().first()
+    assert row["doc_id"] == 7 and isinstance(row["doc_id"], int)
+    assert idx.table().snapshot().schema()["doc_id"].dataType.typeName() == "long"
+    # loading before any batch exists is a loud error, not a bad create
+    idx2 = DedupIndex(spark, str(tmp_path / "nope"))
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        idx2.table()
+
+
+def test_rebuild_repairs_a_dead_lettered_epoch(spark, tmp_path):
+    """The FAILURE-CONTRACT repair path: an epoch whose sink invocation
+    failed (dead-lettered; main table committed and advanced watermarks)
+    leaves the index diverged — rebuild() recomputes from the main table,
+    restores equality AND the stored ordinals, so later incremental
+    maintenance still refuses stale re-deliveries."""
+    ev = generate_events(spark, 1200, seed=54)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), n_buckets=8)
+    calls = {"n": 0}
+    real = idx.sink()
+
+    def flaky(flat, batch_id, run_id=""):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch 1's sink invocation dies
+            raise RuntimeError("simulated sink failure")
+        real(flat, batch_id, run_id)
+
+    engine.with_sink("dedup_index", flaky, when="before")
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        engine.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    want = _recompute_state(idx, engine.target().read())
+    assert _index_state(idx) != want          # diverged (epoch 1 lost)
+    n = idx.rebuild(engine.target())
+    assert _index_state(idx) == want and n == len(want)
+    # post-rebuild: stale re-delivery for an indexed key still loses
+    some_key = next(iter(want))
+    stale = _flat(spark, [(*some_key, "stale text body", "U", -1)])
+    idx.sink()(stale, 10 ** 6)
+    assert _index_state(idx)[some_key] == want[some_key]
 
 
 def test_candidates_probe_batch_against_index(spark, tmp_path):
