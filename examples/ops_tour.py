@@ -11,10 +11,16 @@ is running, in one runnable script.
 5. bound read amplification → **compact** (fold MOR deltas),
 6. reclaim storage → **vacuum** (expire old versions),
 7. swap the catalog → the same table logic running on an
-   ``InMemoryMetadataStore`` (the six-operation seam a JDBC/REST
-   catalog would implement).
+   ``InMemoryMetadataStore`` (the seven-operation seam a JDBC/REST
+   catalog would implement), and what happens when a SECOND writer
+   races a commit (**CommitConflict** — the CAS contract),
+8. incremental consumers → **stats-skipped bounded scan**
+   (``read(ranges=...)``: "what changed since the watermark" without
+   listing the untouched bulk of the table),
+9. dedup at ingest → **DedupIndex** (signatures maintained per epoch
+   from the change feed; near-dup probe of new docs against the index).
 
-Run:  python examples/ops_tour.py   (local[4], ~1 min)
+Run:  python examples/ops_tour.py   (local[4], ~1.5 min)
 """
 
 from __future__ import annotations
@@ -110,6 +116,76 @@ def main() -> None:
             f"\n== catalog seam: {mem.read().count()} rows via "
             f"InMemoryMetadataStore ({len(store.versions())} versions, "
             "no _meta directory) =="
+        )
+        # ...and the seam's CAS: a zombie writer racing a commit loses
+        # LOUDLY instead of silently clobbering the winner's commit
+        from rook_spark.lake.metastore import CommitConflict
+
+        snap = mem.snapshot()
+        try:
+            store.commit(snap.version + 1, snap.to_json(),
+                         expected_parent=snap.version - 1)  # stale parent
+            raise AssertionError("unreachable")
+        except CommitConflict as exc:
+            print(f"two-writer race -> {type(exc).__name__}: {exc}")
+
+        # --- 8. incremental consumer: bounded scan via file-level stats.
+        # Files whose footer says "every ordinal in here predates the
+        # watermark" are skipped before Spark lists them. The shape that
+        # makes this matter: a broad historical load, then small epochs
+        # touching few keys — the steady state of any big CDC table
+        # (the tour's main table was just compacted/rebucketed, i.e.
+        # fully rewritten, so every file there spans every ordinal).
+        inc_t = LakeTable.create(
+            spark, os.path.join(work, "inc"), table.snapshot().schema(),
+            key_cols=table.snapshot().key_cols, n_buckets=16,
+        )
+        bulk = (
+            table.read()
+            .withColumn("op", F.lit("U"))
+            .withColumn("__ordinal", F.lit(1)).withColumn("__offset", F.lit(1))
+        )
+        inc_t.merge(bulk, 0)
+        narrow = (
+            table.read().orderBy("repo", "path").limit(5)  # a handful of keys
+            .withColumn("content", F.lit("hotfix"))
+            .withColumn("op", F.lit("U"))
+            .withColumn("__ordinal", F.lit(2)).withColumn("__offset", F.lit(2))
+        )
+        inc_t.merge(narrow, 1)
+        changed = (
+            inc_t.read(ranges={"__ordinal": (2, None)}, include_internal=True)
+            .where(F.col("__ordinal") >= 2)
+        )
+        n_files_all = inc_t.read().select(F.input_file_name()).distinct().count()
+        n_files_inc = changed.select(F.input_file_name()).distinct().count()
+        print(
+            f"\n== incremental scan (ordinal >= watermark): "
+            f"{changed.count()} rows from {n_files_inc}/{n_files_all} files "
+            "(footer stats skip every bucket the hotfix epoch didn't touch) =="
+        )
+        assert n_files_inc < n_files_all
+
+        # --- 9. dedup index maintained FROM the change feed (run on a
+        # fresh engine so every epoch flows through the sink)
+        from rook_spark.cdc.dedup_index import DedupIndex
+
+        eng2 = CdcEngine(
+            spark, os.path.join(work, "repos2"), n_buckets=4
+        ).ignoring_servers(99)
+        idx = DedupIndex(spark, os.path.join(work, "sigs"), n_buckets=4)
+        eng2.with_sink("dedup_index", idx.sink(), when="before")
+        eng2.replay(events.where(F.col("offset") < 16_000), 0)
+        eng2.replay(events.where(F.col("offset") >= 16_000), 1)
+        n_idx = idx.signatures().count()
+        n_tab = eng2.target().read().count()
+        assert n_idx == n_tab
+        batch = eng2.target().read().limit(50)
+        cands = idx.candidates(idx.compute_signatures(batch)).count()
+        print(
+            f"== dedup index: {n_idx} signatures in lockstep with "
+            f"{n_tab} rows; {cands} near-dup candidate pairs for a "
+            "50-doc probe batch =="
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
