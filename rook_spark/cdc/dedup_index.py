@@ -151,19 +151,22 @@ class DedupIndex:
 
         def fn(flat: DataFrame, batch_id: int, run_id: str = "") -> None:
             reduced = lww_reduce(flat, key_cols=self.key_cols)
-            # the reduce feeds three plan branches (shingle explode,
-            # doc-key left join, ordinal projection) — materialize it
-            # once instead of re-running the aggregate per branch
+            # the reduce feeds two plan branches (the shingle explode and
+            # the keyed left-join base) — materialize it once instead of
+            # re-running the aggregate per branch
             reduced.persist()
             try:
-                with_sigs = self.compute_signatures(reduced).join(
-                    reduced.select(
-                        *self.key_cols, "op",
-                        F.col("commit_ordinal").alias("__ordinal"),
-                        F.col("offset").alias("__offset"),
-                    ),
-                    self.key_cols,
+                # ONE left join: per-key row (op + ordinals) picks up its
+                # signature, null sigs for shingleless docs — same frame
+                # compute_signatures builds, without a second keyed join
+                sigs = minhash_signatures(
+                    reduced, self.key_cols, self.text_col, self.k, self.n_hashes
                 )
+                with_sigs = reduced.select(
+                    *self.key_cols, "op",
+                    F.col("commit_ordinal").alias("__ordinal"),
+                    F.col("offset").alias("__offset"),
+                ).join(sigs, self.key_cols, "left")
                 # cardinality is guaranteed by the LWW reduce above; skip
                 # the validation aggregate on the per-epoch hot path
                 self.table(reference=reduced).merge(
@@ -183,16 +186,31 @@ class DedupIndex:
         commit — the recovery path after a dead-lettered sink epoch (see
         FAILURE CONTRACT in the module docstring) or for indexing a
         pre-existing table. The stored LWW ordinals are carried over
-        from the main table, so post-rebuild incremental maintenance
-        keeps refusing stale re-deliveries exactly as before. Returns
-        the number of indexed documents."""
+        from the main table so post-rebuild incremental maintenance
+        keeps refusing stale re-deliveries; a table that never stored
+        ordinals (bulk-loaded without the conditional-MERGE path) gets
+        ``-1`` — any future change wins, the right baseline for a fresh
+        bootstrap. The corpus read is persisted across the plan's two
+        branches (the per-epoch sink persists its batch for the same
+        reason — this path is the O(corpus) version of it). Returns the
+        number of indexed documents."""
         docs = main_table.read(include_internal=True)
-        with_sigs = self.compute_signatures(docs).join(
-            docs.select(*self.key_cols, "__ordinal", "__offset"), self.key_cols
-        )
-        t = self.table(reference=docs)
-        t.overwrite(with_sigs, batch_id=batch_id)
-        return t.read().count()
+        for c in ("__ordinal", "__offset"):
+            if c not in docs.columns:
+                docs = docs.withColumn(c, F.lit(-1).cast("long"))
+        docs.persist()
+        try:
+            sigs = minhash_signatures(
+                docs, self.key_cols, self.text_col, self.k, self.n_hashes
+            )
+            with_sigs = docs.select(
+                *self.key_cols, "__ordinal", "__offset"
+            ).join(sigs, self.key_cols, "left")
+            t = self.table(reference=docs)
+            t.overwrite(with_sigs, batch_id=batch_id)
+            return docs.count()  # cached — no re-scan of corpus or index
+        finally:
+            docs.unpersist()
 
     # ----------------------------------------------------- candidate pairs
 

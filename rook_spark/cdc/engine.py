@@ -43,7 +43,9 @@ from rook_spark.cdc.apply import ApplyStats, apply_batch, watermark_filter
 from rook_spark.cdc.normalize import filter_events, flatten_events
 from rook_spark.lake.table import LakeTable
 
-SinkFn = Callable[[DataFrame, int], Any]
+# (flat_batch, batch_id) -> None; sinks maintaining their own fenced
+# table additionally declare run_id (see CdcEngine.with_sink)
+SinkFn = Callable[..., Any]
 
 
 class CdcEngine:
@@ -71,7 +73,8 @@ class CdcEngine:
         self.tracked_tables: tuple[str, ...] = ("rook.repos",)
         self.ignored_server_ids: tuple[int, ...] = ()
         self.policy = None  # per-row KEEP/SKIP/REMOVE interceptor column
-        # name -> (fn, phase); phase ∈ {"before", "after"} the table commit
+        # name -> (fn, phase, wants_run_id); phase ∈ {"before", "after"}
+        # relative to the table commit (see with_sink)
         self.sinks: dict[str, tuple[SinkFn, str, bool]] = {}
         self.stats: list[ApplyStats] = []
         # "cow" rewrites touched buckets per epoch (read-optimized);
@@ -113,7 +116,8 @@ class CdcEngine:
         self.policy = policy
         return self
 
-    def with_sink(self, name: str, fn: SinkFn, when: str = "after") -> "CdcEngine":
+    def with_sink(self, name: str, fn: SinkFn, when: str = "after",
+                  pass_run_id: bool | None = None) -> "CdcEngine":
         """Register an auxiliary listener (K1/K2 fan-out). ``fn`` gets the
         *normalized, watermark-filtered* batch DataFrame and the batch id
         — the SAME event set the table MERGE applies, so a re-delivered
@@ -136,31 +140,33 @@ class CdcEngine:
         Both beat losing the batch silently in steady state; pick the
         phase that matches what the sink reads.
 
-        A sink whose callable accepts a THIRD positional parameter is
-        additionally handed the epoch's checkpoint-scoped ``run_id``
-        (same value the table's batch fence is scoped to) — required by
-        any sink that maintains its OWN fenced table (e.g.
-        ``DedupIndex``): without it a restart from a fresh checkpoint
-        restarts batch ids at 0 and a run-unscoped fence would silently
-        drop every genuinely-new batch until the counter catches up.
+        A sink whose callable declares a parameter NAMED ``run_id``
+        (positional-or-keyword, keyword-only, or via ``**kwargs``) is
+        additionally handed the epoch's checkpoint-scoped ``run_id`` as
+        a keyword argument (same value the table's batch fence is
+        scoped to) — required by any sink that maintains its OWN fenced
+        table (e.g. ``DedupIndex``): without it a restart from a fresh
+        checkpoint restarts batch ids at 0 and a run-unscoped fence
+        would silently drop every genuinely-new batch until the counter
+        caught up. Detection is by the parameter's NAME, never by arity
+        (a third parameter that happens to exist — ``lambda df, bid,
+        log=LOG`` — is left alone), and ``pass_run_id=True/False``
+        overrides the inference either way.
         """
         import inspect
 
         if when not in ("before", "after"):
             raise ValueError(f"when must be 'before' or 'after', got {when!r}")
-        try:
-            params = inspect.signature(fn).parameters.values()
-            positional = [
-                p for p in params
-                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-            ]
-            wants_run_id = (
-                any(p.kind == p.VAR_POSITIONAL for p in params)
-                or len(positional) >= 3
-            )
-        except (TypeError, ValueError):
-            wants_run_id = False
-        self.sinks[name] = (fn, when, wants_run_id)
+        wants_run_id = pass_run_id
+        if wants_run_id is None:
+            try:
+                params = inspect.signature(fn).parameters
+                wants_run_id = "run_id" in params or any(
+                    p.kind == p.VAR_KEYWORD for p in params.values()
+                )
+            except (TypeError, ValueError):
+                wants_run_id = False
+        self.sinks[name] = (fn, when, bool(wants_run_id))
         return self
 
     def without_sink(self, name: str) -> "CdcEngine":
@@ -280,7 +286,7 @@ class CdcEngine:
             if when != phase:
                 continue
             try:
-                fn(flat, batch_id, run_id) if wants_run_id else fn(flat, batch_id)
+                fn(flat, batch_id, run_id=run_id) if wants_run_id else fn(flat, batch_id)
             except Exception as exc:  # noqa: BLE001 — isolation is the point
                 dead = self.spark.createDataFrame(
                     [(int(batch_id), name, str(exc), traceback.format_exc())],

@@ -6,7 +6,7 @@ payloads (exactly Iceberg's catalog contract — `commit` = publish
 snapshot N and move the table pointer to it iff the pointer still reads
 the parent the committer built from). Everything else the engine does
 (bucketed MERGE, MOR deltas, time travel, changelog reads, rollback,
-rebucket) only ever calls the seven operations below, so swapping the
+rebucket) only ever calls the six operations below, so swapping the
 sandbox's POSIX directory for a real catalog (JDBC table with a
 conditional UPDATE, an Iceberg REST catalog, DynamoDB conditional
 put, ...) is implementing one small class — the executor-side data path
@@ -55,7 +55,7 @@ class CommitConflict(Exception):
 
 
 class MetadataStore(ABC):
-    """Seven-operation catalog contract. ``commit`` MUST be atomic with
+    """Six-operation catalog contract. ``commit`` MUST be atomic with
     respect to ``read_pointer`` (readers see the old version or the new
     one, never a torn state) AND conditional on ``expected_parent``
     (exactly one of two racing committers building from the same parent

@@ -243,3 +243,67 @@ def test_candidates_probe_batch_against_index(spark, tmp_path):
     assert (("r", "orig"), ("r", "copy")) in pairs
     assert all(b != ("r", "fresh") for _, b in pairs)
     assert all(a != ("r", "tiny") for a, _ in pairs)
+
+
+def test_with_sink_run_id_detection_by_name(spark, tmp_path):
+    """r5 second review pass: run_id injection keys off the parameter
+    NAME (or an explicit pass_run_id override), never arity — a sink
+    with an unrelated defaulted third parameter must not have a run_id
+    string rammed into it, and a keyword-only run_id must be detected."""
+    ev = generate_events(spark, 300, seed=55)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4).ignoring_servers(99)
+    seen = {}
+
+    def unrelated_third(flat, bid, tag="mytag"):
+        seen["unrelated"] = tag          # must stay the default, not a run_id
+
+    def kw_only(flat, bid, *, run_id=""):
+        seen["kw_only"] = run_id
+
+    def forced_off(flat, bid, run_id="sentinel"):
+        seen["forced_off"] = run_id      # pass_run_id=False -> default kept
+
+    engine.with_sink("a", unrelated_third, when="before")
+    engine.with_sink("b", kw_only, when="before")
+    engine.with_sink("c", forced_off, when="before", pass_run_id=False)
+    engine.replay(ev, 0)
+    assert seen["unrelated"] == "mytag"
+    assert seen["kw_only"] == ""          # batch replay's run_id
+    assert seen["forced_off"] == "sentinel"
+    # nothing got dead-lettered by a mis-injected argument
+    import os
+    assert not os.path.exists(engine.dead_letter_path)
+
+
+def test_rebuild_tolerates_tables_without_stored_ordinals(spark, tmp_path):
+    """rebuild() on a bulk-loaded table that never went through the
+    conditional-MERGE path (no stored __ordinal/__offset) must index it
+    with -1 ordinals instead of crashing on the missing columns."""
+    from pyspark.sql import types as T
+
+    from rook_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "plain"), schema,
+                         ["repo", "path"], n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("r", "a", "alpha beta gamma delta", "I"),
+         ("r", "b", "epsilon zeta eta theta", "I")],
+        "repo string, path string, content string, op string"), 0)
+    assert "__ordinal" not in t.read(include_internal=True).columns
+
+    idx = DedupIndex(spark, str(tmp_path / "sigs"), k=3, n_hashes=4, n_buckets=4)
+    n = idx.rebuild(t)
+    assert n == 2
+    assert _index_state(idx) == _recompute_state(idx, t.read())
+    # post-bootstrap: any real change (ordinal >= 0) beats the -1 baseline
+    idx.sink()(_flat(spark, [("r", "a", "totally new words here", "U", 0)]), 10)
+    st = _index_state(idx)
+    assert st[("r", "a")] == _recompute_state(
+        idx, spark.createDataFrame([("r", "a", "totally new words here")],
+                                   "repo string, path string, content string")
+    )[("r", "a")]
