@@ -14,6 +14,15 @@ Two paths:
   hyperplanes, so results are reproducible. This is the scale path:
   the equi-join on bucket prunes the candidate set before any distance
   math.
+
+Plus the two paths that bound COMPUTE (:func:`ivf_topk` — scan only the
+query's ``nprobe`` nearest cells, optional distributed k-means codebook)
+and MEMORY (:func:`pq_topk` — product quantization: the corpus becomes
+``m`` one-byte codes per vector, the scan becomes distance-table
+lookups, and an exact re-rank over the ADC shortlist restores recall).
+Together: brute (oracle) → LSH (candidate pruning) → IVF (cell pruning)
+→ PQ+re-rank (64× smaller scan) — the standard escalation to 10^10
+vectors.
 """
 
 from __future__ import annotations
@@ -407,4 +416,217 @@ def recall_at_k(
             query_id_col,
             F.round(F.coalesce(F.col("__h"), F.lit(0)) / F.lit(k), 4).alias("recall"),
         )
+    )
+
+
+# --------------------------------------------------- product quantization
+
+def pq_codebooks_sample(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic sample PQ codebooks: subspace ``s``'s centroid ``j``
+    is the ``j``-th lowest-id corpus vector's ``s``-th subvector — zero
+    training jobs, reproducible in plain SQL (the oracle recomputes it),
+    the PQ analog of :func:`_sample_centroids`. Returns
+    ``[m][ks][dim/m]``."""
+    rows = _sample_centroids(corpus, ks, id_col, vec_col)
+    dim = len(rows[0][1])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sd = dim // m
+    return [[v[s * sd:(s + 1) * sd] for _, v in rows] for s in range(m)]
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    sample_n: int = 256,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Trained PQ codebooks: plain-L2 Lloyd's per subspace over the
+    ``sample_n`` lowest-id vectors (PQ codebooks are universally trained
+    on a bounded sample — the collect here is ``sample_n × dim`` floats,
+    never the corpus; init = the first ``ks`` sample subvectors, so the
+    whole procedure is deterministic with no RNG state). An emptied
+    cluster keeps its previous centroid. Returns ``[m][ks][dim/m]``."""
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample_n).collect()
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sd = dim // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * sd:(s + 1) * sd]
+        C = sub[:ks].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ks):
+                members = sub[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def _pq_assign(V, book_arr):
+    """Per-subspace nearest-centroid codes for a batch: argmin over
+    ``round(||sub - c||, 6)`` with ties to the LOWEST centroid id — the
+    exact ordering the SQL oracle's ``ORDER BY round(list_distance(...),
+    6), cid`` reproduces. V: (n, dim); book_arr: (m, ks, sd) → (n, m)."""
+    import numpy as np
+
+    n = V.shape[0]
+    m, ks, sd = book_arr.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = V[:, s * sd:(s + 1) * sd]
+        d = np.round(np.sqrt(
+            ((sub[:, None, :] - book_arr[s][None, :, :]) ** 2).sum(axis=2)
+        ), 6)
+        codes[:, s] = d.argmin(axis=1)  # first minimum = lowest cid
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a vector column: ``(id, codes array<int>)`` — ``m``
+    bytes of code replacing ``dim × 8`` bytes of floats (64-dim float64 →
+    8 codes is a 64× memory cut; at 10^10 vectors that is an 80 GB scan
+    instead of 5 TB — THE reason PQ is the memory-bound scale path).
+    One Arrow pass, one matmul-shaped assignment per batch."""
+    import numpy as np
+
+    book_arr = np.array(codebooks, dtype=np.float64)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = _pq_assign(V, book_arr)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k via product
+    quantization: each query precomputes an ``m × ks`` distance table to
+    every centroid (driver-side — queries are few by contract), then the
+    corpus scan is TABLE LOOKUPS over the codes, never float math against
+    the raw vectors: ``adist = sqrt(Σ_s dtable[s, code_s])``. Scale
+    shape: one Arrow pass over the corpus (codes assigned in-pass here;
+    a production table stores :func:`pq_encode` output and skips the
+    raw vectors entirely), each batch emits only its local top-k per
+    query, global top-k is a window over O(k × partitions) rows. Output
+    ranks ascending by ``adist`` (smaller = nearer), ties to the lower
+    id — DISTANCE semantics, unlike the cosine paths' descending score.
+
+    ``rerank``: the standard production second stage — widen the ADC
+    scan to a top-``rerank`` shortlist per query, then score ONLY those
+    rows exactly (cosine against the raw vectors, fetched by id) and
+    return the exact top-k. Quantization noise scrambles near-tie fine
+    ordering (measured: recall@10 ≈ 0.5 on tightly clustered data
+    without re-ranking, ≥ 0.9 with rerank ≈ 5k — test-pinned), so ADC
+    selects candidates and the float math runs on O(rerank × queries)
+    rows, never the corpus. Output columns become ``cos`` (descending)
+    instead of ``adist``."""
+    import numpy as np
+
+    book_arr = np.array(codebooks, dtype=np.float64)
+    m, ks, sd = book_arr.shape
+    q_rows = queries.select(query_id_col, vec_col).collect()  # few by contract
+    qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    # (nq, m, ks) squared subdistances
+    dtables = np.stack([
+        ((Q[:, s * sd:(s + 1) * sd][:, None, :] - book_arr[s][None, :, :]) ** 2).sum(axis=2)
+        for s in range(m)
+    ], axis=1)
+
+    shortlist = k if rerank is None else max(int(rerank), k)
+    out_schema = f"{query_id_col} long, {id_col} long, adist double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = _pq_assign(V, book_arr)
+            ids = pdf[id_col].to_numpy()
+            top = min(shortlist, len(ids))
+            parts = []
+            for j in range(dtables.shape[0]):
+                # adist per corpus row: sum of table lookups, then sqrt
+                ad = np.round(np.sqrt(
+                    dtables[j][np.arange(m)[None, :], codes].sum(axis=1)
+                ), 4)
+                order = np.lexsort((ids, ad))[:top]  # asc dist, id tiebreak
+                parts.append(pd.DataFrame({
+                    query_id_col: qids[j],
+                    id_col: ids[order],
+                    "adist": ad[order],
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    approx = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist)
+    )
+    if rerank is None:
+        return approx.select(query_id_col, id_col, "adist", "rank")
+
+    # exact second stage: fetch the shortlist's raw vectors by id (the
+    # candidate set is O(rerank × queries) — broadcast it into the
+    # corpus scan) and re-rank by true cosine
+    qdf = F.broadcast(
+        queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+    )
+    cand = F.broadcast(approx.select(query_id_col, id_col))
+    rescored = (
+        corpus.join(cand, id_col)
+        .join(qdf, query_id_col)
+        .select(
+            query_id_col, id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
     )

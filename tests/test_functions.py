@@ -613,3 +613,69 @@ def test_benchmark_contamination_k8_vs_duckdb(spark):
         k=3,
     ).count()
     assert len(got) <= k3
+
+
+# ------------------------------------------------- product quantization
+
+def test_pq_encode_shape_and_determinism(spark, embs):
+    books = ann.pq_codebooks_sample(embs, m=8, ks=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    a = {r["vec_id"]: list(r["codes"]) for r in ann.pq_encode(embs, books).collect()}
+    b = {r["vec_id"]: list(r["codes"]) for r in ann.pq_encode(embs, books).collect()}
+    assert a == b and len(a) == embs.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_topk_recall_vs_exact(spark, embs):
+    """PQ-ADC recall@10 against exact brute force on the driver corpus —
+    the quantization-error budget check. m=8 × ks=16 over 64 dims is a
+    64× memory cut; the floor asserts the approximation still surfaces a
+    usable fraction of the true neighbors, and the trained codebooks
+    must not be WORSE than the sample ones."""
+    queries = embs.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.brute_force_topk(embs, queries, k=10)
+
+    def mean_recall(books):
+        approx = ann.pq_topk(embs, queries, books, k=10)
+        rs = ann.recall_at_k(approx, exact, k=10).collect()
+        return sum(r["recall"] for r in rs) / len(rs)
+
+    r_sample = mean_recall(ann.pq_codebooks_sample(embs, m=8, ks=16))
+    r_trained = mean_recall(ann.pq_train(embs, m=8, ks=16, sample_n=256))
+    assert r_sample >= 0.3, r_sample
+    assert r_trained >= r_sample - 0.05, (r_trained, r_sample)
+
+
+def test_pq_trained_recall_floor_on_clustered_data(spark):
+    """On genuinely clustered data (the real-world shape): ADC alone must
+    land a usable fraction, and the ADC-shortlist + exact-re-rank second
+    stage (the production shape) must hit recall@10 >= 0.9; training is
+    deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    cents = rng.normal(size=(10, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, 50, axis=0) + 0.05 * rng.normal(size=(500, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    books = ann.pq_train(df, m=8, ks=16, sample_n=256)
+    assert books == ann.pq_train(df, m=8, ks=16, sample_n=256)  # deterministic
+    exact = ann.brute_force_topk(df, queries, k=10)
+
+    def mean_recall(approx):
+        rs = ann.recall_at_k(approx, exact, k=10).collect()
+        return sum(r["recall"] for r in rs) / len(rs)
+
+    # ADC alone: 50 same-cluster near-ties per query sit inside the
+    # quantization noise — the cluster is right, the fine order is
+    # scrambled (measured ~0.5); this is WHY production PQ re-ranks
+    r_adc = mean_recall(ann.pq_topk(df, queries, books, k=10))
+    assert r_adc >= 0.4, r_adc
+    # ADC shortlist (50) + exact cosine re-rank: the production shape
+    r_rr = mean_recall(ann.pq_topk(df, queries, books, k=10, rerank=50))
+    assert r_rr >= 0.9, r_rr
+    assert r_rr > r_adc
