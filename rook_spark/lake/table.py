@@ -70,6 +70,57 @@ def bucket_expr(key_cols: list[str] | tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+_BLOOM_M = 8192  # bits per (file, column) filter — 1 KiB packed
+_BLOOM_K = 6  # hash probes; ~1% FP at ~850 distinct values per file
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes of a value (Kirsch–Mitzenmacher
+    double hashing: probe_i = h1 + i*h2). Values are hashed through
+    their string form so the filter is type-stable across the
+    JSON/parquet round trip (1 and "1" differ: a type tag prefixes)."""
+    import hashlib
+
+    tag = type(value).__name__
+    d = hashlib.blake2b(f"{tag}:{value}".encode(), digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little")
+
+
+def _bloom_build(values) -> str:
+    """Pack the distinct values of one file-column into a base64 bloom
+    filter (the Iceberg puffin blob analog, inlined into the snapshot
+    manifest — fine at this format's file counts; a real catalog would
+    side-load it)."""
+    import base64
+
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % _BLOOM_M
+            bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_may_contain(b64: str | None, value) -> bool:
+    """False only when the filter PROVES the value absent from the file
+    (missing filter ⇒ cannot prove ⇒ keep — skipping is an optimization,
+    never a filter; false positives only weaken pruning)."""
+    if not b64:
+        return True
+    import base64
+
+    bits = base64.b64decode(b64)
+    h1, h2 = _bloom_hashes(value)
+    for i in range(_BLOOM_K):
+        p = (h1 + i * h2) % _BLOOM_M
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
+
+
 def _stats_may_match(stats: dict | None, ranges: dict[str, tuple]) -> bool:
     """True unless the file's footer stats PROVE no row can fall in every
     requested range (missing stats for a column ⇒ cannot prove ⇒ keep —
@@ -115,6 +166,13 @@ class Snapshot:
     # numeric columns, harvested from the parquet footers at commit time.
     # Drives read(ranges=...) file skipping; see LakeTable.read.
     stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # columns carrying per-file bloom filters (equality-skipping axis —
+    # the stats axis for point predicates on any-typed columns, where
+    # min/max can't help). Set at create(); harvested on every write.
+    bloom_cols: list[str] = field(default_factory=list)
+    # relative file path -> {column: base64 bloom bits} for base files.
+    # Drives read(points=...) file skipping; see LakeTable.read.
+    blooms: dict[str, dict[str, str]] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -134,6 +192,8 @@ class Snapshot:
                 "deltas": self.deltas,
                 "run_id": self.run_id,
                 "stats": self.stats,
+                "bloom_cols": self.bloom_cols,
+                "blooms": self.blooms,
             }
         )
 
@@ -169,7 +229,13 @@ class LakeTable:
         key_cols: list[str] | tuple[str, ...],
         n_buckets: int = 32,
         store=None,
+        bloom_cols: list[str] | tuple[str, ...] | None = None,
     ) -> "LakeTable":
+        """``bloom_cols``: columns to harvest per-file bloom filters for
+        at every commit (drives ``read(points=...)`` equality skipping —
+        the point-predicate pruning axis for columns min/max stats can't
+        serve, e.g. a high-cardinality ``commit`` string). Costs one
+        driver-local column read per fresh file at commit time."""
         t = cls(spark, path, store=store)
         t._store.init()
         if t.current_version() >= 0:
@@ -181,6 +247,7 @@ class LakeTable:
             key_cols=list(key_cols),
             n_buckets=n_buckets,
             committed_at=time.time(),
+            bloom_cols=list(bloom_cols or []),
         )
         t._write_snapshot(snap)
         return t
@@ -228,6 +295,7 @@ class LakeTable:
         include_internal: bool = False,
         spark: SparkSession | None = None,
         ranges: dict[str, tuple] | None = None,
+        points: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
@@ -255,6 +323,16 @@ class LakeTable:
         (COW / compacted buckets, where each key's single stored row is
         its current winner).
 
+        ``points`` — BLOOM-BASED EQUALITY SKIPPING (Iceberg puffin-blob
+        analog, the third pruning axis): ``{column: value}`` drops base
+        files whose per-file bloom filter proves the value absent.
+        Covers exactly what ``ranges`` can't — point predicates on
+        any-typed (esp. string) columns, e.g. "every row commit C
+        touched" over a table bucketed by (repo, path). Only columns in
+        the table's ``bloom_cols`` ever have filters; others never
+        prune. Same superset contract and MOR-delta exemption as
+        ``ranges`` (a bloom false positive merely keeps a file).
+
         ``spark``: session to build the plan under (defaults to the
         table's). The MERGE passes the change set's session so the whole
         write plan executes under ONE session — foreachBatch hands out a
@@ -273,8 +351,17 @@ class LakeTable:
             )
             out = []
             for b, fs in items:
-                if prune and ranges and not snap.deltas.get(b):
-                    fs = [f for f in fs if _stats_may_match(snap.stats.get(f), ranges)]
+                if prune and (ranges or points) and not snap.deltas.get(b):
+                    if ranges:
+                        fs = [f for f in fs if _stats_may_match(snap.stats.get(f), ranges)]
+                    if points:
+                        fs = [
+                            f for f in fs
+                            if all(
+                                _bloom_may_contain(snap.blooms.get(f, {}).get(c), v)
+                                for c, v in points.items()
+                            )
+                        ]
                 out.extend(os.path.join(self.path, f) for f in fs)
             return out
 
@@ -689,7 +776,8 @@ class LakeTable:
         # touched buckets' deltas were folded into the rewrite above
         for b in touched:
             new_snap.deltas.pop(str(b), None)
-        self._carry_stats(new_snap, snap, self._file_stats(written))
+        self._carry_stats(new_snap, snap, self._file_stats(written),
+                          self._file_blooms(written, new_snap))
         self._write_snapshot(new_snap)
         return {"skipped": False, "version": new_snap.version,
                 "touched_buckets": len(touched), "buckets_rewritten": buckets_rewritten}
@@ -761,7 +849,8 @@ class LakeTable:
             snap, snap.batch_id if batch_id is None else batch_id, schema, None
         )
         new_snap.buckets = buckets
-        self._carry_stats(new_snap, snap, self._file_stats(buckets))
+        self._carry_stats(new_snap, snap, self._file_stats(buckets),
+                          self._file_blooms(buckets, new_snap))
         self._write_snapshot(new_snap)
 
     # ----------------------------------------------------------- maintenance
@@ -842,7 +931,8 @@ class LakeTable:
         new_snap.buckets = new_buckets
         for b in fat:  # deltas folded into the new base files
             new_snap.deltas.pop(str(b), None)
-        self._carry_stats(new_snap, snap, self._file_stats(written))
+        self._carry_stats(new_snap, snap, self._file_stats(written),
+                          self._file_blooms(written, new_snap))
         self._write_snapshot(new_snap)
         return {"compacted_buckets": len(fat), "version": new_snap.version}
 
@@ -895,6 +985,8 @@ class LakeTable:
             deltas={b: list(fs) for b, fs in target.deltas.items()},
             run_id=target.run_id,
             stats={f: dict(mm) for f, mm in target.stats.items()},
+            bloom_cols=list(target.bloom_cols),
+            blooms={f: dict(bb) for f, bb in target.blooms.items()},
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -929,13 +1021,129 @@ class LakeTable:
         new_snap.n_buckets = n_buckets
         new_snap.buckets = new_buckets
         new_snap.deltas = {}
-        self._carry_stats(new_snap, snap, self._file_stats(new_buckets))
+        self._carry_stats(new_snap, snap, self._file_stats(new_buckets),
+                          self._file_blooms(new_buckets, new_snap))
         self._write_snapshot(new_snap)
         return {
             "rebucketed": 1,
             "n_buckets": n_buckets,
             "version": new_snap.version,
             "files": sum(len(f) for f in new_buckets.values()),
+        }
+
+    def cluster(
+        self,
+        zorder: list[str] | tuple[str, ...],
+        target_files_per_bucket: int = 4,
+        buckets: list[int] | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, int]:
+        """Z-order the table's data layout (Delta ``OPTIMIZE ZORDER BY``
+        analog): rewrite buckets so each bucket's files cover
+        near-disjoint ranges of the interleaved-bit z-value of
+        ``zorder`` columns — which is what makes the per-file min/max
+        stats TIGHT on every z column at once, so ``read(ranges=...)``
+        skips files *within* buckets, not just across commits. The
+        canonical use here is ``zorder=["__ordinal"]``: after clustering,
+        an incremental scan (ordinal > watermark) touches only the files
+        whose rows actually arrived after the watermark, even inside
+        buckets that were rewritten many times.
+
+        Mechanics (all JVM-side expressions, no Python on the data
+        path): each z column is normalized to a 16-bit code by linear
+        scaling over its [p01, p99] quantile range (quantile clipping so
+        outliers saturate the end codes instead of flattening the body —
+        the all-expression trade vs Delta's range-partition-id
+        interleave), codes are bit-interleaved into one long, and rows
+        are ``repartitionByRange(__bucket, __z)`` +
+        ``sortWithinPartitions`` so every output task writes a
+        contiguous z-slice of one-or-two buckets. MOR deltas of the
+        rewritten buckets are folded in (reads via
+        ``read(include_internal=True)``), same as compact.
+
+        ``buckets``: restrict the rewrite to a subset — at 100 TB you
+        cluster incrementally (the buckets compaction just touched), not
+        the world; clustering everything is rebucket-shaped O(table) and
+        should be scheduled like one. Readers are never blocked; time
+        travel still reads the pre-cluster layout. State identity
+        (content unchanged) — enforced by the ops-algebra property test.
+        """
+        snap = self.snapshot()
+        if not zorder:
+            raise ValueError("zorder needs at least one column")
+        schema = snap.schema()
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType, T.TimestampType, T.DateType)
+        internal = {"__ordinal": T.LongType(), "__offset": T.LongType()}
+        for c in zorder:
+            dt = internal.get(c) or next(
+                (f.dataType for f in schema.fields if f.name == c), None)
+            if dt is None:
+                raise ValueError(f"zorder column {c!r} not in table schema")
+            if not isinstance(dt, numeric):
+                raise ValueError(
+                    f"zorder column {c!r} is {dt.simpleString()}; z-ordering "
+                    "needs a numeric/temporal column (string layouts: use "
+                    "bloom_cols point skipping instead)")
+        target = sorted({int(b) for b in snap.buckets} if buckets is None
+                        else set(buckets))
+        target = [b for b in target
+                  if snap.buckets.get(str(b)) or snap.deltas.get(str(b))]
+        if not target:
+            return {"clustered_buckets": 0}
+        df = self.read(buckets=target, include_internal=True).withColumn(
+            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+        )
+        # quantile fences: one bounded driver-side pass for all z columns
+        zc = [F.col(c).cast("double").alias(c) for c in zorder]
+        fences = df.select(*zc).stat.approxQuantile(list(zorder), [0.01, 0.99], 0.001)
+        n = len(zorder)
+        bits = min(16, 60 // n)  # interleaved z stays inside a positive long
+        zval = F.lit(0).cast("long")
+        for j, c in enumerate(zorder):
+            lo, hi = fences[j]
+            if lo is None or hi is None or hi <= lo:
+                code = F.lit(0).cast("long")  # constant/empty column: no order info
+            else:
+                scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+                code = F.least(
+                    F.lit((1 << bits) - 1), F.greatest(F.lit(0), F.floor(scaled * (1 << bits)))
+                ).cast("long")
+            code = F.coalesce(code, F.lit(0).cast("long"))  # nulls cluster at 0
+            for bit in range(bits):
+                zval = zval.bitwiseOR(
+                    F.shiftleft(F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                                bit * n + j)
+                )
+        n_out = max(1, len(target) * target_files_per_bucket)
+        out = (
+            df.withColumn("__z", zval)
+            .repartitionByRange(n_out, F.col("__bucket"), F.col("__z"))
+            .sortWithinPartitions("__bucket", "__z")
+            .drop("__z")
+        )
+        new_version = snap.version + 1
+        written = self._write_bucket_files(out, new_version, None)
+        new_buckets = dict(snap.buckets)
+        for b in target:
+            fs = written.get(str(b), [])
+            if fs:
+                new_buckets[str(b)] = fs
+            else:
+                new_buckets.pop(str(b), None)
+        new_snap = self._child_snapshot(
+            snap, snap.batch_id if batch_id is None else batch_id, schema, None
+        )
+        new_snap.buckets = new_buckets
+        for b in target:  # deltas folded into the clustered base files
+            new_snap.deltas.pop(str(b), None)
+        self._carry_stats(new_snap, snap, self._file_stats(written),
+                          self._file_blooms(written, new_snap))
+        self._write_snapshot(new_snap)
+        return {
+            "clustered_buckets": len(target),
+            "files": sum(len(f) for f in written.values()),
+            "version": new_snap.version,
         }
 
     def _write_bucket_files(
@@ -1006,17 +1214,49 @@ class LakeTable:
                     out[rel] = col_mm
         return out
 
+    def _file_blooms(self, files: dict[str, list[str]], snap: Snapshot) -> dict[str, dict[str, str]]:
+        """Harvest per-file bloom filters for the table's ``bloom_cols``
+        from freshly written base files (Iceberg writers collect the
+        same into puffin blobs at commit time). One driver-local
+        column-projected read per new file — O(rows written this
+        commit), bounded by the same epoch that just wrote them; any
+        read failure simply yields no filter, which never prunes."""
+        if not snap.bloom_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        present = {f.name for f in snap.schema().fields}
+        cols = [c for c in snap.bloom_cols if c in present]
+        if not cols:
+            return {}
+        out: dict[str, dict[str, str]] = {}
+        for fs in files.values():
+            for rel in fs:
+                try:
+                    tbl = pq.read_table(os.path.join(self.path, rel), columns=cols)
+                except Exception:  # unreadable -> no filter, no pruning
+                    continue
+                entry = {
+                    c: _bloom_build(tbl.column(c).unique().to_pylist()) for c in cols
+                }
+                if entry:
+                    out[rel] = entry
+        return out
+
     def _carry_stats(
         self, new_snap: Snapshot, prev: Snapshot,
         fresh: dict[str, dict[str, list]],
+        fresh_blooms: dict[str, dict[str, str]] | None = None,
     ) -> None:
         """Snapshot stats bookkeeping: carry the previous snapshot's
         entries for files still referenced, add the fresh files', drop
-        everything else (stats always describe exactly the base files of
-        THIS snapshot)."""
+        everything else (stats and blooms always describe exactly the
+        base files of THIS snapshot)."""
         live = {f for fs in new_snap.buckets.values() for f in fs}
         merged = {**prev.stats, **fresh}
         new_snap.stats = {f: merged[f] for f in live if f in merged}
+        merged_b = {**prev.blooms, **(fresh_blooms or {})}
+        new_snap.blooms = {f: merged_b[f] for f in live if f in merged_b}
 
     def _child_snapshot(
         self,
@@ -1055,4 +1295,6 @@ class LakeTable:
             # keyed by version-scoped paths so carried entries can never
             # describe the wrong file
             stats={f: dict(mm) for f, mm in parent.stats.items()},
+            bloom_cols=list(parent.bloom_cols),
+            blooms={f: dict(bb) for f, bb in parent.blooms.items()},
         )

@@ -623,3 +623,174 @@ def test_stats_survive_maintenance_ops(spark, stats_table):
     live = {f for fs in snap.buckets.values() for f in fs}
     assert set(snap.stats) == live
     assert t.read(ranges={"size": (8000, None)}).where("size >= 8000").count() == 4
+
+
+# ------------------------------------------- z-order clustering + blooms
+
+
+def _nfiles(df) -> int:
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_cluster_zorder_tightens_stats_and_prunes(spark, tmp_path):
+    """Before clustering, every file in a multiply-rewritten bucket spans
+    the full ordinal range, so an incremental range scan prunes nothing
+    WITHIN buckets; after cluster(zorder=["__ordinal"]) each bucket's
+    files carry near-disjoint ordinal ranges and the same scan reads
+    strictly fewer files — while remaining a superset (no row lost),
+    preserving content exactly, and keeping time travel to the
+    pre-cluster layout."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "zc"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]),
+        ["repo", "path"], n_buckets=2,
+    )
+    # interleave ordinals across keys so hash-bucketing scatters every
+    # ordinal band across both buckets (the anti-clustered worst case)
+    rows = [("r", f"p{i:03d}", i, "I", i % 97 + 1) for i in range(200)]
+    t.merge(_ord_changes(spark, rows), 0)
+    before = dict(
+        content={r["path"]: r["size"] for r in t.read().collect()},
+        version=t.current_version(),
+    )
+    res = t.cluster(zorder=["__ordinal"], target_files_per_bucket=8)
+    assert res["clustered_buckets"] == 2 and res["files"] >= 4
+
+    # content identity + time travel
+    after = {r["path"]: r["size"] for r in t.read().collect()}
+    assert after == before["content"]
+    tv = {r["path"]: r["size"] for r in t.read(version=before["version"]).collect()}
+    assert tv == before["content"]
+
+    # the bounded incremental scan now skips files inside buckets
+    full = _nfiles(t.read(include_internal=True))
+    scan = t.read(ranges={"__ordinal": (90, None)}, include_internal=True)
+    assert _nfiles(scan) < full
+    got = sorted(r["path"] for r in scan.where("__ordinal >= 90").collect())
+    want = sorted(r["path"] for r in t.read(include_internal=True)
+                  .where("__ordinal >= 90").collect())
+    assert got == want and len(got) == 16  # ordinals 90..97, two i-bands
+
+    # stats describe exactly the live base files
+    snap = t.snapshot()
+    live = {f for fs in snap.buckets.values() for f in fs}
+    assert set(snap.stats) == live
+
+
+def test_cluster_folds_deltas_and_validates(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "zd"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]),
+        ["repo", "path"], n_buckets=2,
+    )
+    t.merge(_ord_changes(spark, [("r", f"p{i}", i, "I", 1) for i in range(8)]), 0)
+    t.merge_mor(_ord_changes(spark, [("r", "p1", 999, "U", 2),
+                                     ("r", "p2", 0, "D", 2)]), 1)
+    t.cluster(zorder=["size"])
+    snap = t.snapshot()
+    assert not snap.deltas  # folded
+    got = {r["path"]: r["size"] for r in t.read().collect()}
+    assert got["p1"] == 999 and "p2" not in got and len(got) == 7
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.cluster(zorder=["nope"])
+    with pytest.raises(ValueError, match="needs a numeric"):
+        t.cluster(zorder=["repo"])
+
+
+def test_bloom_point_skipping(spark, tmp_path):
+    """read(points=...) prunes base files whose bloom filter proves a
+    value absent — the equality axis for string columns where min/max
+    stats are useless (e.g. 'all rows commit C touched' on a table
+    bucketed by (repo, path)) — while never losing a matching row, and
+    surviving compact + rollback."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "bl"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+        ]),
+        ["repo", "path"], n_buckets=8, bloom_cols=["commit"],
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [(r, p, c, op, o, o) for (r, p, c, op, o) in rows],
+            "repo string, path string, commit string, op string, "
+            "__ordinal long, __offset long",
+        )
+
+    # two commits with disjoint commit-hash sets over disjoint keys
+    t.merge(chg([("r", f"a{i:02d}", f"c_early_{i % 4}", "I", 1) for i in range(32)]), 0)
+    t.merge(chg([("r", f"b{i}", "c_late", "I", 2) for i in range(4)]), 1)
+
+    full = _nfiles(t.read())
+    pruned = t.read(points={"commit": "c_late"})
+    assert _nfiles(pruned) < full
+    got = sorted(r["path"] for r in pruned.where("commit = 'c_late'").collect())
+    want = sorted(r["path"] for r in t.read().where("commit = 'c_late'").collect())
+    assert got == want and len(got) == 4
+
+    # absent value: prunes to (near-)nothing, returns empty after filter
+    assert t.read(points={"commit": "no_such"}).where("commit = 'no_such'").count() == 0
+
+    # non-bloom column never prunes (missing filter => keep)
+    assert _nfiles(t.read(points={"path": "a00"})) == full
+
+    # survives compaction (filters re-harvested for rewritten files)
+    t.compact(max_files_per_bucket=0)
+    v_compacted = t.current_version()
+    snap = t.snapshot()
+    live = {f for fs in snap.buckets.values() for f in fs}
+    assert set(snap.blooms) == live and all("commit" in b for b in snap.blooms.values())
+    pruned2 = t.read(points={"commit": "c_late"})
+    assert _nfiles(pruned2) < _nfiles(t.read())
+    assert pruned2.where("commit = 'c_late'").count() == 4
+
+    # survives rollback (blooms copied with the target snapshot)
+    t.merge(chg([("r", "zz", "c_bad", "I", 3)]), 2)
+    t.rollback(v_compacted)
+    assert set(t.snapshot().blooms) == {
+        f for fs in t.snapshot().buckets.values() for f in fs
+    }
+    assert t.read(points={"commit": "c_late"}).where("commit = 'c_late'").count() == 4
+
+
+def test_bloom_skipping_exempts_mor_buckets(spark, tmp_path):
+    """Same LWW soundness rule as ranges: a bucket carrying deltas keeps
+    all its base files, so a delta rewriting a row to a NEW commit value
+    still shadows the base row even when the probe value only matches
+    the base file."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "blm"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+        ]),
+        ["repo", "path"], n_buckets=1, bloom_cols=["commit"],
+    )
+
+    def chg(rows):
+        return spark.createDataFrame(
+            [(r, p, c, op, o, o) for (r, p, c, op, o) in rows],
+            "repo string, path string, commit string, op string, "
+            "__ordinal long, __offset long",
+        )
+
+    t.merge(chg([("r", "p0", "c0", "I", 1), ("r", "p1", "c0", "I", 1)]), 0)
+    t.merge_mor(chg([("r", "p0", "c1", "U", 2)]), 1)
+    # probing for the OLD value: p0's current state is c1, so the exact
+    # filter must drop it — which requires the base file NOT be pruned
+    # away before LWW resolution
+    got = {r["path"]: r["commit"]
+           for r in t.read(points={"commit": "c0"}).where("commit = 'c0'").collect()}
+    assert got == {"p1": "c0"}

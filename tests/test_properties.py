@@ -160,6 +160,7 @@ _OP = st.one_of(
     st.tuples(st.just("rollback"), st.floats(0, 1)),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("vacuum"), st.sampled_from([1, 2, 3])),
+    st.tuples(st.just("cluster"), st.sampled_from([1, 2, 4])),
 )
 
 
@@ -167,6 +168,7 @@ _OP = st.one_of(
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
 def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
+    / cluster (z-order rewrite)
     matches a dict model, at the final version AND at every retained
     version (time travel) — the maintenance operations are
     state-identities, rollback is exact, and vacuum only ever removes
@@ -220,6 +222,11 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
                 model = dict(history[target])
         elif kind == "compact":
             table.compact()
+        elif kind == "cluster":
+            # z-order rewrite on the internal ordinal — a state identity
+            # like compact, folded into the same arbitrary-interleaving
+            # property (content + time travel must be unaffected)
+            table.cluster(zorder=["__ordinal"], target_files_per_bucket=arg)
         elif kind == "vacuum":
             table.vacuum(keep_last=arg)
             cutoff = table.current_version() - arg + 1
