@@ -62,6 +62,7 @@ class CdcEngine:
         write_mode: str = "cow",
         compact_every: int | None = None,
         n_source_partitions: int | None = None,
+        cluster_zorder: list[str] | tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -83,6 +84,13 @@ class CdcEngine:
         # `compact_every` epochs (None = manual compact()).
         self.write_mode = write_mode
         self.compact_every = compact_every
+        # with cluster_zorder set (e.g. ["__ordinal"]), the periodic
+        # maintenance pass z-orders the buckets it compacts instead of
+        # bin-packing them flat — the same rewrite cost buys tight
+        # per-file stats, so bounded incremental scans (ordinal >
+        # watermark) keep pruning as the stream runs (lake/table.py
+        # cluster; a Delta auto-OPTIMIZE ZORDER analog)
+        self.cluster_zorder = list(cluster_zorder) if cluster_zorder else None
         # known static source-partition count (Kafka topic partitions /
         # binlog shard count) unlocks the single-job MOR epoch
         self.n_source_partitions = n_source_partitions
@@ -266,7 +274,24 @@ class CdcEngine:
             if self.write_mode == "mor" and self.compact_every:
                 self._epochs_since_compact += 1
                 if self._epochs_since_compact >= self.compact_every:
-                    self.target().compact()
+                    t = self.target()
+                    if self.cluster_zorder:
+                        # z-ordering compaction: rewrite the buckets
+                        # carrying unfolded deltas, clustered — same IO
+                        # as the fold compact would do, tight per-file
+                        # stats afterwards. Delta-carrying buckets ONLY:
+                        # clustering leaves ~target_files_per_bucket
+                        # files per bucket by design, so a file-count
+                        # heuristic would re-rewrite every
+                        # already-clustered bucket each cadence
+                        snap = t.snapshot()
+                        pending = sorted(
+                            int(b) for b, fs in snap.deltas.items() if fs
+                        )
+                        if pending:
+                            t.cluster(self.cluster_zorder, buckets=pending)
+                    else:
+                        t.compact()
                     self._epochs_since_compact = 0
             if flat_fresh is not None:
                 self._fan_out(flat_fresh, batch_id, phase="after", run_id=run_id)

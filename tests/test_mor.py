@@ -187,3 +187,39 @@ def test_mor_epoch_is_one_spark_job(spark, tmp_path):
         sc.setJobGroup("", "")
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert len(sc.statusTracker().getJobIdsForGroup("mor_epoch")) == 1
+
+
+def test_mor_cluster_zorder_maintenance(spark, tmp_path):
+    """cluster_zorder=["__ordinal"]: the periodic maintenance pass
+    z-orders the buckets compact would have bin-packed — state stays
+    identical to the DuckDB replay oracle, deltas are folded on the
+    cadence, and the bounded incremental scan prunes files afterwards
+    (the steady-state reason to cluster at all)."""
+    log = str(tmp_path / "log")
+    write_events(generate_events(spark, N, seed=33), log, n_files=3)
+    events = spark.read.parquet(log)
+
+    eng = _replay(
+        spark, str(tmp_path / "morz"), events,
+        write_mode="mor", compact_every=2, cluster_zorder=["__ordinal"],
+    )
+    t = eng.target()
+    snap = t.snapshot()
+    assert snap.buckets  # the clustering pass rewrote base files
+    # epoch 3 (batch 2) ran after the cadence-2 maintenance pass, so at
+    # most one epoch of deltas remains pending
+    assert all(len(fs) <= 1 for fs in snap.deltas.values())
+
+    con = duckdb.connect()
+    ora = con.execute(oracle_final_state_sql(f"{log}/*.parquet")).fetchall()
+    got = _canon(t.read())
+    assert got == sorted(tuple(r) for r in ora)
+
+    # fold the trailing epoch, then the incremental scan must skip files
+    t.compact()
+    full = t.read(include_internal=True).select(F.input_file_name()).distinct().count()
+    hi = t.read(include_internal=True).agg(F.max("__ordinal")).first()[0]
+    scan = t.read(ranges={"__ordinal": (hi, None)}, include_internal=True)
+    assert scan.select(F.input_file_name()).distinct().count() < full
+    assert (scan.where(F.col("__ordinal") >= hi).count()
+            == t.read(include_internal=True).where(F.col("__ordinal") >= hi).count())
