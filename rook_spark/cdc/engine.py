@@ -63,6 +63,7 @@ class CdcEngine:
         compact_every: int | None = None,
         n_source_partitions: int | None = None,
         cluster_zorder: list[str] | tuple[str, ...] | None = None,
+        bloom_cols: list[str] | tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -91,6 +92,10 @@ class CdcEngine:
         # watermark) keep pruning as the stream runs (lake/table.py
         # cluster; a Delta auto-OPTIMIZE ZORDER analog)
         self.cluster_zorder = list(cluster_zorder) if cluster_zorder else None
+        # bloom_cols forwards to LakeTable.create on first target()
+        # materialization: per-file equality filters for point lookups
+        # (read(points=...)) on non-key columns, e.g. "commit"
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
         # known static source-partition count (Kafka topic partitions /
         # binlog shard count) unlocks the single-job MOR epoch
         self.n_source_partitions = n_source_partitions
@@ -224,6 +229,7 @@ class CdcEngine:
             payload_schema or cdc_schema.repos_schema(),
             key_cols=self.key_cols,
             n_buckets=self.n_buckets,
+            bloom_cols=self.bloom_cols,
         )
 
     # ---------------------------------------------------------------- apply
