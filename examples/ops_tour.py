@@ -11,7 +11,7 @@ is running, in one runnable script.
 5. bound read amplification → **compact** (fold MOR deltas),
 6. reclaim storage → **vacuum** (expire old versions),
 7. swap the catalog → the same table logic running on an
-   ``InMemoryMetadataStore`` (the six-operation seam a JDBC/REST
+   ``InMemoryMetadataStore`` (the catalog seam a JDBC/REST
    catalog would implement), and what happens when a SECOND writer
    races a commit (**CommitConflict** — the CAS contract),
 8. incremental consumers → **stats-skipped bounded scan**

@@ -6,7 +6,8 @@ payloads (exactly Iceberg's catalog contract — `commit` = publish
 snapshot N and move the table pointer to it iff the pointer still reads
 the parent the committer built from). Everything else the engine does
 (bucketed MERGE, MOR deltas, time travel, changelog reads, rollback,
-rebucket) only ever calls the six operations below, so swapping the
+rebucket) only ever calls the operations below — six snapshot-pointer
+operations plus four immutable manifest-blob operations — so swapping the
 sandbox's POSIX directory for a real catalog (JDBC table with a
 conditional UPDATE, an Iceberg REST catalog, DynamoDB conditional
 put, ...) is implementing one small class — the executor-side data path
@@ -55,7 +56,8 @@ class CommitConflict(Exception):
 
 
 class MetadataStore(ABC):
-    """Six-operation catalog contract. ``commit`` MUST be atomic with
+    """Catalog contract: six snapshot-pointer operations plus four
+    immutable manifest-blob operations. ``commit`` MUST be atomic with
     respect to ``read_pointer`` (readers see the old version or the new
     one, never a torn state) AND conditional on ``expected_parent``
     (exactly one of two racing committers building from the same parent
@@ -90,6 +92,34 @@ class MetadataStore(ABC):
     @abstractmethod
     def delete(self, version: int) -> None:
         """Drop an expired snapshot's metadata (vacuum path)."""
+
+    # ---- immutable manifest blobs (Iceberg manifest-file analog) ----
+    #
+    # Content-addressed, write-once payloads referenced BY snapshots
+    # (the sharded bucket manifests; see LakeTable._write_snapshot).
+    # Immutability is the contract that makes caching and reuse across
+    # snapshots safe: a key, once written, always resolves to the same
+    # bytes. ``put_blob`` is idempotent — re-putting an existing key is
+    # a no-op, which is what lets unchanged manifest groups be shared
+    # between consecutive snapshots without rewriting.
+
+    @abstractmethod
+    def put_blob(self, key: str, payload: str) -> None:
+        """Durably store an immutable blob (no-op if ``key`` exists).
+        Must be durable BEFORE any commit whose payload references
+        ``key`` (the commit point must never publish dangling refs)."""
+
+    @abstractmethod
+    def read_blob(self, key: str) -> str:
+        """Blob payload; FileNotFoundError if absent/expired."""
+
+    @abstractmethod
+    def blob_keys(self) -> list[str]:
+        """All retained blob keys (vacuum's GC sweep input)."""
+
+    @abstractmethod
+    def delete_blob(self, key: str) -> None:
+        """Drop an unreferenced blob (vacuum path)."""
 
 
 class PosixMetadataStore(MetadataStore):
@@ -194,6 +224,54 @@ class PosixMetadataStore(MetadataStore):
         except FileNotFoundError:
             pass
 
+    # --------------------------------------------------- manifest blobs
+
+    _MANIFESTS = "manifests"
+
+    def _blob_dir(self) -> str:
+        return os.path.join(self.meta_dir, self._MANIFESTS)
+
+    def _blob_path(self, key: str) -> str:
+        if not key.replace("-", "").isalnum():
+            raise ValueError(f"invalid blob key {key!r}")
+        return os.path.join(self._blob_dir(), f"{key}.json")
+
+    def put_blob(self, key: str, payload: str) -> None:
+        path = self._blob_path(key)
+        if os.path.exists(path):  # immutable + content-addressed: done
+            return
+        os.makedirs(self._blob_dir(), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        # durable before any snapshot references it (same barrier logic
+        # as commit: the pointer flip must never publish dangling refs)
+        fd = os.open(self._blob_dir(), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def read_blob(self, key: str) -> str:
+        with open(self._blob_path(key)) as f:
+            return f.read()
+
+    def blob_keys(self) -> list[str]:
+        try:
+            names = os.listdir(self._blob_dir())
+        except FileNotFoundError:
+            return []
+        return sorted(n[:-5] for n in names if n.endswith(".json"))
+
+    def delete_blob(self, key: str) -> None:
+        try:
+            os.remove(self._blob_path(key))
+        except FileNotFoundError:
+            pass
+
 
 class InMemoryMetadataStore(MetadataStore):
     """Process-local store proving the seam (and handy for unit tests):
@@ -206,6 +284,7 @@ class InMemoryMetadataStore(MetadataStore):
         import threading
 
         self._snaps: dict[int, str] = {}
+        self._blobs: dict[str, str] = {}
         self._pointer = -1
         self._lock = threading.Lock()
 
@@ -232,3 +311,18 @@ class InMemoryMetadataStore(MetadataStore):
 
     def delete(self, version: int) -> None:
         self._snaps.pop(version, None)
+
+    def put_blob(self, key: str, payload: str) -> None:
+        with self._lock:
+            self._blobs.setdefault(key, payload)
+
+    def read_blob(self, key: str) -> str:
+        if key not in self._blobs:
+            raise FileNotFoundError(f"no manifest blob {key}")
+        return self._blobs[key]
+
+    def blob_keys(self) -> list[str]:
+        return sorted(self._blobs)
+
+    def delete_blob(self, key: str) -> None:
+        self._blobs.pop(key, None)

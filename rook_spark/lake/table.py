@@ -7,12 +7,17 @@ path needs (SURVEY.md §2.9 K5/K6; reference semantics:
 commit-or-rollback):
 
 - **Snapshot isolation + atomic commit**: table state is an immutable
-  JSON snapshot (list of data files per bucket + schema + lineage
-  watermarks + batch fence). A commit writes the new snapshot file and
-  atomically flips a ``LATEST`` pointer via ``os.replace`` (POSIX-atomic).
-  A crash anywhere before the flip leaves the table at the old snapshot —
-  orphaned data files are invisible. This is the same commit protocol as
-  Iceberg's metadata pointer swap, minus the catalog.
+  JSON snapshot (schema + lineage watermarks + batch fence + refs to
+  content-addressed manifest-group blobs carrying the per-bucket file
+  lists, MOR delta lists, stats, and bloom filters — Iceberg's
+  manifest-list → manifest-file split; see ``_write_snapshot``). A
+  commit writes the touched groups' blobs and the new snapshot file,
+  then atomically flips a ``LATEST`` pointer via ``os.replace``
+  (POSIX-atomic). A crash anywhere before the flip leaves the table at
+  the old snapshot — orphaned data files and manifest blobs are
+  invisible. This is the same commit protocol as Iceberg's metadata
+  pointer swap, minus the catalog; per-commit metadata IO is
+  O(touched buckets), never O(table).
 - **Bucket partitioning**: rows are hash-bucketed on the key columns
   (``pmod(xxhash64(*key), n_buckets)``). A MERGE only reads and rewrites
   the buckets actually touched by the batch — at 100 TB with e.g. 2^16
@@ -63,6 +68,10 @@ from pyspark.sql import types as T
 _META = "_meta"
 _DATA = "data"
 _LATEST = "LATEST"
+# buckets per manifest-group blob (see _write_snapshot): commit metadata
+# IO is O(touched_buckets / group + 1) blobs; at 2^16 buckets a
+# single-bucket epoch rewrites one 64-bucket group, not the whole map
+_MANIFEST_GROUP = 64
 
 
 def bucket_expr(key_cols: list[str] | tuple[str, ...], n_buckets: int):
@@ -209,7 +218,8 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta_dir = os.path.join(self.path, _META)
-        # the six-operation catalog seam (lake/metastore.py): every
+        # the catalog seam (lake/metastore.py: snapshot CAS + manifest
+        # blobs): every
         # snapshot read/commit goes through it; default = the POSIX
         # directory layout this table has always used
         if store is None:
@@ -217,6 +227,9 @@ class LakeTable:
 
             store = PosixMetadataStore(self._meta_dir)
         self._store = store
+        # manifest-group blob cache: blobs are immutable and
+        # content-addressed, so entries never invalidate; bounded below
+        self._manifest_cache: dict[str, dict] = {}
 
     # ---------------------------------------------------------------- create
 
@@ -272,7 +285,27 @@ class LakeTable:
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
-        return Snapshot.from_json(self._store.read(v))
+        data = json.loads(self._store.read(v))
+        refs = data.pop("manifest_refs", None)
+        snap = Snapshot(**data)
+        if refs:
+            for key in refs.values():
+                for b, e in self._read_manifest(key).items():
+                    if e.get("files"):
+                        snap.buckets[b] = list(e["files"])
+                    if e.get("deltas"):
+                        snap.deltas[b] = list(e["deltas"])
+                    snap.stats.update(e.get("stats", {}))
+                    snap.blooms.update(e.get("blooms", {}))
+        return snap
+
+    def _read_manifest(self, key: str) -> dict:
+        m = self._manifest_cache.get(key)
+        if m is None:
+            if len(self._manifest_cache) > 4096:  # bound a long-lived driver
+                self._manifest_cache.clear()
+            m = self._manifest_cache[key] = json.loads(self._store.read_blob(key))
+        return m
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         """Durably store the snapshot, then atomically move the table
@@ -283,8 +316,48 @@ class LakeTable:
         (``-1`` for ``create``), so a concurrent writer that committed
         in between surfaces as :class:`~rook_spark.lake.metastore
         .CommitConflict` instead of silently clobbering its bucket map
-        — the Iceberg optimistic-concurrency contract."""
-        self._store.commit(snap.version, snap.to_json(), expected_parent=snap.parent)
+        — the Iceberg optimistic-concurrency contract.
+
+        MANIFEST SHARDING (Iceberg manifest-list → manifest-file
+        analog): the per-bucket state (file lists, MOR delta lists,
+        min/max stats, bloom filters) is NOT inlined in the snapshot —
+        it is sharded into content-addressed manifest-group blobs of
+        ``_MANIFEST_GROUP`` consecutive buckets each, written via the
+        store's idempotent ``put_blob`` BEFORE the pointer flip (no
+        dangling refs at the commit point, same crash contract as data
+        files). Content addressing makes unchanged groups free: an
+        epoch touching b buckets writes ~ceil(b/G)+1 small objects
+        instead of re-serializing every file entry in the table — the
+        difference between O(touched) and O(table) metadata IO per
+        commit, which is what lets a 2^16-bucket table at 10^10 events
+        commit thousands of epochs without the manifest becoming the
+        bottleneck. Old inline snapshots (pre-sharding) still load."""
+        core = json.loads(snap.to_json())
+        groups: dict[int, dict[str, dict]] = {}
+        for b in set(snap.buckets) | set(snap.deltas):
+            gid = int(b) // _MANIFEST_GROUP
+            e: dict[str, Any] = groups.setdefault(gid, {}).setdefault(b, {})
+            files = snap.buckets.get(b) or []
+            deltas = snap.deltas.get(b) or []
+            if files:
+                e["files"] = files
+            if deltas:
+                e["deltas"] = deltas
+            for f in files + deltas:
+                if f in snap.stats:
+                    e.setdefault("stats", {})[f] = snap.stats[f]
+                if f in snap.blooms:
+                    e.setdefault("blooms", {})[f] = snap.blooms[f]
+        import hashlib
+
+        refs: dict[str, str] = {}
+        for gid, content in groups.items():
+            js = json.dumps(content, sort_keys=True)
+            key = hashlib.sha256(js.encode()).hexdigest()[:24]
+            self._store.put_blob(key, js)
+            refs[str(gid)] = key
+        core.update(buckets={}, deltas={}, stats={}, blooms={}, manifest_refs=refs)
+        self._store.commit(snap.version, json.dumps(core), expected_parent=snap.parent)
 
     # ----------------------------------------------------------------- reads
 
@@ -896,7 +969,25 @@ class LakeTable:
             if v < keep_versions[0]:
                 self._store.delete(v)
                 removed_snaps += 1
+        # manifest-blob GC: a blob is live iff some RETAINED snapshot's
+        # refs name it (content addressing means blobs are shared across
+        # snapshots, so liveness is a set union, exactly like data files)
+        live_blobs: set[str] = set()
+        for v in self._store.versions():
+            try:
+                live_blobs.update(
+                    json.loads(self._store.read(v)).get("manifest_refs", {}).values()
+                )
+            except FileNotFoundError:
+                continue
+        removed_blobs = 0
+        for key in self._store.blob_keys():
+            if key not in live_blobs:
+                self._store.delete_blob(key)
+                self._manifest_cache.pop(key, None)
+                removed_blobs += 1
         return {"removed_files": removed_files, "removed_snapshots": removed_snaps,
+                "removed_manifests": removed_blobs,
                 "kept_versions": len(keep_versions)}
 
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None) -> dict[str, int]:
@@ -1074,10 +1165,12 @@ class LakeTable:
         schema = snap.schema()
         numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                    T.FloatType, T.DoubleType, T.DecimalType, T.TimestampType, T.DateType)
-        internal = {"__ordinal": T.LongType(), "__offset": T.LongType()}
         for c in zorder:
-            dt = internal.get(c) or next(
-                (f.dataType for f in schema.fields if f.name == c), None)
+            # strictly the STORED schema: engine-written tables carry
+            # __ordinal/__offset there, but a plain table that never
+            # stored ordinals must fail loudly here, not as an
+            # unresolved column three plans deep
+            dt = next((f.dataType for f in schema.fields if f.name == c), None)
             if dt is None:
                 raise ValueError(f"zorder column {c!r} not in table schema")
             if not isinstance(dt, numeric):

@@ -218,12 +218,13 @@ def test_changelog_composes_across_versions(spark, tmp_path):
 
 def test_snapshot_metadata_flat_per_epoch(spark, tmp_path):
     """Round-4 hardening (verdict item 7): snapshot JSON size must not
-    grow epoch-over-epoch on a steady compact+vacuum cadence. Each
-    version file carries the FULL bucket->files map, so its size is
-    O(n_buckets x files_per_bucket) — with compaction holding
-    files_per_bucket at 1, consecutive post-compaction snapshots must be
-    the same size (±10%: file names embed uuids of equal length), and
-    vacuum must bound the _meta dir to keep_last version files + LATEST."""
+    grow epoch-over-epoch on a steady compact+vacuum cadence. Since
+    manifest sharding the version file carries only core fields plus
+    manifest-group refs (the bucket→files map lives in content-addressed
+    blobs), so flatness is even stronger — but the invariant under test
+    is unchanged: consecutive post-compaction snapshots are the same
+    size (±10%), and vacuum bounds the _meta dir to keep_last version
+    files + LATEST (+ the manifests/ blob dir, GC'd to live refs)."""
     import glob
 
     from rook_spark.cdc.engine import CdcEngine
@@ -794,3 +795,89 @@ def test_bloom_skipping_exempts_mor_buckets(spark, tmp_path):
     got = {r["path"]: r["commit"]
            for r in t.read(points={"commit": "c0"}).where("commit = 'c0'").collect()}
     assert got == {"p1": "c0"}
+
+
+# ------------------------------------------------- manifest sharding
+
+
+def test_manifest_sharding_metadata_io_o_touched(spark, tmp_path):
+    """The commit path must write O(touched buckets) metadata, not
+    O(table): per-bucket state lives in content-addressed manifest-group
+    blobs, so an epoch touching one bucket writes exactly one new group
+    blob and reuses every other group's key unchanged — at 2^16 buckets
+    and thousands of epochs, this is what keeps the manifest from
+    becoming the commit bottleneck."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ms"), SCHEMA, ["repo", "path"], n_buckets=128
+    )
+    t.merge(_changes(
+        spark, [("r", f"p{i:03d}", f"v{i}", "I") for i in range(300)]), 0)
+    store = t._store
+    keys_before = set(store.blob_keys())
+    refs_v1 = __import__("json").loads(store.read(t.current_version()))["manifest_refs"]
+    assert len(refs_v1) == 2  # 128 buckets / 64 per group
+
+    # single-key epoch: exactly one bucket => one group rewritten
+    t.merge(_changes(spark, [("r", "p000", "v2", "U")]), 1)
+    refs_v2 = __import__("json").loads(store.read(t.current_version()))["manifest_refs"]
+    new_blobs = set(store.blob_keys()) - keys_before
+    assert len(new_blobs) == 1, new_blobs
+    assert sum(refs_v1[g] != refs_v2[g] for g in refs_v1) == 1  # other group reused
+
+    # the snapshot payload itself inlines NO per-file state
+    raw = __import__("json").loads(store.read(t.current_version()))
+    assert raw["buckets"] == {} and raw["stats"] == {} and raw["blooms"] == {}
+    # and resolution rebuilds the full picture (stats resolution is
+    # covered by the stats_table tests — this schema is all-string, so
+    # there are legitimately no numeric min/max entries to carry)
+    snap = t.snapshot()
+    assert len(snap.buckets) > 100
+    assert {r["content"] for r in t.read().where("path = 'p000'").collect()} == {"v2"}
+
+
+def test_manifest_vacuum_gc_and_time_travel(spark, tmp_path):
+    """Vacuum GCs manifest blobs unreferenced by every retained
+    snapshot (liveness = union of retained refs — blobs are shared
+    across snapshots by content addressing), while every retained
+    version keeps resolving; an expired version's read fails loudly."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "mg"), SCHEMA, ["repo", "path"], n_buckets=4
+    )
+    for i in range(5):
+        t.merge(_changes(spark, [("r", f"p{i}", f"v{i}", "I")]), i)
+    store = t._store
+    res = t.vacuum(keep_last=2)
+    assert res["removed_manifests"] > 0
+    live = set()
+    for v in store.versions():
+        live |= set(__import__("json").loads(store.read(v))["manifest_refs"].values())
+    assert set(store.blob_keys()) == live
+    # retained versions resolve; both content-correct
+    cur = t.current_version()
+    assert t.read(version=cur).count() == 5
+    assert t.read(version=cur - 1).count() == 4
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(cur - 2)
+
+
+def test_inline_snapshot_backward_compat(spark, tmp_path):
+    """Pre-sharding snapshots inlined the full bucket map in the
+    version payload; those tables must keep loading (manifest_refs
+    absent => the inline fields are the state)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "bc"), SCHEMA, ["repo", "path"], n_buckets=4
+    )
+    t.merge(_changes(spark, [("r", "a", "v1", "I"), ("r", "b", "v2", "I")]), 0)
+    # re-commit the resolved snapshot as an INLINE payload (the exact
+    # bytes a pre-sharding build would have written)
+    snap = t.snapshot()
+    inline = snap.to_json()
+    snap2 = type(snap).from_json(inline)
+    snap2.version = snap.version + 1
+    snap2.parent = snap.version
+    t._store.commit(snap2.version, snap2.to_json(), expected_parent=snap.version)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"a": "v1", "b": "v2"}
+    # and a sharded commit on top of the inline one still works
+    t.merge(_changes(spark, [("r", "c", "v3", "I")]), 1)
+    assert t.read().count() == 3

@@ -185,6 +185,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
             T.StructField("repo", T.StringType()),
             T.StructField("path", T.StringType()),
             T.StructField("content", T.StringType()),
+            T.StructField("n", T.LongType()),
         ]),
         ["repo", "path"], n_buckets=4,
     )
@@ -196,11 +197,14 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
         if kind == "merge":
             rows = [
                 ("r", f"p{k}", f"v{i}_{k}" if v is not None else None,
+                 (v if v is not None else 0) * 10 + k,
                  "U" if v is not None else "D")
                 for k, v in arg
             ]
             table.merge(spark.createDataFrame(
-                rows, "repo string, path string, content string, op string"), i)
+                rows,
+                "repo string, path string, content string, n long, op string",
+            ), i)
             for k, v in arg:
                 if v is None:
                     model.pop(f"p{k}", None)
@@ -223,10 +227,10 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
         elif kind == "compact":
             table.compact()
         elif kind == "cluster":
-            # z-order rewrite on the internal ordinal — a state identity
-            # like compact, folded into the same arbitrary-interleaving
-            # property (content + time travel must be unaffected)
-            table.cluster(zorder=["__ordinal"], target_files_per_bucket=arg)
+            # z-order rewrite on a payload numeric column — a state
+            # identity like compact, folded into the same arbitrary-
+            # interleaving property (content + time travel unaffected)
+            table.cluster(zorder=["n"], target_files_per_bucket=arg)
         elif kind == "vacuum":
             table.vacuum(keep_last=arg)
             cutoff = table.current_version() - arg + 1
