@@ -65,6 +65,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rook_spark.lake.metastore import CommitConflict
+
 _META = "_meta"
 _DATA = "data"
 _LATEST = "LATEST"
@@ -828,9 +830,17 @@ class LakeTable:
         merged = joined.where(~drop_row).select(*out_cols)
         merged = merged.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
 
-        # --- write new files for touched buckets (copy-on-write)
+        # --- write new files for touched buckets (copy-on-write).
+        # Shuffle/task width = O(touched buckets), NOT O(table buckets): a
+        # steady-state epoch touching 3 of 2^16 buckets must not schedule
+        # a 65536-task stage (task-launch overhead would dominate the
+        # epoch; measured 4096-bucket single-key epochs spent their whole
+        # wall time on empty tasks). partitionBy still splits one task's
+        # rows per bucket value, so the ~1-file-per-bucket layout holds
+        # even when several buckets hash into one shuffle partition.
         new_version = snap.version + 1
-        written = self._write_bucket_files(merged, new_version, snap.n_buckets)
+        written = self._write_bucket_files(
+            merged, new_version, min(snap.n_buckets, len(touched)))
 
         new_buckets = dict(snap.buckets)
         buckets_rewritten = 0
@@ -896,7 +906,19 @@ class LakeTable:
         src = src.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
 
         new_version = snap.version + 1
-        delta_files = self._write_bucket_files(src, new_version, snap.n_buckets)
+        # Same O(touched) task-width rule as the COW path. The engine
+        # piggybacks the touched-bucket list on its lineage aggregate and
+        # passes it in; a direct caller without it gets a width clamped to
+        # the session's core count — at 2^16 buckets an epoch write must
+        # never schedule 65536 tasks (partitionBy keeps files split per
+        # bucket either way), and computing distinct buckets here would
+        # cost the extra job this O(batch) path exists to avoid.
+        if touched_buckets is not None:
+            width = min(snap.n_buckets, max(1, len(touched_buckets)))
+        else:
+            width = min(snap.n_buckets,
+                        changes.sparkSession.sparkContext.defaultParallelism)
+        delta_files = self._write_bucket_files(src, new_version, width)
 
         new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
         written = 0
@@ -1009,23 +1031,9 @@ class LakeTable:
         )
         new_version = snap.version + 1
         written = self._write_bucket_files(df, new_version, len(fat))
-        new_buckets = dict(snap.buckets)
-        for b in fat:
-            fs = written.get(str(b), [])
-            if fs:
-                new_buckets[str(b)] = fs
-            else:
-                new_buckets.pop(str(b), None)  # bucket resolved to empty
-        new_snap = self._child_snapshot(
-            snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
-        )
-        new_snap.buckets = new_buckets
-        for b in fat:  # deltas folded into the new base files
-            new_snap.deltas.pop(str(b), None)
-        self._carry_stats(new_snap, snap, self._file_stats(written),
-                          self._file_blooms(written, new_snap))
-        self._write_snapshot(new_snap)
-        return {"compacted_buckets": len(fat), "version": new_snap.version}
+        applied, skipped, version = self._commit_rewrite(snap, fat, written, batch_id)
+        return {"compacted_buckets": len(applied), "version": version,
+                "skipped_buckets": len(skipped)}
 
     def rollback(self, version: int) -> dict[str, int]:
         """Atomic revert to a retained ``version`` (Iceberg
@@ -1217,27 +1225,102 @@ class LakeTable:
         )
         new_version = snap.version + 1
         written = self._write_bucket_files(out, new_version, None)
-        new_buckets = dict(snap.buckets)
-        for b in target:
-            fs = written.get(str(b), [])
-            if fs:
-                new_buckets[str(b)] = fs
-            else:
-                new_buckets.pop(str(b), None)
-        new_snap = self._child_snapshot(
-            snap, snap.batch_id if batch_id is None else batch_id, schema, None
-        )
-        new_snap.buckets = new_buckets
-        for b in target:  # deltas folded into the clustered base files
-            new_snap.deltas.pop(str(b), None)
-        self._carry_stats(new_snap, snap, self._file_stats(written),
-                          self._file_blooms(written, new_snap))
-        self._write_snapshot(new_snap)
+        applied, skipped, version = self._commit_rewrite(snap, target, written, batch_id)
         return {
-            "clustered_buckets": len(target),
-            "files": sum(len(f) for f in written.values()),
-            "version": new_snap.version,
+            "clustered_buckets": len(applied),
+            "files": sum(len(written.get(str(b), [])) for b in applied),
+            "version": version,
+            "skipped_buckets": len(skipped),
         }
+
+    def _commit_rewrite(
+        self,
+        parent: Snapshot,
+        rewritten: list[int],
+        written: dict[str, list[str]],
+        batch_id: int | None,
+        max_retries: int = 5,
+    ) -> tuple[list[int], list[int], int]:
+        """Publish a maintenance rewrite (compact / cluster) built at
+        ``parent``, REBASING across concurrent ingest commits instead of
+        failing — the Iceberg ``RewriteDataFiles`` commit-retry analog,
+        and what lets a compaction/z-order service run beside a live
+        CDC writer without ever stopping the stream.
+
+        Why the rebase is sound: the rewrite folded each bucket's base
+        files plus the delta list *as of parent* into new base files.
+        Delta resolution is an order-insensitive LWW max_by on
+        (ordinal, offset), so for a bucket whose base is unchanged and
+        whose live delta list still has parent's list as a PREFIX
+        (merge_mor only ever appends), fold-prefix-then-apply-suffix is
+        state-identical to applying every delta — the new base simply
+        carries the suffix forward. Buckets that fail that check (a COW
+        merge or another maintenance op replaced their base, a rollback
+        rewrote their delta list) are SKIPPED — the live state wins and
+        our orphaned rewrite files wait for vacuum — mirroring Iceberg's
+        per-file-group conflict handling. Structural divergence
+        (rebucket changed the layout, key columns changed) cannot be
+        rebased and re-raises :class:`CommitConflict`.
+
+        Ingest commits themselves never rebase: a MERGE's content
+        depends on the state it read, so its conflicts stay loud
+        (``_write_snapshot``). Maintenance is the one writer class whose
+        output is provably position-independent.
+
+        Returns (applied_buckets, skipped_buckets, committed_version).
+        """
+        base = parent
+        for attempt in range(max_retries + 1):
+            applied: list[int] = []
+            skipped: list[int] = []
+            new_snap = self._child_snapshot(
+                base, base.batch_id if batch_id is None else batch_id,
+                base.schema(), None,
+            )
+            for b in rewritten:
+                key = str(b)
+                if base is parent:
+                    suffix: list[str] = []
+                else:
+                    if (base.n_buckets != parent.n_buckets
+                            or base.key_cols != parent.key_cols):
+                        raise CommitConflict(
+                            parent.version,
+                            f"v{base.version} changed the table layout "
+                            "(rebucket/key change) during the rewrite",
+                        )
+                    if base.buckets.get(key) != parent.buckets.get(key):
+                        skipped.append(b)
+                        continue
+                    pd = parent.deltas.get(key) or []
+                    ld = base.deltas.get(key) or []
+                    if ld[: len(pd)] != pd:
+                        skipped.append(b)
+                        continue
+                    suffix = ld[len(pd):]
+                fs = written.get(key, [])
+                if fs:
+                    new_snap.buckets[key] = fs
+                else:
+                    new_snap.buckets.pop(key, None)  # resolved to empty
+                if suffix:
+                    new_snap.deltas[key] = suffix
+                else:
+                    new_snap.deltas.pop(key, None)
+                applied.append(b)
+            if not applied and base is not parent:
+                # everything was superseded — nothing to publish
+                return [], skipped, base.version
+            self._carry_stats(new_snap, base, self._file_stats(written),
+                              self._file_blooms(written, new_snap))
+            try:
+                self._write_snapshot(new_snap)
+                return applied, skipped, new_snap.version
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+                base = self.snapshot()
+        raise AssertionError("unreachable")
 
     def _write_bucket_files(
         self, df: DataFrame, new_version: int, repartition_n: int | None
@@ -1246,12 +1329,26 @@ class LakeTable:
         (COW merge, MOR delta append, overwrite, compact, rebucket):
         write ``df`` (carrying ``__bucket``) partitioned by bucket under
         the new version's data dir and return the bucket → relative-file
-        map of what landed (non-empty buckets only). With
-        ``repartition_n`` set, one shuffle partition per bucket value:
-        write parallelism scales with the bucket count and each task
-        writes whole buckets — ~1 file per bucket, no small-file
-        explosion."""
-        out_dir_rel = os.path.join(_DATA, f"v{new_version:010d}")
+        map of what landed (non-empty buckets only). ``repartition_n``
+        is the shuffle/task width; callers size it O(buckets actually
+        being written) — epoch writes pass the touched-bucket count, not
+        the table's bucket count, so a 3-bucket epoch on a 2^16-bucket
+        table schedules 3 tasks, not 65536. ``partitionBy`` splits each
+        task's rows per bucket value, so the ~1-file-per-bucket layout
+        is independent of the width (several buckets hashing into one
+        shuffle partition still land in separate files)."""
+        # Writer-unique directory (Iceberg's UUID file-name discipline):
+        # two CONCURRENT writers both building version N+1 must never
+        # write into the same path — with a shared dir, the loser of the
+        # CAS race would have its files clobbered by the winner's
+        # mode("overwrite") before a rebase could publish them. The
+        # version prefix stays for debuggability; the suffix makes the
+        # path writer-private. Vacuum globs data/**/*.parquet, so
+        # suffixed dirs GC like any other.
+        import uuid as _uuid
+
+        out_dir_rel = os.path.join(
+            _DATA, f"v{new_version:010d}-{_uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, out_dir_rel)
         out = df if repartition_n is None else df.repartition(repartition_n, "__bucket")
         out.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)

@@ -881,3 +881,173 @@ def test_inline_snapshot_backward_compat(spark, tmp_path):
     # and a sharded commit on top of the inline one still works
     t.merge(_changes(spark, [("r", "c", "v3", "I")]), 1)
     assert t.read().count() == 3
+
+
+def test_epoch_write_width_is_o_touched_not_o_table(spark, tmp_path, monkeypatch):
+    """A steady-state epoch touching k of N buckets must schedule O(k)
+    write tasks, not O(N): at 2^16 buckets an every-epoch N-task stage
+    is pure task-launch overhead (measured: single-key epochs on a
+    4096-bucket table spent their whole wall time on 4096 empty tasks).
+    Pins the shuffle width passed to _write_bucket_files for both write
+    modes, and that the per-bucket file layout is unchanged by the
+    narrower width."""
+    ord_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "wide"), ord_schema, ["repo", "path"], n_buckets=4096
+    )
+    widths: list[int | None] = []
+    orig = LakeTable._write_bucket_files
+
+    def spy(self, df, new_version, repartition_n):
+        widths.append(repartition_n)
+        return orig(self, df, new_version, repartition_n)
+
+    monkeypatch.setattr(LakeTable, "_write_bucket_files", spy)
+
+    t.merge(_ord_changes(spark, [("r", "a", 1, "U", 1), ("r", "b", 1, "U", 1)]), 0)
+    assert widths[-1] <= 2  # COW: width = touched buckets (<= 2 keys)
+
+    # MOR with the engine-piggybacked touched list
+    t.merge_mor(_ord_changes(spark, [("r", "a", 2, "U", 2)]), 1, touched_buckets=[3])
+    assert widths[-1] == 1
+
+    # MOR without a touched list: clamped to core count, never table width
+    t.merge_mor(_ord_changes(spark, [("r", "b", 2, "U", 3)]), 2)
+    assert widths[-1] <= spark.sparkContext.defaultParallelism < 4096
+
+    # layout + correctness unaffected: one file per touched bucket, LWW state right
+    snap = t.snapshot()
+    assert all(len(fs) == 1 for fs in snap.buckets.values())
+    rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert rows == {("r", "a"): 2, ("r", "b"): 2}
+
+
+def _ord_table(spark, path, n_buckets=4):
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    return LakeTable.create(spark, path, schema, ["repo", "path"], n_buckets=n_buckets)
+
+
+def _inject_before_commit(t_maint, concurrent):
+    """Make `concurrent()` land a real commit right before t_maint's next
+    store-level commit attempt (the classic CAS-race interleaving)."""
+    store = t_maint._store
+    orig = store.commit
+    fired = {"done": False}
+
+    def racing(version, payload, expected_parent=None, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            concurrent()
+        return orig(version, payload, expected_parent=expected_parent, **kw)
+
+    store.commit = racing
+    return lambda: setattr(store, "commit", orig)
+
+
+def test_compact_rebases_across_concurrent_mor_append(spark, tmp_path):
+    """Iceberg RewriteDataFiles-style commit retry: a compaction built at
+    version V loses the CAS race to a concurrent MOR ingest epoch, then
+    REBASES — its folded base files are published with the concurrently
+    appended delta suffix carried forward — instead of failing. Sound
+    because LWW delta resolution is order-insensitive (fold prefix +
+    apply suffix == apply all). Final state must equal the serial
+    execution, with the concurrent (newer-ordinal) update winning."""
+    t = _ord_table(spark, str(tmp_path / "rebase1"), n_buckets=1)
+    t.merge(_ord_changes(spark, [("r", "a", 1, "U", 1), ("r", "b", 1, "U", 1)]), 0)
+    t.merge_mor(_ord_changes(spark, [("r", "a", 2, "U", 2)]), 1)
+    t2 = LakeTable.load(spark, t.path)
+
+    restore = _inject_before_commit(
+        t, lambda: t2.merge_mor(_ord_changes(spark, [("r", "b", 9, "U", 3)]), 2)
+    )
+    try:
+        res = t.compact()
+    finally:
+        restore()
+    assert res["compacted_buckets"] == 1 and res["skipped_buckets"] == 0
+    snap = t.snapshot()
+    assert snap.version == res["version"]
+    # the concurrent epoch's delta survived as the bucket's suffix
+    assert sum(len(fs) for fs in snap.deltas.values()) == 1
+    assert snap.batch_id == 2  # rebased child carries the LATEST ingest fence
+    rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert rows == {("r", "a"): 2, ("r", "b"): 9}
+    # a follow-up compact folds the suffix too
+    t.compact()
+    assert not any(t.snapshot().deltas.values())
+    rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert rows == {("r", "a"): 2, ("r", "b"): 9}
+
+
+def test_compact_skips_bucket_replaced_by_concurrent_cow(spark, tmp_path):
+    """A bucket whose BASE a concurrent COW merge replaced cannot be
+    rebased (the rewrite folded a stale base): it is skipped — the live
+    state wins, the orphaned rewrite files wait for vacuum — while
+    unconflicted buckets still publish. Mirrors Iceberg's per-file-group
+    conflict handling."""
+    t = _ord_table(spark, str(tmp_path / "rebase2"), n_buckets=4)
+    # find two keys landing in different buckets
+    from rook_spark.lake.table import bucket_expr
+
+    probe = spark.createDataFrame(
+        [("r", f"p{i}") for i in range(16)], "repo string, path string"
+    ).withColumn("b", bucket_expr(["repo", "path"], 4)).collect()
+    by_bucket: dict[int, str] = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["path"])
+        if len(by_bucket) >= 2:
+            break
+    (b1, k1), (b2, k2) = list(by_bucket.items())[:2]
+
+    t.merge(_ord_changes(spark, [("r", k1, 1, "U", 1), ("r", k2, 1, "U", 1)]), 0)
+    t.merge_mor(_ord_changes(spark, [("r", k1, 2, "U", 2), ("r", k2, 2, "U", 2)]), 1)
+    t2 = LakeTable.load(spark, t.path)
+
+    # concurrent COW rewrites bucket b2's base (merge folds its deltas too)
+    restore = _inject_before_commit(
+        t, lambda: t2.merge(_ord_changes(spark, [("r", k2, 50, "U", 3)]), 2)
+    )
+    try:
+        res = t.compact()
+    finally:
+        restore()
+    assert res["skipped_buckets"] == 1 and res["compacted_buckets"] == 1
+    rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert rows == {("r", k1): 2, ("r", k2): 50}
+    # skipped bucket kept the live (post-COW) state: no stale deltas for it
+    assert str(b2) not in t.snapshot().deltas or not t.snapshot().deltas[str(b2)]
+
+
+def test_rewrite_conflict_with_rebucket_stays_loud(spark, tmp_path):
+    """Structural divergence cannot be rebased: a concurrent rebucket
+    changes the layout under the rewrite, so the maintenance commit must
+    re-raise CommitConflict, not guess."""
+    from rook_spark.lake.metastore import CommitConflict
+
+    t = _ord_table(spark, str(tmp_path / "rebase3"), n_buckets=2)
+    t.merge(_ord_changes(spark, [("r", "a", 1, "U", 1)]), 0)
+    t.merge_mor(_ord_changes(spark, [("r", "a", 2, "U", 2)]), 1)
+    t2 = LakeTable.load(spark, t.path)
+
+    restore = _inject_before_commit(t, lambda: t2.rebucket(8))
+    try:
+        with pytest.raises(CommitConflict):
+            t.compact()
+    finally:
+        restore()
+    # table is untouched by the failed rewrite: rebucketed state intact
+    assert t.snapshot().n_buckets == 8
+    rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
+    assert rows == {("r", "a"): 2}
