@@ -121,6 +121,15 @@ class MetadataStore(ABC):
     def delete_blob(self, key: str) -> None:
         """Drop an unreferenced blob (vacuum path)."""
 
+    def blob_mtime(self, key: str) -> float:
+        """Epoch seconds the blob was stored (vacuum's ``min_age_s``
+        in-flight-commit grace reads this — an unreferenced blob younger
+        than the grace is spared because it may belong to a commit that
+        has not CAS'd yet). Default 0.0 = age unknown = always
+        GC-eligible, preserving pre-grace behavior for stores that do
+        not override it."""
+        return 0.0
+
 
 class PosixMetadataStore(MetadataStore):
     """The sandbox default: a directory of immutable ``v{N}.json`` files
@@ -272,6 +281,12 @@ class PosixMetadataStore(MetadataStore):
         except FileNotFoundError:
             pass
 
+    def blob_mtime(self, key: str) -> float:
+        try:
+            return os.path.getmtime(self._blob_path(key))
+        except OSError:
+            return 0.0
+
 
 class InMemoryMetadataStore(MetadataStore):
     """Process-local store proving the seam (and handy for unit tests):
@@ -285,6 +300,7 @@ class InMemoryMetadataStore(MetadataStore):
 
         self._snaps: dict[int, str] = {}
         self._blobs: dict[str, str] = {}
+        self._blob_times: dict[str, float] = {}
         self._pointer = -1
         self._lock = threading.Lock()
 
@@ -313,8 +329,12 @@ class InMemoryMetadataStore(MetadataStore):
         self._snaps.pop(version, None)
 
     def put_blob(self, key: str, payload: str) -> None:
+        import time
+
         with self._lock:
-            self._blobs.setdefault(key, payload)
+            if key not in self._blobs:
+                self._blobs[key] = payload
+                self._blob_times[key] = time.time()
 
     def read_blob(self, key: str) -> str:
         if key not in self._blobs:
@@ -326,3 +346,7 @@ class InMemoryMetadataStore(MetadataStore):
 
     def delete_blob(self, key: str) -> None:
         self._blobs.pop(key, None)
+        self._blob_times.pop(key, None)
+
+    def blob_mtime(self, key: str) -> float:
+        return self._blob_times.get(key, 0.0)

@@ -950,16 +950,33 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+    def vacuum(self, keep_last: int = 2, min_age_s: float = 0.0) -> dict[str, int]:
         """Delete data files unreferenced by the last ``keep_last``
         snapshots (and drop older snapshot metadata). COW writes one new
         file set per touched bucket per epoch, so without vacuum a
         long-running stream accumulates every historical version. Safe
         with concurrent readers of retained versions only — same
         contract as Iceberg's expire_snapshots.
-        """
+
+        ``min_age_s`` — GRACE FOR IN-FLIGHT COMMITS (Iceberg
+        ``remove_orphan_files older_than`` analog): an unreferenced file
+        or manifest blob younger than this many seconds is KEPT. A
+        concurrent writer lands its data files and manifest blobs
+        BEFORE its snapshot commit references them, so to vacuum's
+        liveness sweep an in-flight commit is indistinguishable from
+        garbage — deleting it would publish a snapshot with dangling
+        refs the moment the writer's CAS succeeds. When vacuum runs
+        beside live writers (the deployment ``_commit_rewrite``'s
+        rebase-on-conflict exists for), set ``min_age_s`` above the
+        longest plausible write-files→commit window (Iceberg defaults
+        to 3 DAYS); the default 0 keeps the historical
+        exclusive-maintenance behavior and reclaims everything
+        immediately. Blob ages come from the store's ``blob_mtime``
+        seam (0.0 = unknown age = eligible, preserving old-store
+        behavior)."""
         import glob
 
+        now = time.time()
         current = self.current_version()
         keep_versions = list(range(max(0, current - keep_last + 1), current + 1))
         referenced: set[str] = set()
@@ -977,6 +994,12 @@ class LakeTable:
         for f in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(f, self.path)
             if rel not in referenced:
+                if min_age_s > 0:
+                    try:
+                        if now - os.path.getmtime(f) < min_age_s:
+                            continue  # possibly an in-flight commit's file
+                    except OSError:
+                        continue
                 os.remove(f)
                 removed_files += 1
         # prune now-empty version dirs and expired snapshot json
@@ -1005,6 +1028,8 @@ class LakeTable:
         removed_blobs = 0
         for key in self._store.blob_keys():
             if key not in live_blobs:
+                if min_age_s > 0 and now - self._store.blob_mtime(key) < min_age_s:
+                    continue  # possibly an in-flight commit's manifest
                 self._store.delete_blob(key)
                 self._manifest_cache.pop(key, None)
                 removed_blobs += 1

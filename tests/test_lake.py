@@ -860,6 +860,68 @@ def test_manifest_vacuum_gc_and_time_travel(spark, tmp_path):
         t.snapshot(cur - 2)
 
 
+def test_vacuum_min_age_spares_in_flight_commit(spark, tmp_path):
+    """The GC-vs-in-flight-commit race (Iceberg remove_orphan_files
+    older_than analog): a concurrent writer lands data files and
+    manifest blobs BEFORE its snapshot commit references them, so
+    vacuum's liveness sweep sees them as garbage. With ``min_age_s``
+    set, young unreferenced files and blobs are spared — the
+    in-flight commit can still CAS and publish without dangling refs —
+    while old garbage is still reclaimed (and the default 0 keeps
+    reclaiming everything, exclusive-maintenance behavior)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ga"), SCHEMA, ["repo", "path"], n_buckets=4
+    )
+    for i in range(4):
+        t.merge(_changes(spark, [("r", f"p{i}", f"v{i}", "I")]), i)
+
+    # simulate a concurrent writer mid-commit: data file + manifest blob
+    # written, snapshot NOT yet committed (exactly _write_bucket_files /
+    # put_blob before the CAS)
+    pend_dir = os.path.join(t.path, "data", "v0000000099-deadbeef", "__bucket=0")
+    os.makedirs(pend_dir)
+    pend_file = os.path.join(pend_dir, "part-inflight.parquet")
+    with open(pend_file, "wb") as f:
+        f.write(b"PAR1")
+    t._store.put_blob("feedfacefeedfacefeedface", '{"0": {}}')
+
+    res = t.vacuum(keep_last=2, min_age_s=3600)
+    # old unreferenced versions still reclaimed...
+    assert res["removed_snapshots"] > 0
+    # ...but the in-flight writer's artifacts survive the sweep
+    assert os.path.exists(pend_file)
+    assert "feedfacefeedfacefeedface" in t._store.blob_keys()
+    assert t.read().count() == 4
+
+    # age the pending artifacts past the grace: now they are garbage
+    old = __import__("time").time() - 7200
+    os.utime(pend_file, (old, old))
+    os.utime(t._store._blob_path("feedfacefeedfacefeedface"), (old, old))
+    t.vacuum(keep_last=2, min_age_s=3600)
+    assert not os.path.exists(pend_file)
+    assert "feedfacefeedfacefeedface" not in t._store.blob_keys()
+
+
+def test_vacuum_min_age_in_memory_store(spark, tmp_path):
+    """blob_mtime seam on the in-memory store: a just-put blob reports
+    a fresh mtime and survives a graced vacuum; the ABC default (0.0 =
+    unknown age) would make it GC-eligible, so the override matters."""
+    from rook_spark.lake.metastore import InMemoryMetadataStore
+
+    store = InMemoryMetadataStore()
+    t = LakeTable.create(
+        spark, str(tmp_path / "gm"), SCHEMA, ["repo", "path"],
+        n_buckets=4, store=store,
+    )
+    t.merge(_changes(spark, [("r", "a", "v1", "I")]), 0)
+    store.put_blob("cafecafecafecafecafecafe", "{}")
+    assert store.blob_mtime("cafecafecafecafecafecafe") > 0
+    t.vacuum(keep_last=1, min_age_s=3600)
+    assert "cafecafecafecafecafecafe" in store.blob_keys()
+    t.vacuum(keep_last=1)  # default: reclaim immediately
+    assert "cafecafecafecafecafecafe" not in store.blob_keys()
+
+
 def test_inline_snapshot_backward_compat(spark, tmp_path):
     """Pre-sharding snapshots inlined the full bucket map in the
     version payload; those tables must keep loading (manifest_refs
