@@ -184,6 +184,12 @@ class Snapshot:
     # relative file path -> {column: base64 bloom bits} for base files.
     # Drives read(points=...) file skipping; see LakeTable.read.
     blooms: dict[str, dict[str, str]] = field(default_factory=dict)
+    # named refs: tag name -> version (Iceberg create_tag analog).
+    # Tags are REFS riding the snapshot chain, not state — every commit
+    # carries them forward verbatim, tag()/drop_tag() are metadata-only
+    # commits, and vacuum retains tagged versions (and their files)
+    # past the keep_last window. See LakeTable.tag.
+    tags: dict[str, int] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -205,6 +211,7 @@ class Snapshot:
                 "stats": self.stats,
                 "bloom_cols": self.bloom_cols,
                 "blooms": self.blooms,
+                "tags": self.tags,
             }
         )
 
@@ -371,8 +378,13 @@ class LakeTable:
         spark: SparkSession | None = None,
         ranges: dict[str, tuple] | None = None,
         points: dict[str, Any] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
+
+        ``tag``: read the version a named tag points at (``VERSION AS OF
+        'tag'`` by name; see :meth:`tag`). Mutually exclusive with
+        ``version``.
 
         File-level pruning: when ``buckets`` is given only those buckets'
         files are even listed — stronger than predicate pushdown, and the
@@ -416,6 +428,10 @@ class LakeTable:
         listener manager.
         """
         spark = spark or self.spark
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         snap = self.snapshot(version)
         schema = snap.schema()
         keys = {str(b) for b in buckets} if buckets is not None else None
@@ -978,7 +994,16 @@ class LakeTable:
 
         now = time.time()
         current = self.current_version()
-        keep_versions = list(range(max(0, current - keep_last + 1), current + 1))
+        window_start = max(0, current - keep_last + 1)
+        # tagged versions are retained OUTSIDE the window (the whole
+        # point of a tag: pin an audit/repro snapshot while untagged
+        # history is reclaimed aggressively); their files and metadata
+        # both survive, and the blob-GC below follows automatically
+        # because liveness is computed over whatever versions remain
+        tagged = set(self.snapshot().tags.values())
+        keep_versions = sorted(
+            set(range(window_start, current + 1)) | {v for v in tagged if v <= current}
+        )
         referenced: set[str] = set()
         for v in keep_versions:
             try:
@@ -1011,7 +1036,7 @@ class LakeTable:
                 os.rmdir(d)
         removed_snaps = 0
         for v in self._store.versions():
-            if v < keep_versions[0]:
+            if v < window_start and v not in tagged:
                 self._store.delete(v)
                 removed_snaps += 1
         # manifest-blob GC: a blob is live iff some RETAINED snapshot's
@@ -1111,9 +1136,67 @@ class LakeTable:
             stats={f: dict(mm) for f, mm in target.stats.items()},
             bloom_cols=list(target.bloom_cols),
             blooms={f: dict(bb) for f, bb in target.blooms.items()},
+            # tags are refs, not state: they survive the revert (Iceberg
+            # tags are independent of the main branch's rollback)
+            tags=dict(cur.tags),
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
+
+    # ----------------------------------------------------------------- tags
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> dict:
+        """Name a version (Iceberg ``create_tag`` analog): ``read(tag=
+        name)`` resolves it, and ``vacuum`` RETAINS the tagged version's
+        metadata and data files past the ``keep_last`` window — tags are
+        the retention policy for audit/repro snapshots ("the corpus the
+        model trained on") on a table whose untagged history is GC'd
+        aggressively. Metadata-only commit (~ms, zero data movement);
+        the ref map rides every subsequent snapshot, so tagging is
+        atomic with the same CAS as any commit. Refuses to overwrite an
+        existing tag unless ``replace`` (Iceberg's replace_tag), and
+        refuses to tag a version whose files were already vacuumed."""
+        cur = self.snapshot()
+        v = cur.version if version is None else version
+        if not replace and name in cur.tags:
+            raise ValueError(
+                f"tag {name!r} already points at v{cur.tags[name]}; "
+                "pass replace=True to move it"
+            )
+        target = self.snapshot(v)  # FileNotFoundError if expired
+        missing = [
+            f
+            for fs in list(target.buckets.values()) + list(target.deltas.values())
+            for f in fs
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot tag version {v}: {len(missing)} of its data files "
+                f"were vacuumed (first: {missing[0]})"
+            )
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new.tags[name] = v
+        self._write_snapshot(new)
+        return {"tag": name, "tagged_version": v, "version": new.version}
+
+    def drop_tag(self, name: str) -> dict:
+        """Remove a tag (metadata-only commit). The formerly tagged
+        version becomes an ordinary historical version: reclaimed by the
+        next vacuum once it leaves the ``keep_last`` window."""
+        cur = self.snapshot()
+        if name not in cur.tags:
+            raise ValueError(f"no tag {name!r} (have: {sorted(cur.tags)})")
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        del new.tags[name]
+        self._write_snapshot(new)
+        return {"dropped": name, "version": new.version}
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.snapshot().tags
+        if name not in tags:
+            raise ValueError(f"no tag {name!r} (have: {sorted(tags)})")
+        return tags[name]
 
     def rebucket(self, n_buckets: int, batch_id: int | None = None) -> dict[str, int]:
         """Change the table's bucket count (Iceberg partition-spec
@@ -1512,4 +1595,5 @@ class LakeTable:
             stats={f: dict(mm) for f, mm in parent.stats.items()},
             bloom_cols=list(parent.bloom_cols),
             blooms={f: dict(bb) for f, bb in parent.blooms.items()},
+            tags=dict(parent.tags),
         )

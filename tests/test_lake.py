@@ -922,6 +922,58 @@ def test_vacuum_min_age_in_memory_store(spark, tmp_path):
     assert "cafecafecafecafecafecafe" not in store.blob_keys()
 
 
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    """Iceberg create_tag analog: a tag names a version, read(tag=...)
+    resolves it, and vacuum retains the tagged version's metadata AND
+    data files past the keep_last window — the retention policy for
+    audit/repro snapshots on a table whose untagged history is GC'd.
+    Dropping the tag releases it to the next vacuum."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tg"), SCHEMA, ["repo", "path"], n_buckets=4
+    )
+    t.merge(_changes(spark, [("r", "a", "v1", "I")]), 0)
+    pinned = t.current_version()
+    t.tag("train-corpus", pinned)
+    for i in range(1, 5):
+        t.merge(_changes(spark, [("r", "a", f"v{i + 1}", "U")]), i)
+
+    t.vacuum(keep_last=2)
+    # untagged old versions are gone; the tagged one still reads
+    assert t.read(tag="train-corpus").first()["content"] == "v1"
+    assert t.resolve_tag("train-corpus") == pinned
+    with pytest.raises(FileNotFoundError):
+        t.read(version=pinned + 1).collect()
+    assert t.read().first()["content"] == "v5"
+
+    # tags survive rollback (refs, not state)
+    t.rollback(t.current_version() - 1)
+    assert t.resolve_tag("train-corpus") == pinned
+
+    # duplicate tag refuses without replace; replace moves it
+    with pytest.raises(ValueError):
+        t.tag("train-corpus")
+    t.tag("train-corpus", replace=True)
+    assert t.resolve_tag("train-corpus") == t.current_version() - 1
+
+    # the formerly pinned version is now ordinary history: vacuumed away,
+    # and tagging an expired version refuses loudly
+    t.merge(_changes(spark, [("r", "b", "x", "I")]), 99)
+    t.merge(_changes(spark, [("r", "c", "x", "I")]), 100)
+    t.vacuum(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.tag("too-late", pinned)
+
+    t.drop_tag("train-corpus")
+    with pytest.raises(ValueError):
+        t.resolve_tag("train-corpus")
+    with pytest.raises(ValueError):
+        t.read(tag="train-corpus")
+    with pytest.raises(ValueError):
+        t.drop_tag("train-corpus")
+    with pytest.raises(ValueError):
+        t.read(version=3, tag="x")  # mutually exclusive
+
+
 def test_inline_snapshot_backward_compat(spark, tmp_path):
     """Pre-sharding snapshots inlined the full bucket map in the
     version payload; those tables must keep loading (manifest_refs

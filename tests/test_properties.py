@@ -161,6 +161,8 @@ _OP = st.one_of(
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("vacuum"), st.sampled_from([1, 2, 3])),
     st.tuples(st.just("cluster"), st.sampled_from([1, 2, 4])),
+    st.tuples(st.just("tag"), st.floats(0, 1)),
+    st.tuples(st.just("drop_tag"), st.floats(0, 1)),
 )
 
 
@@ -168,7 +170,7 @@ _OP = st.one_of(
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
 def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
-    / cluster (z-order rewrite)
+    / cluster (z-order rewrite) / tag / drop_tag
     matches a dict model, at the final version AND at every retained
     version (time travel) — the maintenance operations are
     state-identities, rollback is exact, and vacuum only ever removes
@@ -192,6 +194,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     model: dict[str, str] = {}
     history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
     vacuumed: set[int] = set()
+    tags_model: dict[str, int] = {}
 
     for i, (kind, arg) in enumerate(ops):
         if kind == "merge":
@@ -234,14 +237,36 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
         elif kind == "vacuum":
             table.vacuum(keep_last=arg)
             cutoff = table.current_version() - arg + 1
-            for v in [v for v in history if v < cutoff]:
+            # tagged versions survive the window (tags ARE the
+            # retention policy for pinned snapshots)
+            pinned = set(tags_model.values())
+            for v in [v for v in history if v < cutoff and v not in pinned]:
                 vacuumed.add(v)
                 del history[v]
+        elif kind == "tag":
+            # tag a retained version (tagging itself is a commit, so
+            # the chain advances; state must be unchanged)
+            versions = sorted(history)
+            target = versions[int(arg * (len(versions) - 1))]
+            table.tag(f"t{i}", target)
+            tags_model[f"t{i}"] = target
+        elif kind == "drop_tag":
+            if tags_model:
+                names = sorted(tags_model)
+                name = names[int(arg * (len(names) - 1))]
+                table.drop_tag(name)
+                del tags_model[name]
         history[table.current_version()] = dict(model)
 
     got = {r["path"]: r["content"] for r in table.read().collect()}
     assert got == model
-    # time travel: every retained version matches its model snapshot
+    assert table.snapshot().tags == tags_model
+    # time travel: every retained version matches its model snapshot —
+    # including versions retained ONLY because a tag pins them
     for v, m in history.items():
         tv = {r["path"]: r["content"] for r in table.read(version=v).collect()}
         assert tv == m, f"version {v}"
+    # tag reads resolve through the ref to the same state
+    for name, v in tags_model.items():
+        tv = {r["path"]: r["content"] for r in table.read(tag=name).collect()}
+        assert tv == history[v], f"tag {name} -> v{v}"
