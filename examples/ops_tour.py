@@ -9,7 +9,9 @@ is running, in one runnable script.
 4. outgrow the bucket layout → **rebucket** (partition-spec evolution:
    one atomic rewrite; subsequent MERGEs route by the new count),
 5. bound read amplification → **compact** (fold MOR deltas),
-6. reclaim storage → **vacuum** (expire old versions),
+6. reclaim storage → **vacuum** (expire old versions; ``min_age_s``
+   grace for in-flight commits when running beside live writers) with
+   a named **tag** pinning an audit snapshot through the GC,
 7. swap the catalog → the same table logic running on an
    ``InMemoryMetadataStore`` (the catalog seam a JDBC/REST
    catalog would implement), and what happens when a SECOND writer
@@ -98,10 +100,19 @@ def main() -> None:
         print(f"post-rebucket epoch applied {stats.rows_applied} rows "
               f"across {stats.touched_buckets} of 16 buckets")
 
-        # --- 5 + 6. compaction + retention
+        # --- 5 + 6. compaction + retention. A named tag pins the
+        # pre-maintenance snapshot through ANY vacuum (audit/repro:
+        # "the corpus the model trained on"); min_age_s is the grace
+        # that lets vacuum run beside live writers without GC-ing an
+        # in-flight commit's files (Iceberg remove_orphan_files
+        # older_than analog).
+        tagged_v = table.current_version()
+        print(f"tag     -> {table.tag('pre-maint')}")
         print(f"compact -> {table.compact()}")
-        print(f"vacuum  -> {table.vacuum(keep_last=2)}")
-        print("history after maintenance (expired versions gone):")
+        print(f"vacuum  -> {table.vacuum(keep_last=2, min_age_s=0)}")
+        assert table.read(tag="pre-maint").count() > 0
+        print(f"tagged v{tagged_v} still reads through the tag after vacuum")
+        print("history after maintenance (expired untagged versions gone):")
         table.history().orderBy("version").show(truncate=False)
 
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
