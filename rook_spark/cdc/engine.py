@@ -64,6 +64,9 @@ class CdcEngine:
         n_source_partitions: int | None = None,
         cluster_zorder: list[str] | tuple[str, ...] | None = None,
         bloom_cols: list[str] | tuple[str, ...] | None = None,
+        vacuum_every: int | None = None,
+        vacuum_keep_last: int = 4,
+        vacuum_min_age_s: float = 3600.0,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -96,6 +99,19 @@ class CdcEngine:
         # materialization: per-file equality filters for point lookups
         # (read(points=...)) on non-key columns, e.g. "commit"
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        # retention cadence: every `vacuum_every` epochs the engine
+        # expires snapshots past `vacuum_keep_last` and reclaims
+        # unreferenced files/blobs — a long-running stream otherwise
+        # accumulates every historical version forever (COW: one file
+        # set per touched bucket per epoch). The default grace
+        # (vacuum_min_age_s=3600) is the in-flight-commit protection
+        # for a concurrent maintenance service (see LakeTable.vacuum);
+        # tagged snapshots are retained regardless. None = manual
+        # vacuum() only.
+        self.vacuum_every = vacuum_every
+        self.vacuum_keep_last = vacuum_keep_last
+        self.vacuum_min_age_s = vacuum_min_age_s
+        self._epochs_since_vacuum = 0
         # known static source-partition count (Kafka topic partitions /
         # binlog shard count) unlocks the single-job MOR epoch
         self.n_source_partitions = n_source_partitions
@@ -299,6 +315,14 @@ class CdcEngine:
                     else:
                         t.compact()
                     self._epochs_since_compact = 0
+            if self.vacuum_every:
+                self._epochs_since_vacuum += 1
+                if self._epochs_since_vacuum >= self.vacuum_every:
+                    self.target().vacuum(
+                        keep_last=self.vacuum_keep_last,
+                        min_age_s=self.vacuum_min_age_s,
+                    )
+                    self._epochs_since_vacuum = 0
             if flat_fresh is not None:
                 self._fan_out(flat_fresh, batch_id, phase="after", run_id=run_id)
         finally:

@@ -81,6 +81,35 @@ def test_mor_auto_compaction_cadence(spark, tmp_path):
     assert _canon(engine.target().read()) == _canon(cow.target().read())
 
 
+def test_auto_vacuum_cadence(spark, tmp_path):
+    """Engine-integrated retention: vacuum_every expires history past
+    vacuum_keep_last as the stream runs, so a long-running ingest never
+    accumulates unbounded versions — while the final state stays
+    identical to a no-vacuum replay and a tagged snapshot survives the
+    cadence (min_age_s=0 here so reclamation is immediate)."""
+    log = str(tmp_path / "log")
+    write_events(generate_events(spark, N, seed=31), log, n_files=3)
+    events = spark.read.parquet(log)
+    engine = CdcEngine(
+        spark, str(tmp_path / "av"), write_mode="mor", compact_every=2,
+        vacuum_every=2, vacuum_keep_last=2, vacuum_min_age_s=0,
+    ).ignoring_servers(99)
+    cuts = [(0, 800), (800, 1600), (1600, 2400), (2400, N)]
+    for i, (lo, hi) in enumerate(cuts):
+        engine.replay(events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+        if i == 1:
+            engine.target().tag("mid")
+            tagged_state = _canon(engine.target().read())
+    t = engine.target()
+    retained = t._store.versions()
+    # history is bounded: keep_last window + the tagged pin, not one
+    # version per epoch+compaction+vacuum commit
+    assert len(retained) <= 2 + 1 + 1  # window + tag + tag-commit slack
+    assert _canon(t.read(tag="mid")) == tagged_state
+    cow = _replay(spark, str(tmp_path / "cow"), events, write_mode="cow")
+    assert _canon(t.read()) == _canon(cow.target().read())
+
+
 def test_cow_merge_on_table_with_deltas_folds_them(spark, tmp_path):
     """Mode mixing: a COW merge over buckets that carry deltas resolves
     and clears them (localized compaction)."""
