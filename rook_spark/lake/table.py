@@ -81,6 +81,90 @@ def bucket_expr(key_cols: list[str] | tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+# Iceberg type-promotion lattice (spec "Schema Evolution": int -> long,
+# float -> double, decimal(P,S) -> decimal(P'>P, S)); the byte/short
+# steps are the Spark-side prefix of the same integer chain.
+_INT_CHAIN = ("byte", "short", "integer", "long")
+_FLOAT_CHAIN = ("float", "double")
+
+
+def _promote_type(stored: T.DataType, incoming: T.DataType) -> T.DataType | None:
+    """The widened type two promotion-compatible types resolve to, else
+    ``None``.
+
+    Symmetric on purpose: an upstream that widened a column (MySQL
+    ``ALTER ... BIGINT``) sends wider values than the table stores, and
+    an upstream that was ALWAYS wide keeps sending wide values after the
+    table schema widened — both directions must resolve to the wider
+    type. Anything off the Iceberg promotion lattice (int -> string,
+    scale changes, struct reshapes) returns ``None`` and the caller
+    fails loudly: silently casting would corrupt data.
+    """
+    if stored == incoming:
+        return stored
+    for chain in (_INT_CHAIN, _FLOAT_CHAIN):
+        a, b = stored.typeName(), incoming.typeName()
+        if a in chain and b in chain:
+            return stored if chain.index(a) >= chain.index(b) else incoming
+    if isinstance(stored, T.DecimalType) and isinstance(incoming, T.DecimalType):
+        if stored.scale == incoming.scale:
+            return stored if stored.precision >= incoming.precision else incoming
+    return None
+
+
+def _widen_schema(
+    cur_schema: T.StructType,
+    payload_fields: list[T.StructField],
+    key_cols: list[str],
+) -> T.StructType:
+    """Target schema for a merge: additive columns appended, existing
+    columns promoted along the Iceberg lattice (``_promote_type``).
+
+    Metadata-only, like Iceberg/Delta type widening: existing narrow
+    parquet files are NEVER rewritten — the Spark 4 parquet reader
+    upcasts int32 under a ``long`` read schema (float under double,
+    decimal under higher precision), verified empirically in
+    tests/test_lake.py. KEY columns refuse promotion: the bucket id is
+    ``xxhash64(*key)`` and murmur/xxhash of an int differs from the same
+    value hashed as a long, so a widened key would silently re-bucket
+    every row (reads miss, merges duplicate). The migration path for a
+    key-type change is an explicit ``rebucket`` of a recreated table.
+    """
+    by_name = {f.name: f for f in cur_schema.fields}
+    out = list(cur_schema.fields)
+    appended: list[T.StructField] = []
+    for f in payload_fields:
+        cur = by_name.get(f.name)
+        if cur is None:
+            appended.append(f)
+            continue
+        if cur.dataType == f.dataType:
+            continue
+        wide = _promote_type(cur.dataType, f.dataType)
+        if wide is None:
+            raise ValueError(
+                f"incompatible type change for column {f.name!r}: stored "
+                f"{cur.dataType.simpleString()}, incoming "
+                f"{f.dataType.simpleString()} — only Iceberg promotions "
+                "(int->long, float->double, decimal precision widening) "
+                "are supported"
+            )
+        if f.name in key_cols and wide != cur.dataType:
+            raise ValueError(
+                f"type widening on key column {f.name!r} "
+                f"({cur.dataType.simpleString()} -> {wide.simpleString()}) "
+                "is not supported: bucket ids are xxhash64 of the native "
+                "key type, so widening a key re-buckets every row. "
+                "Recreate the table with the wide key type and backfill."
+            )
+        if wide != cur.dataType:
+            out = [
+                T.StructField(x.name, wide, x.nullable) if x.name == f.name else x
+                for x in out
+            ]
+    return T.StructType(out + appended)
+
+
 _BLOOM_M = 8192  # bits per (file, column) filter — 1 KiB packed
 _BLOOM_K = 6  # hash probes; ~1% FP at ~850 distinct values per file
 
@@ -696,12 +780,20 @@ class LakeTable:
         key_cols = snap.key_cols
         cur_schema = snap.schema()
 
-        # --- additive schema evolution: widen table schema with new payload cols
+        # --- schema evolution: new payload columns append; existing columns
+        # promote along the Iceberg lattice (int->long, float->double,
+        # decimal precision). Metadata-only — old files upcast at read.
         payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
-        new_fields = [f for f in payload_cols if f.name not in cur_schema.fieldNames()]
-        target_schema = T.StructType(list(cur_schema.fields) + new_fields)
+        target_schema = _widen_schema(cur_schema, payload_cols, key_cols)
         target_cols = [f.name for f in target_schema.fields]
 
+        # Cast incoming columns to the target types BEFORE bucket
+        # assignment: xxhash64(int) != xxhash64(long), so a narrow key
+        # arriving at a wide-keyed table must hash as the stored type or
+        # the row lands in (and the merge reads) the wrong bucket.
+        for f in target_schema.fields:
+            if f.name in changes.columns and changes.schema[f.name].dataType != f.dataType:
+                changes = changes.withColumn(f.name, F.col(f.name).cast(f.dataType))
         changes = changes.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
         # cache only when the change set feeds >1 action (guard and/or
         # touched-bucket listing besides the COW write); on the engine
@@ -786,17 +878,24 @@ class LakeTable:
                 if files
                 else spk.createDataFrame([], snap.schema())
             )
-        for f in target_schema.fields:  # widen with nulls
-            if f.name not in current.columns:
-                current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
-        current = current.select(*[f.name for f in target_schema.fields])
+        # Widen current state through the target schema: evolution-added
+        # columns null-fill; type-promoted columns upcast (no-op casts
+        # are elided by Catalyst, so the common unchanged case is free).
+        cur_types = {f.name: f.dataType for f in current.schema.fields}
+        current = current.select(*[
+            (F.col(f.name).cast(f.dataType) if cur_types[f.name] != f.dataType
+             else F.col(f.name)).alias(f.name)
+            if f.name in cur_types
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ])
 
         # --- MERGE as a full-outer join on the key.
         # Both sides are only touched-bucket data; on a real cluster with
         # Iceberg bucket specs this join is storage-partitioned (no shuffle);
         # here Catalyst shuffles just the touched slice.
-        src = changes
-        for f in cur_schema.fields:  # old cols missing from the batch → null
+        src = changes  # already cast to target types by merge()
+        for f in target_schema.fields:  # old cols missing from the batch → null
             if f.name not in src.columns:
                 src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
         src = src.select(*key_cols, op_col,
@@ -910,14 +1009,20 @@ class LakeTable:
                     "version": snap.version, "batch_id": snap.batch_id}
         key_cols = snap.key_cols
         cur_schema = snap.schema()
+        # Same evolution contract as the COW path: additive columns
+        # append, existing columns promote along the Iceberg lattice
+        # (metadata-only; narrow base/delta files upcast at read).
         payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
-        new_fields = [f for f in payload_cols if f.name not in cur_schema.fieldNames()]
-        target_schema = T.StructType(list(cur_schema.fields) + new_fields)
+        target_schema = _widen_schema(cur_schema, payload_cols, key_cols)
 
         src = changes.withColumnRenamed(op_col, "__op")
-        for f in cur_schema.fields:
+        for f in target_schema.fields:
             if f.name not in src.columns:
                 src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+            elif src.schema[f.name].dataType != f.dataType:
+                # cast BEFORE bucket assignment — xxhash64(int) !=
+                # xxhash64(long), so narrow keys must hash as stored
+                src = src.withColumn(f.name, F.col(f.name).cast(f.dataType))
         src = src.select(*[f.name for f in target_schema.fields], "__op")
         src = src.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
 

@@ -1165,3 +1165,142 @@ def test_rewrite_conflict_with_rebucket_stays_loud(spark, tmp_path):
     assert t.snapshot().n_buckets == 8
     rows = {(r["repo"], r["path"]): r["size"] for r in t.read().collect()}
     assert rows == {("r", "a"): 2}
+
+
+# ------------------------------------------------------------ type widening
+# Iceberg promotion lattice (int->long, float->double, decimal precision)
+# as METADATA-ONLY evolution: old narrow parquet files are never rewritten;
+# the Spark 4 parquet reader upcasts them under the widened read schema.
+
+WIDEN_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("x", T.FloatType()),
+    ]
+)
+
+
+def _wchanges(spark, rows, n_type="int", x_type="float"):
+    return spark.createDataFrame(
+        rows, f"k string, n {n_type}, x {x_type}, op string"
+    )
+
+
+def _wtable(spark, path):
+    return LakeTable.create(spark, path, WIDEN_SCHEMA, ["k"], n_buckets=4)
+
+
+def test_type_widening_cow(spark, tmp_path):
+    """A wide batch promotes the snapshot schema int->long /
+    float->double; pre-widening rows (still int32/float parquet) read
+    back correctly through the widened schema, and time travel to the
+    pre-widening version still presents the narrow schema."""
+    t = _wtable(spark, str(tmp_path / "w1"))
+    t.merge(_wchanges(spark, [("a", 1, 1.5, "I"), ("b", 2, 2.5, "I")]), 0)
+    v_narrow = t.current_version()
+
+    big = 2**40  # does not fit in int32 — only correct if truly long
+    t.merge(_wchanges(spark, [("b", big, 2.75, "U"), ("c", 3, 3.5, "I")],
+                      n_type="bigint", x_type="double"), 1)
+
+    sch = {f.name: f.dataType for f in t.snapshot().schema().fields}
+    assert sch["n"] == T.LongType() and sch["x"] == T.DoubleType()
+    state = {r["k"]: (r["n"], r["x"]) for r in t.read().collect()}
+    assert state["a"] == (1, pytest.approx(1.5))  # old narrow file upcast
+    assert state["b"] == (big, pytest.approx(2.75))
+    assert state["c"] == (3, pytest.approx(3.5))
+    # time travel preserves the historical (narrow) schema
+    old = t.read(version=v_narrow)
+    old_sch = {f.name: f.dataType for f in old.schema.fields}
+    assert old_sch["n"] == T.IntegerType() and old_sch["x"] == T.FloatType()
+    assert {r["k"] for r in old.collect()} == {"a", "b"}
+
+
+def test_type_widening_mor_and_compact(spark, tmp_path):
+    """Widening through the MOR path: narrow base files + a wide delta
+    resolve under the widened schema; compaction folds them into wide
+    base files with re-harvested stats. (MOR resolution is LWW over the
+    stored (__ordinal, __offset), so the table carries both.)"""
+    sch0 = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("__ordinal", T.LongType()),
+            T.StructField("__offset", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "w2"), sch0, ["k"], n_buckets=4)
+
+    def _mor(rows, n_type, bid):
+        t.merge_mor(spark.createDataFrame(
+            rows, f"k string, n {n_type}, __ordinal bigint, __offset bigint, op string"
+        ), bid)
+
+    _mor([("a", 1, 0, 0, "I"), ("b", 2, 0, 1, "I")], "int", 0)
+    big = 2**40
+    _mor([("a", big, 1, 2, "U")], "bigint", 1)
+
+    sch = {f.name: f.dataType for f in t.snapshot().schema().fields}
+    assert sch["n"] == T.LongType()
+    state = {r["k"]: r["n"] for r in t.read().collect()}
+    assert state == {"a": big, "b": 2}
+
+    t.compact()
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": big, "b": 2}
+    # stats re-harvested over the folded wide files still carry the max
+    stats = t.snapshot().stats
+    n_maxes = [mm["n"][1] for mm in stats.values() if "n" in mm]
+    assert max(n_maxes) == big
+
+
+def test_type_widening_narrow_arrivals_upcast(spark, tmp_path):
+    """After widening, a NARROW batch (int32 arrivals at a long column)
+    upcasts into the wide schema — and, critically, narrow KEY values
+    hash into the same buckets as their wide-typed equivalents (string
+    key here; numeric payload upcast is what's exercised)."""
+    t = _wtable(spark, str(tmp_path / "w3"))
+    t.merge(_wchanges(spark, [("a", 2**40, 1.5, "I")], n_type="bigint"), 0)
+    t.merge(_wchanges(spark, [("a", 7, 2.5, "U"), ("b", 8, 3.5, "I")]), 1)  # int batch
+    sch = {f.name: f.dataType for f in t.snapshot().schema().fields}
+    assert sch["n"] == T.LongType()  # stays wide; narrow arrivals upcast
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 7, "b": 8}
+
+
+def test_type_widening_rejects_incompatible_and_key_changes(spark, tmp_path):
+    """Off-lattice changes (int -> string) and any key-column promotion
+    fail loudly: silently casting would corrupt data, and bucket ids are
+    xxhash64 of the NATIVE key type, so a widened key would re-bucket
+    every row."""
+    t = _wtable(spark, str(tmp_path / "w4"))
+    t.merge(_wchanges(spark, [("a", 1, 1.5, "I")]), 0)
+    with pytest.raises(ValueError, match="incompatible type change"):
+        t.merge(spark.createDataFrame([("a", "oops", 1.5, "U")],
+                                      "k string, n string, x float, op string"), 1)
+
+    ki = LakeTable.create(
+        spark, str(tmp_path / "w4k"),
+        T.StructType([T.StructField("id", T.IntegerType()),
+                      T.StructField("v", T.StringType())]),
+        ["id"], n_buckets=4,
+    )
+    ki.merge(spark.createDataFrame([(1, "a", "I")], "id int, v string, op string"), 0)
+    with pytest.raises(ValueError, match="key column"):
+        ki.merge(spark.createDataFrame([(2**40, "b", "I")],
+                                       "id bigint, v string, op string"), 1)
+
+
+def test_changelog_across_widening_boundary(spark, tmp_path):
+    """changes() spanning a type-widening commit: the diff presents the
+    WIDE column type and pre-widening old-images upcast into it."""
+    t = _wtable(spark, str(tmp_path / "w5"))
+    t.merge(_wchanges(spark, [("a", 1, 1.5, "I"), ("b", 2, 2.5, "I")]), 0)
+    v0 = t.current_version()
+    big = 2**40
+    t.merge(_wchanges(spark, [("a", big, 1.75, "U"), ("b", None, None, "D")],
+                      n_type="bigint", x_type="double"), 1)
+    diff = t.changes(v0)
+    assert dict(diff.dtypes)["n"] == "bigint"
+    rows = {r["k"]: (r["op"], r["n"]) for r in diff.collect()}
+    assert rows["a"] == ("U", big)
+    assert rows["b"][0] == "D" and rows["b"][1] == 2  # old image, upcast
