@@ -1,0 +1,219 @@
+"""Deterministic sampling and dataset-mixing operators for
+training-data pipelines.
+
+A 100 TB corpus is never trained on raw: it is split (train/val/test),
+stratified (per-language / per-source quality floors), and mixed
+(per-source weights, optionally temperature-flattened — the standard
+multilingual-LM recipe). All three must be
+
+- **deterministic**: re-running the pipeline reproduces the same split
+  byte-for-byte (no ``rand()`` — a retry-rescheduled task would sample
+  differently per attempt);
+- **key-stable**: a document's split assignment depends only on its
+  key, never on partitioning, row order, or cluster size — so an
+  incremental re-run assigns new docs without reshuffling old ones
+  (val-set contamination by re-splitting is a real training bug);
+- **scan-shaped**: one narrow projection + filter per row, no shuffle,
+  no driver-side sampling state. At 10^10 docs these ops must ride the
+  scan.
+
+The shared primitive is a cross-system uniform: ``u48`` hashes the key
+through md5 and keeps 48 bits, an expression DuckDB reproduces
+bit-identically (``CAST('0x' || substr(md5(s),1,12) AS BIGINT)``) — so
+every operator here is hash-verifiable against an independent SQL
+oracle, selection decisions included. Mixture thresholds use EXACT
+integer arithmetic (no float boundary can flip a row between systems).
+
+Reference scope: shyiko/rook is the ingest half of this pipeline (the
+CDC feed that keeps the corpus table current); these operators are the
+consumption half the task brief names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "uniform_hash",
+    "hash_split",
+    "stratified_sample",
+    "weighted_mixture",
+    "mixture_plan",
+]
+
+_U_BITS = 48  # md5 prefix bits for the uniform grid
+_MIX_BITS = 24  # mixture threshold grid (int64-overflow-safe: see below)
+
+
+def uniform_hash(cols: list[str | Column], seed: int = 0, bits: int = _U_BITS) -> Column:
+    """Deterministic ``bits``-bit integer uniform on the key columns.
+
+    ``conv(substr(md5(seed|key), 1, bits/4), 16, 10)`` — bit-identical
+    in DuckDB as ``CAST('0x' || substr(md5(...), 1, n) AS BIGINT)``
+    (parity pinned in tests). Key columns must be non-null (nulls make
+    concat_ws skip fields, aliasing distinct keys); seed changes give
+    independent draws. 48 bits ≈ 2.8e14 grid points: collision-free
+    thresholds down to ~1e-14 fractions.
+    """
+    key = F.concat_ws("|", F.lit(str(seed)), *[F.col(c) if isinstance(c, str) else c for c in cols])
+    return F.conv(F.substring(F.md5(key), 1, bits // 4), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    on: list[str],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one named split by hashed key — the
+    train/val/test split as a pure projection.
+
+    ``weights`` are relative (normalized internally); assignment is the
+    half-open interval of the cumulative distribution the row's 48-bit
+    uniform falls in. Key-stable: adding documents later never moves an
+    existing document between splits (the property that keeps a held-out
+    set held out across corpus refreshes).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {split_name: weight} dict")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = uniform_hash(on, seed=seed)
+    grid = 1 << _U_BITS
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        # integer threshold: floor once, compare on the exact grid
+        thr = int(cum * grid)
+        cond = u < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+    on: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (`sampleBy` without
+    the nondeterminism): keep a row iff its hashed uniform clears the
+    stratum's threshold. ``fractions`` is either one float or a
+    ``{stratum_value: fraction}`` dict over ``strata_col`` (strata
+    absent from the dict drop entirely — an allowlist, which is what a
+    per-language quality floor wants). Selection is a filter on the
+    scan: no shuffle, no state.
+    """
+    if on is None:
+        raise ValueError("pass on=[key cols] — the hash needs a stable row key")
+    u = uniform_hash(on, seed=seed)
+    grid = 1 << _U_BITS
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        expr = F.lit(False)
+        for value, frac in fractions.items():
+            expr = expr | ((F.col(strata_col) == F.lit(value)) & (u < F.lit(int(frac * grid))))
+        return df.where(expr)
+    return df.where(u < F.lit(int(float(fractions) * grid)))
+
+
+def mixture_plan(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    temperature: float = 1.0,
+) -> dict[str, dict[str, int]]:
+    """Per-source integer sampling thresholds for a target mixture.
+
+    Standard LM data recipe: target composition p_i ∝ w_i^(1/T)
+    (T=1 → proportional; T→∞ → uniform across sources — the
+    multilingual flattening knob). The largest achievable corpus without
+    oversampling any source is ``scale = min_i floor(n_i / p_i)``; the
+    keep-rate for source i is then ``p_i * scale / n_i``.
+
+    All thresholds are INTEGER math on a 2^24 grid so an independent SQL
+    replay makes bit-identical keep decisions. With T=1 and integer
+    weights the whole derivation is exact integer arithmetic end to end
+    (``w_i * scale * 2^24 // (W * n_i)`` — magnitudes bounded so the
+    int64 products cannot overflow for weights ≤ 10^4 and corpora ≤
+    10^10 rows per source); other temperatures go through one float
+    ``pow`` per SOURCE (not per row), so cross-system determinism holds
+    whenever the handful of per-source thresholds round identically —
+    the driver-oracled path pins T=1.
+    """
+    if set(counts) != set(weights):
+        raise ValueError("counts and weights must cover the same sources")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError("negative source count")
+    grid = 1 << _MIX_BITS
+    if temperature == 1.0:
+        w = {s: int(weights[s]) for s in weights}
+        if any(w[s] != weights[s] or w[s] <= 0 for s in w):
+            raise ValueError("T=1 exact path needs positive integer weights")
+        W = sum(w.values())
+        # scale = min_i floor(n_i * W / w_i): max output size with
+        # composition p_i = w_i/W and no source oversampled
+        scale = min((counts[s] * W) // w[s] for s in w)
+        return {
+            s: {
+                "threshold": min(grid, (w[s] * scale * grid) // (W * counts[s]))
+                if counts[s] else 0,
+                "expect_rows": (w[s] * scale) // W,
+            }
+            for s in w
+        }
+    p = {s: float(weights[s]) ** (1.0 / temperature) for s in weights}
+    P = sum(p.values())
+    p = {s: v / P for s, v in p.items()}
+    scale = min(int(counts[s] / p[s]) if p[s] else 0 for s in p)
+    return {
+        s: {
+            "threshold": min(grid, int(p[s] * scale / counts[s] * grid)) if counts[s] else 0,
+            "expect_rows": int(p[s] * scale),
+        }
+        for s in p
+    }
+
+
+def weighted_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    on: list[str],
+    seed: int = 0,
+    temperature: float = 1.0,
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Sample a multi-source corpus down to a target mixture — the
+    dataset-mixing step of an LM training pipeline, as one filter.
+
+    ``df`` carries all sources distinguished by ``source_col`` (sources
+    not named in ``weights`` drop). Source sizes are taken from
+    ``counts`` or computed with one aggregate (the only action; at
+    10^10 rows it is a map-side-combined count, and a production
+    pipeline passes the catalog's row counts instead). Each row's keep
+    decision is ``u24(key) < threshold(source)`` — thresholds from
+    :func:`mixture_plan`, applied as a broadcast-sized CASE expression:
+    the corpus itself never shuffles and never leaves the scan.
+    """
+    if counts is None:
+        rows = (
+            df.where(F.col(source_col).isin(*weights))
+            .groupBy(source_col).count().collect()
+        )
+        counts = {r[source_col]: r["count"] for r in rows}
+        for s in weights:
+            counts.setdefault(s, 0)
+    plan = mixture_plan(counts, weights, temperature=temperature)
+    u = uniform_hash(on, seed=seed, bits=_MIX_BITS)
+    expr = F.lit(False)
+    for s, row in plan.items():
+        expr = expr | ((F.col(source_col) == F.lit(s)) & (u < F.lit(row["threshold"])))
+    return df.where(expr)
