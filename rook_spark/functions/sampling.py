@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "uniform_hash",
@@ -40,6 +41,7 @@ __all__ = [
     "stratified_sample",
     "weighted_mixture",
     "mixture_plan",
+    "pack_sequences",
 ]
 
 _U_BITS = 48  # md5 prefix bits for the uniform grid
@@ -217,3 +219,57 @@ def weighted_mixture(
     for s, row in plan.items():
         expr = expr | ((F.col(source_col) == F.lit(s)) & (u < F.lit(row["threshold"])))
     return df.where(expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    capacity: int,
+    order_cols: list[str],
+    shard_col: str,
+    seq_col: str = "seq_id",
+):
+    """Greedy first-fit-in-order sequence packing — the LM batch-prep
+    step that concatenates documents into fixed-token-capacity training
+    sequences (the "packing" in every LLM data pipeline; Spark has no
+    built-in because bin assignment is a running reset, not a cumsum).
+
+    Rule (deterministic, oracle-replayable as a recursive CTE): within
+    each ``shard_col`` group, walk rows ordered by ``order_cols``; a row
+    joins the current sequence iff its weight still fits, else it opens
+    the next one. Oversize rows (> capacity) get a sequence of their
+    own — the caller's chunker should have split them first.
+
+    Scale shape: one ``applyInPandas`` group per shard. The shard column
+    IS the parallelism knob — at 10^10 docs, shard by a key hash so each
+    group holds ~10^5-10^6 rows; packing is then embarrassingly parallel
+    and each task is one Arrow batch + a tight numpy-backed loop (the
+    running reset is inherently sequential WITHIN a shard; sharding is
+    what makes that affordable). Output = input columns + ``seq_col``
+    (sequence ordinal within the shard).
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(seq_col, T.LongType())]
+    )
+
+    order = list(order_cols)
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        w = pdf[weight_col].to_numpy()
+        bins = [0] * len(w)
+        cur, fill = 0, 0
+        for i, tokens in enumerate(w):
+            if fill and fill + tokens > capacity:
+                cur += 1
+                fill = 0
+            bins[i] = cur
+            fill += int(tokens)
+        pdf[seq_col] = bins
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)

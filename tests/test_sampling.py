@@ -165,3 +165,63 @@ def test_weighted_mixture_plan_is_scan_shaped(spark, docs):
     out = weighted_mixture(docs, "lang", {"en": 1, "fr": 1}, on=["doc_id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_pack_sequences_greedy_rule(spark):
+    """First-fit-in-order semantics: fits join the current sequence,
+    overflows open the next, oversize rows get their own sequence."""
+    from rook_spark.functions.sampling import pack_sequences
+
+    rows = [(0, i, w) for i, w in enumerate([30, 30, 30, 50, 120, 10, 95, 10])]
+    df = spark.createDataFrame(rows, "shard int, doc_id int, tokens int")
+    out = pack_sequences(df, "tokens", 100, order_cols=["doc_id"], shard_col="shard")
+    got = {r["doc_id"]: r["seq_id"] for r in out.collect()}
+    # 30+30+30=90 fits; +50 overflows -> seq1 (50); +120 oversize -> seq2
+    # alone; 10 -> seq3... wait: after 50, fill=50, +120 > 100 -> seq2;
+    # 120 occupies seq2 past capacity so 10 -> seq3; 95 -> 95+10>100? fill
+    # 10+95=105 > 100 -> seq4; final 10: 95+10 > 100 -> seq5? no: fits
+    # (95+10=105>100) -> seq5.
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5}
+    # every non-oversize sequence's fill <= capacity
+    fills = (
+        out.groupBy("seq_id").agg(F.sum("tokens").alias("fill"),
+                                  F.count(F.lit(1)).alias("n")).collect()
+    )
+    for r in fills:
+        assert r["fill"] <= 100 or r["n"] == 1
+
+
+def test_pack_sequences_vs_duckdb_recursive_oracle(spark, docs):
+    """Per-row sequence assignment over the real documents table (8
+    hash shards, n_chars as weight) matches an independent recursive-CTE
+    replay of the same greedy rule."""
+    from rook_spark.functions.sampling import pack_sequences
+
+    cap = 4000
+    d = docs.select("doc_id", (F.col("doc_id") % 8).alias("shard"), "n_chars")
+    out = pack_sequences(d, "n_chars", cap, order_cols=["doc_id"], shard_col="shard")
+    got = sorted((r["shard"], r["doc_id"], r["seq_id"]) for r in out.collect())
+    oracle = duckdb.connect().execute(
+        f"""
+        WITH RECURSIVE ordered AS (
+          SELECT doc_id % 8 AS shard, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ),
+        packed AS (
+          SELECT shard, doc_id, n_chars, rn,
+                 CAST(0 AS BIGINT) AS seq_id, n_chars AS fill
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.shard, o.doc_id, o.n_chars, o.rn,
+                 CASE WHEN p.fill + o.n_chars <= {cap} THEN p.seq_id
+                      ELSE p.seq_id + 1 END,
+                 CASE WHEN p.fill + o.n_chars <= {cap} THEN p.fill + o.n_chars
+                      ELSE o.n_chars END
+          FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, seq_id FROM packed
+        """
+    ).fetchall()
+    assert got == sorted(oracle)
+    assert max(r[2] for r in got) > 0  # actually packed into many sequences
