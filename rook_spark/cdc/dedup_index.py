@@ -194,7 +194,7 @@ class DedupIndex:
         branches (the per-epoch sink persists its batch for the same
         reason — this path is the O(corpus) version of it). Returns the
         number of indexed documents."""
-        docs = main_table.read(include_internal=True)
+        docs = main_table.read(include_internal=True, ref="head")
         for c in ("__ordinal", "__offset"):
             if c not in docs.columns:
                 docs = docs.withColumn(c, F.lit(-1).cast("long"))

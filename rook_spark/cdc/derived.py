@@ -229,7 +229,7 @@ def repo_rollup(spark: SparkSession, path: str, main: LakeTable) -> Rollup:
         path,
         ROLLUP_SCHEMA,
         key_col="repo",
-        source=lambda: main.read(include_internal=True),
+        source=lambda: main.read(include_internal=True, ref="head"),
         agg_exprs=lambda: [
             F.count(F.lit(1)).alias("n_paths"),
             F.sum(F.length("content")).alias("total_bytes"),

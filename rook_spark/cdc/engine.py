@@ -48,6 +48,22 @@ from rook_spark.lake.table import LakeTable
 SinkFn = Callable[..., Any]
 
 
+class AuditFailed(RuntimeError):
+    """An epoch's write-audit-publish audit rejected the staged state.
+
+    The engine has already rolled the table back to the published
+    version (consumers never saw the rejected epoch) and the reverted
+    watermarks re-admit the epoch's offsets — after fixing the upstream
+    cause, re-deliver the same offset range to retry."""
+
+    def __init__(self, batch_id: int):
+        self.batch_id = batch_id
+        super().__init__(
+            f"audit rejected staged epoch (batch {batch_id}); table rolled "
+            "back to the published version, offsets re-admitted for retry"
+        )
+
+
 class CdcEngine:
     def __init__(
         self,
@@ -67,6 +83,7 @@ class CdcEngine:
         vacuum_every: int | None = None,
         vacuum_keep_last: int = 4,
         vacuum_min_age_s: float = 3600.0,
+        audit: Callable[[LakeTable], bool] | None = None,
     ):
         self.spark = spark
         self.target_path = target_path
@@ -122,6 +139,17 @@ class CdcEngine:
         # + codegen and usually CHEAPER than the materialization, so the
         # default is off; turn on when auxiliary sinks make many passes.
         self.cache_batches = cache_batches
+        # WRITE-AUDIT-PUBLISH (Iceberg WAP via LakeTable refs): when set,
+        # every epoch commits STAGED — default readers keep resolving the
+        # published ref — then `audit(table)` inspects the head
+        # (read(ref="head") / changes()); True publishes (fast-forward,
+        # keep_staging so the next epoch stays gated), False or an
+        # exception aborts: the table rolls back to the published
+        # version, the reverted watermarks re-admit the epoch's offsets,
+        # and AuditFailed propagates. Consumers NEVER observe an
+        # unaudited epoch — rook's two-phase listener guarantee lifted
+        # to table visibility.
+        self.audit = audit
 
     # ------------------------------------------------------------ configure
 
@@ -280,6 +308,8 @@ class CdcEngine:
                     fresh = watermark_filter(ev, snap.lineage)
                     flat_fresh = flatten_events(fresh, self.key_cols)
                     self._fan_out(flat_fresh, batch_id, phase="before", run_id=run_id)
+            if self.audit is not None and not target.is_staging():
+                target.begin_staging()
             stats = apply_batch(
                 target,
                 ev,
@@ -293,6 +323,17 @@ class CdcEngine:
                 run_id=run_id,
                 policy=self.policy,
             )
+            if self.audit is not None:
+                ok = False
+                try:
+                    ok = bool(self.audit(target))
+                finally:
+                    if ok:
+                        target.publish(keep_staging=True)
+                    else:
+                        target.abort_staging()
+                if not ok:
+                    raise AuditFailed(batch_id)
             if self.write_mode == "mor" and self.compact_every:
                 self._epochs_since_compact += 1
                 if self._epochs_since_compact >= self.compact_every:

@@ -268,6 +268,13 @@ class Snapshot:
     # relative file path -> {column: base64 bloom bits} for base files.
     # Drives read(points=...) file skipping; see LakeTable.read.
     blooms: dict[str, dict[str, str]] = field(default_factory=dict)
+    # movable branch ref: name -> version. One name is load-bearing:
+    # "main" — when present the table is in WRITE-AUDIT-PUBLISH staging
+    # (Iceberg WAP): default reads resolve refs["main"] (the last
+    # audited/published version) while writes advance the chain head
+    # past it; publish() fast-forwards the ref away, abort_staging()
+    # rolls the head back onto it. Unlike tags, refs MOVE.
+    refs: dict[str, int] = field(default_factory=dict)
     # named refs: tag name -> version (Iceberg create_tag analog).
     # Tags are REFS riding the snapshot chain, not state — every commit
     # carries them forward verbatim, tag()/drop_tag() are metadata-only
@@ -296,6 +303,7 @@ class Snapshot:
                 "bloom_cols": self.bloom_cols,
                 "blooms": self.blooms,
                 "tags": self.tags,
+                "refs": self.refs,
             }
         )
 
@@ -463,12 +471,20 @@ class LakeTable:
         ranges: dict[str, tuple] | None = None,
         points: dict[str, Any] | None = None,
         tag: str | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
         ``tag``: read the version a named tag points at (``VERSION AS OF
         'tag'`` by name; see :meth:`tag`). Mutually exclusive with
         ``version``.
+
+        ``ref``: read a movable branch ref — ``"main"`` is the published
+        (last-audited) version while write-audit-publish staging is
+        active, ``"head"`` forces the chain head. DEFAULT reads resolve
+        the ``"main"`` ref when it exists: consumers of a staging table
+        only ever see audited state (see :meth:`begin_staging`); the
+        engine's own write/maintenance paths read ``ref="head"``.
 
         File-level pruning: when ``buckets`` is given only those buckets'
         files are even listed — stronger than predicate pushdown, and the
@@ -513,10 +529,28 @@ class LakeTable:
         """
         spark = spark or self.spark
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version OR tag, not both")
+            if version is not None or ref is not None:
+                raise ValueError("pass exactly one of version / tag / ref")
             version = self.resolve_tag(tag)
-        snap = self.snapshot(version)
+        elif ref is not None and ref != "head":
+            if version is not None:
+                raise ValueError("pass exactly one of version / tag / ref")
+            cur_refs = self.snapshot().refs
+            if ref not in cur_refs:
+                raise ValueError(f"no ref {ref!r} (have: {sorted(cur_refs)})")
+            version = cur_refs[ref]
+        snap = None
+        if ref is None and version is None and tag is None:
+            # WRITE-AUDIT-PUBLISH default: while staging is active the
+            # published ref — the last AUDITED version — is what the
+            # table "is" to consumers; staged epochs past it stay
+            # invisible until publish(). Auditors and the engine's own
+            # write paths read the chain head with ref="head".
+            snap = self.snapshot()
+            if "main" in snap.refs:
+                snap = self.snapshot(snap.refs["main"])
+        if snap is None:
+            snap = self.snapshot(version)
         schema = snap.schema()
         keys = {str(b) for b in buckets} if buckets is not None else None
 
@@ -869,7 +903,7 @@ class LakeTable:
         spk = changes.sparkSession
         has_deltas = any(snap.deltas.get(str(b)) for b in touched)
         if has_deltas:
-            current = self.read(buckets=touched, include_internal=True, spark=spk)
+            current = self.read(buckets=touched, include_internal=True, spark=spk, ref="head")
         else:
             files = [os.path.join(self.path, f)
                      for b in touched for f in snap.buckets.get(str(b), [])]
@@ -1105,7 +1139,8 @@ class LakeTable:
         # history is reclaimed aggressively); their files and metadata
         # both survive, and the blob-GC below follows automatically
         # because liveness is computed over whatever versions remain
-        tagged = set(self.snapshot().tags.values())
+        head_snap = self.snapshot()
+        tagged = set(head_snap.tags.values()) | set(head_snap.refs.values())
         keep_versions = sorted(
             set(range(window_start, current + 1)) | {v for v in tagged if v <= current}
         )
@@ -1181,7 +1216,7 @@ class LakeTable:
         )
         if not fat:
             return {"compacted_buckets": 0}
-        df = self.read(buckets=fat, include_internal=True).withColumn(
+        df = self.read(buckets=fat, include_internal=True, ref="head").withColumn(
             "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
         )
         new_version = snap.version + 1
@@ -1241,9 +1276,11 @@ class LakeTable:
             stats={f: dict(mm) for f, mm in target.stats.items()},
             bloom_cols=list(target.bloom_cols),
             blooms={f: dict(bb) for f, bb in target.blooms.items()},
-            # tags are refs, not state: they survive the revert (Iceberg
-            # tags are independent of the main branch's rollback)
+            # tags/refs are refs, not state: they survive the revert
+            # (Iceberg tags are independent of the branch rollback;
+            # abort_staging clears the "main" ref itself after reverting)
             tags=dict(cur.tags),
+            refs=dict(cur.refs),
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -1303,6 +1340,80 @@ class LakeTable:
             raise ValueError(f"no tag {name!r} (have: {sorted(tags)})")
         return tags[name]
 
+    # -------------------------------------------- write-audit-publish
+
+    def begin_staging(self) -> dict:
+        """Enter WRITE-AUDIT-PUBLISH mode (the Iceberg WAP pattern over
+        this table's linear chain): pins the movable ``"main"`` ref at
+        the current version. From here, every write advances the chain
+        HEAD past the ref — but default :meth:`read` keeps resolving the
+        ref, so consumers only ever see the last AUDITED state.
+        Auditors inspect the staged segment with ``read(ref="head")``
+        (or :meth:`changes` from the published version), then either
+        :meth:`publish` (fast-forward the ref to head) or
+        :meth:`abort_staging` (roll the head back onto the ref). A
+        metadata-only commit; staged writes cost exactly what published
+        writes cost. The published version's files are vacuum-pinned
+        like a tag's, so aggressive retention cannot reclaim the state
+        readers are being served."""
+        cur = self.snapshot()
+        if "main" in cur.refs:
+            raise ValueError(
+                f"staging already active (published = v{cur.refs['main']})"
+            )
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new.refs["main"] = cur.version
+        self._write_snapshot(new)
+        return {"published": cur.version, "version": new.version}
+
+    def publish(self, keep_staging: bool = False) -> dict:
+        """Audit passed: fast-forward the published ref to the chain
+        head (metadata-only, atomic — consumers flip from the old
+        audited state to the new one in one pointer move, never seeing
+        a half-audited intermediate). ``keep_staging=True`` leaves the
+        ref pinned AT the new head — the continuous-ingest mode where
+        every epoch is audited then published and readers always lag
+        the head by at most one in-flight epoch."""
+        cur = self.snapshot()
+        if "main" not in cur.refs:
+            raise ValueError("no staging session active (begin_staging first)")
+        prev = cur.refs["main"]
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        if keep_staging:
+            new.refs["main"] = new.version
+        else:
+            del new.refs["main"]
+        self._write_snapshot(new)
+        return {"published_from": prev, "version": new.version,
+                "staging": keep_staging}
+
+    def abort_staging(self) -> dict:
+        """Audit failed: atomically revert the chain head to the
+        published version (reusing :meth:`rollback`, so data, schema,
+        lineage watermarks, and batch fences ALL revert — the rejected
+        epochs' offsets are re-admitted by the exactly-once anti-filter
+        and can be re-delivered after the upstream fix), then clear the
+        ref. Consumers never observed the rejected epochs at any point."""
+        cur = self.snapshot()
+        if "main" not in cur.refs:
+            raise ValueError("no staging session active (begin_staging first)")
+        pub = cur.refs["main"]
+        self.rollback(pub)
+        cur2 = self.snapshot()
+        new = self._child_snapshot(cur2, cur2.batch_id, cur2.schema(), None)
+        new.refs.pop("main", None)
+        self._write_snapshot(new)
+        return {"aborted_to": pub, "version": new.version}
+
+    def is_staging(self) -> bool:
+        return "main" in self.snapshot().refs
+
+    def published_version(self) -> int:
+        """The version default reads resolve: the ``main`` ref while
+        staging, else the chain head."""
+        snap = self.snapshot()
+        return snap.refs.get("main", snap.version)
+
     def rebucket(self, n_buckets: int, batch_id: int | None = None) -> dict[str, int]:
         """Change the table's bucket count (Iceberg partition-spec
         evolution analog — the classic ops need when a table created at
@@ -1322,7 +1433,7 @@ class LakeTable:
             return {"rebucketed": 0, "n_buckets": n_buckets}
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        df = self.read(include_internal=True).withColumn(
+        df = self.read(include_internal=True, ref="head").withColumn(
             "__bucket", bucket_expr(snap.key_cols, n_buckets)
         )
         new_version = snap.version + 1
@@ -1405,7 +1516,7 @@ class LakeTable:
                   if snap.buckets.get(str(b)) or snap.deltas.get(str(b))]
         if not target:
             return {"clustered_buckets": 0}
-        df = self.read(buckets=target, include_internal=True).withColumn(
+        df = self.read(buckets=target, include_internal=True, ref="head").withColumn(
             "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
         )
         # quantile fences: one bounded driver-side pass for all z columns
@@ -1701,4 +1812,5 @@ class LakeTable:
             bloom_cols=list(parent.bloom_cols),
             blooms={f: dict(bb) for f, bb in parent.blooms.items()},
             tags=dict(parent.tags),
+            refs=dict(parent.refs),
         )
