@@ -163,6 +163,9 @@ _OP = st.one_of(
     st.tuples(st.just("cluster"), st.sampled_from([1, 2, 4])),
     st.tuples(st.just("tag"), st.floats(0, 1)),
     st.tuples(st.just("drop_tag"), st.floats(0, 1)),
+    st.tuples(st.just("stage"), st.none()),
+    st.tuples(st.just("publish"), st.booleans()),
+    st.tuples(st.just("abort"), st.none()),
 )
 
 
@@ -170,14 +173,18 @@ _OP = st.one_of(
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
 def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
-    / cluster (z-order rewrite) / tag / drop_tag
-    matches a dict model, at the final version AND at every retained
-    version (time travel) — the maintenance operations are
+    / cluster (z-order rewrite) / tag / drop_tag / stage / publish /
+    abort matches a dict model, at the final version AND at every
+    retained version (time travel) — the maintenance operations are
     state-identities, rollback is exact, and vacuum only ever removes
     EXPIRED versions (verdict r4 item 6: vacuum interacting with
     rollback targets and time travel under arbitrary orderings is where
     a reference-set GC bug would hide). Rollback onto a vacuumed version
-    refuses loudly and changes nothing."""
+    refuses loudly and changes nothing. Write-audit-publish invariants
+    under the same arbitrary interleavings: while staging, the DEFAULT
+    read equals the published model regardless of merges/maintenance on
+    the head; publish flips it to the head model; abort restores it AS
+    the head model; vacuum never reclaims the published version."""
     from rook_spark.lake.table import LakeTable
 
     tmp = tmp_path_factory.mktemp("lake_alg")
@@ -195,6 +202,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
     vacuumed: set[int] = set()
     tags_model: dict[str, int] = {}
+    published_v: int | None = None  # WAP: version default reads resolve
 
     for i, (kind, arg) in enumerate(ops):
         if kind == "merge":
@@ -238,8 +246,11 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
             table.vacuum(keep_last=arg)
             cutoff = table.current_version() - arg + 1
             # tagged versions survive the window (tags ARE the
-            # retention policy for pinned snapshots)
+            # retention policy for pinned snapshots); so does the
+            # published ref's version while staging
             pinned = set(tags_model.values())
+            if published_v is not None:
+                pinned.add(published_v)
             for v in [v for v in history if v < cutoff and v not in pinned]:
                 vacuumed.add(v)
                 del history[v]
@@ -256,10 +267,29 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
                 name = names[int(arg * (len(names) - 1))]
                 table.drop_tag(name)
                 del tags_model[name]
+        elif kind == "stage":
+            if published_v is None:
+                published_v = table.current_version()
+                table.begin_staging()
+        elif kind == "publish":
+            if published_v is not None:
+                table.publish(keep_staging=arg)
+                published_v = table.current_version() if arg else None
+        elif kind == "abort":
+            if published_v is not None:
+                table.abort_staging()
+                model = dict(history[published_v])
+                published_v = None
         history[table.current_version()] = dict(model)
 
-    got = {r["path"]: r["content"] for r in table.read().collect()}
+    # head state always equals the model; the DEFAULT read equals the
+    # published model while staging, the head model otherwise
+    got = {r["path"]: r["content"] for r in table.read(ref="head").collect()}
     assert got == model
+    want_default = history[published_v] if published_v is not None else model
+    got_default = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got_default == want_default
+    assert table.is_staging() == (published_v is not None)
     assert table.snapshot().tags == tags_model
     # time travel: every retained version matches its model snapshot —
     # including versions retained ONLY because a tag pins them
