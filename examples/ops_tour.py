@@ -198,6 +198,42 @@ def main() -> None:
             f"{n_tab} rows; {cands} near-dup candidate pairs for a "
             "50-doc probe batch =="
         )
+        # --- 10. write-audit-publish: consumers only ever see audited
+        # epochs; a failed audit rolls back and re-admits the offsets
+        from rook_spark.cdc.engine import AuditFailed
+
+        def no_poison(t):
+            return (
+                t.read(ref="head")
+                .where(F.col("content").startswith("POISON"))
+                .limit(1).count() == 0
+            )
+
+        eng3 = CdcEngine(
+            spark, os.path.join(work, "repos3"), n_buckets=4, audit=no_poison
+        ).ignoring_servers(99)
+        eng3.replay(events.where(F.col("offset") < 16_000), 0)
+        wap = eng3.target()
+        published = wap.read().count()
+        poisoned = events.where(F.col("offset") >= 16_000).withColumn(
+            "after",
+            F.when(
+                F.col("after").isNotNull(),
+                F.col("after").withField(
+                    "content", F.concat(F.lit("POISON|"), F.col("after.content"))
+                ),
+            ),
+        )
+        try:
+            eng3.replay(poisoned, 1)
+        except AuditFailed as exc:
+            print(f"\n== WAP: audit rejected epoch -> {exc} ==")
+        assert wap.read().count() == published  # nothing leaked
+        eng3.replay(events.where(F.col("offset") >= 16_000), 1)  # clean retry
+        print(
+            f"WAP: clean retry published; consumers went "
+            f"{published} -> {wap.read().count()} rows without ever seeing poison"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

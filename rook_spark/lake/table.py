@@ -1414,6 +1414,19 @@ class LakeTable:
         snap = self.snapshot()
         return snap.refs.get("main", snap.version)
 
+    def staged_changes(self, buckets: list[int] | None = None) -> DataFrame:
+        """What the staged segment would publish: the net per-key diff
+        from the published version to the chain head (:meth:`changes`
+        with the WAP refs filled in) — the DataFrame an audit inspects
+        when scanning the whole head is too much ("did this epoch touch
+        keys it shouldn't?", "are all new rows schema-valid?"). Cost is
+        O(touched buckets) when the staged epochs' touched sets are
+        passed as ``buckets``."""
+        cur = self.snapshot()
+        if "main" not in cur.refs:
+            raise ValueError("no staging session active (begin_staging first)")
+        return self.changes(cur.refs["main"], cur.version, buckets=buckets)
+
     def rebucket(self, n_buckets: int, batch_id: int | None = None) -> dict[str, int]:
         """Change the table's bucket count (Iceberg partition-spec
         evolution analog — the classic ops need when a table created at

@@ -184,3 +184,21 @@ def test_engine_audit_hook_publishes_and_aborts(spark, tmp_path):
     assert final != good
     assert not any("POISON" in c for c in final.values())
     ev.unpersist()
+
+
+def test_staged_changes_is_the_audit_diff(spark, table):
+    """staged_changes() = net diff published -> head: exactly the rows
+    an audit must adjudicate, as a valid LWW change set."""
+    table.begin_staging()
+    table.merge(_changes(spark, [("r", "a", "v2", "U"), ("r", "b", None, "D"),
+                                 ("r", "c", "v1", "I")]), 1)
+    diff = {(r["repo"], r["path"]): (r["op"], r["content"])
+            for r in table.staged_changes().collect()}
+    assert diff == {
+        ("r", "a"): ("U", "v2"),
+        ("r", "b"): ("D", "v1"),   # old image on the delete side
+        ("r", "c"): ("U", "v1"),
+    }
+    table.publish()
+    with pytest.raises(ValueError, match="no staging session"):
+        table.staged_changes()
