@@ -202,3 +202,65 @@ def test_staged_changes_is_the_audit_diff(spark, table):
     table.publish()
     with pytest.raises(ValueError, match="no staging session"):
         table.staged_changes()
+
+
+def test_streaming_audit_gate(spark, tmp_path):
+    """WAP under the streaming tail (the deployment shape): a poisoned
+    file arriving mid-stream fails its epoch's audit — the stream stops
+    LOUDLY, consumers never see the poison, and the batch-replay retry
+    leg (the rollback contract documented on LakeTable.rollback)
+    publishes the clean re-delivery."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import generate_events, write_events
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = generate_events(spark, 400, seed=13).persist()
+    clean_tail = ev.where("offset >= 200")
+
+    def audit(t):
+        return (
+            t.read(ref="head").where(F.col("content").startswith("POISON"))
+            .limit(1).count() == 0
+        )
+
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=4,
+                    audit=audit).ignoring_servers(99)
+    # clean prefix of the log, delivered per the file-tail source
+    # contract (ordered chunk files directly in src — write_events)
+    write_events(ev.where("offset < 200"), src, n_files=2)
+    q = eng.stream(src, ckpt)
+    try:
+        q.processAllAvailable()
+        t = eng.target()
+        state = {(r["repo"], r["path"]): r["content"]
+                 for r in t.read().collect()}
+        assert state, "clean epochs must have published"
+        assert not any(c == "POISON" for c in state.values())
+
+        # a poisoned chunk arrives mid-stream (later mtime = next file
+        # the tail picks up): its epoch's audit fails, the staged epoch
+        # rolls back, and the stream dies LOUDLY
+        poisoned = clean_tail.withColumn(
+            "after",
+            F.when(F.col("after").isNotNull(),
+                   F.col("after").withField("content", F.lit("POISON"))),
+        )
+        poisoned.repartition(1).write.mode("append").parquet(src)
+        with pytest.raises(Exception, match="audit rejected|AuditFailed"):
+            q.processAllAvailable()
+            q.awaitTermination(timeout=60)
+    finally:
+        if q.isActive:
+            q.stop()
+    t = eng.target()
+    state2 = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    # consumers never saw the poison: published state == pre-poison state
+    assert state2 == state
+    # retry leg: the abort reverted watermarks, so a clean batch
+    # re-delivery of the rolled-back offsets applies normally
+    eng.replay(clean_tail)
+    final = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert not any(c == "POISON" for c in final.values())
+    assert final != state
+    ev.unpersist()
