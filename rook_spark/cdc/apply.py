@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from rook_spark.cdc.normalize import flatten_events
+from rook_spark.cdc.patch import UPDATED_COL, patch_reduce
 from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
 from rook_spark.lake.table import LakeTable, bucket_expr
 
@@ -183,6 +184,7 @@ def apply_batch(
     n_source_partitions: int | None = None,
     run_id: str = "",
     policy: Column | None = None,
+    row_image: str = "full",
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
@@ -195,6 +197,11 @@ def apply_batch(
     write job's observation, and the bucket→file mapping falls out of
     the write's own directory listing.
     """
+    if row_image == "minimal" and write_mode == "mor":
+        raise ValueError(
+            "row_image='minimal' requires write_mode='cow' (patch events "
+            "are not self-contained; see rook_spark.cdc.patch)"
+        )
     snap = table.snapshot()
     # foreachBatch re-delivery fence — only valid WITHIN one checkpoint
     # lineage (run_id): batch ids restart at 0 on a fresh checkpoint, so
@@ -273,12 +280,26 @@ def apply_batch(
 
     drop = [c for c in ("source_partition", "tx_id") if c in flat.columns]
     reducible = apply_policy(flat, policy).drop(*drop)
-    reducer = salted_lww_reduce if salted else lww_reduce
-    kwargs = {"n_salts": n_salts} if salted else {}
-    changes = (
-        reducer(
+    if row_image == "minimal":
+        # per-column patch fold (cdc/patch.py): same partial+final hash
+        # aggregate shape as the LWW reduce (all plain maxes), so the
+        # salted variant is unnecessary — map-side combine already
+        # collapses hot keys per mapper
+        reduced = patch_reduce(
+            reducible, key_cols=key_cols, ordinal_col=ordinal_col, offset_col=offset_col
+        )
+    else:
+        reducer = salted_lww_reduce if salted else lww_reduce
+        kwargs = {"n_salts": n_salts} if salted else {}
+        if UPDATED_COL in reducible.columns:
+            # a full-image engine over a mask-carrying source: the mask
+            # is metadata, not payload — never store it
+            reducible = reducible.drop(UPDATED_COL)
+        reduced = reducer(
             reducible, key_cols=key_cols, ordinal_col=ordinal_col, offset_col=offset_col, **kwargs
         )
+    changes = (
+        reduced
         # keep the winning (ordinal, offset) as internal target columns:
         # the MERGE compares them against stored state so cross-batch
         # replay of older changes can never regress a row

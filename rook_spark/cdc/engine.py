@@ -84,6 +84,7 @@ class CdcEngine:
         vacuum_keep_last: int = 4,
         vacuum_min_age_s: float = 3600.0,
         audit: Callable[[LakeTable], bool] | None = None,
+        row_image: str = "full",
     ):
         self.spark = spark
         self.target_path = target_path
@@ -150,6 +151,26 @@ class CdcEngine:
         # unaudited epoch — rook's two-phase listener guarantee lifted
         # to table visibility.
         self.audit = audit
+        # "minimal" (binlog_row_image=MINIMAL / Debezium updatedFields):
+        # update events carry an `updated_cols` mask naming their
+        # authoritative after-image columns; epochs fold per column
+        # (cdc/patch.py) and the COW merge completes patches against
+        # stored state. COW-only — a patch is not self-contained, so MOR
+        # deltas would push the fold into every read (merge_mor rejects).
+        # Key-changing updates under minimal images: the D+I split keeps
+        # the mask, so the row at its NEW key carries only event-set
+        # columns — inheritance never crosses keys (ship key-changing
+        # updates full-image, as production MySQL does, to avoid this).
+        if row_image not in ("full", "minimal"):
+            raise ValueError(f"row_image must be 'full' or 'minimal', got {row_image!r}")
+        if row_image == "minimal" and write_mode != "cow":
+            raise ValueError(
+                "row_image='minimal' requires write_mode='cow': patch "
+                "events are not self-contained, so MOR delta files would "
+                "defer the per-column fold to every read (see "
+                "rook_spark.cdc.patch)"
+            )
+        self.row_image = row_image
 
     # ------------------------------------------------------------ configure
 
@@ -322,6 +343,7 @@ class CdcEngine:
                 n_source_partitions=self.n_source_partitions,
                 run_id=run_id,
                 policy=self.policy,
+                row_image=self.row_image,
             )
             if self.audit is not None:
                 ok = False

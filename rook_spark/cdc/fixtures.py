@@ -167,6 +167,42 @@ def generate_events(
     return ev
 
 
+def as_minimal_images(ev: DataFrame, payload_cols: tuple[str, ...] = ("commit", "lang", "content")) -> DataFrame:
+    """Convert a full-image event log into ``binlog_row_image=MINIMAL``
+    shape (rook_spark.cdc.patch): U events get a deterministic
+    ``updated_cols`` mask keyed on ``offset % 5`` (0 = full image,
+    1 = content, 2 = lang, 3 = commit+content, 4 = lang+content — the
+    same rule the ``cdc_partial_row_image`` driver oracle re-derives in
+    SQL), their NON-authoritative after-image columns are POISONED with
+    filler the engine must never apply, and before images are stripped
+    to the key — which is all MINIMAL actually ships."""
+    m = F.pmod(F.col("offset"), F.lit(5))
+    mask = F.when(
+        F.col("op") == "U",
+        F.when(m == 1, F.array(F.lit("content")))
+        .when(m == 2, F.array(F.lit("lang")))
+        .when(m == 3, F.array(F.lit("commit"), F.lit("content")))
+        .when(m == 4, F.array(F.lit("lang"), F.lit("content"))),
+    )
+    filler = F.concat(F.lit("POISON-"), F.col("offset").cast("string"))
+    out = ev.withColumn("updated_cols", mask)
+    for c in payload_cols:
+        poisoned = F.when(
+            F.col("after").isNotNull()
+            & F.col("updated_cols").isNotNull()
+            & ~F.array_contains(F.col("updated_cols"), c),
+            F.col("after").withField(c, filler.cast(ev.schema["after"].dataType[c].dataType)),
+        )
+        out = out.withColumn("after", F.coalesce(poisoned, F.col("after")))
+    key_fields = [f.name for f in ev.schema["before"].dataType.fields]
+    key_only = F.struct(*[
+        (F.col(f"before.{f}") if f in ("repo", "path")
+         else F.lit(None).cast(ev.schema["before"].dataType[f].dataType)).alias(f)
+        for f in key_fields
+    ])
+    return out.withColumn("before", F.when(F.col("before").isNotNull(), key_only))
+
+
 def with_replayed_suffix(events: DataFrame, n_events: int, replay_frac: float = 0.2) -> DataFrame:
     """At-least-once source simulation: re-deliver the last ``replay_frac``
     of the log verbatim (duplicate offsets). Exactly-once gate: final

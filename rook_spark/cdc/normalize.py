@@ -117,6 +117,9 @@ def flatten_events(ev: DataFrame, key_cols: Iterable[str] = ("repo", "path")) ->
         F.col("offset"),
         F.col("source_partition"),
         F.col("tx_id"),
+        # partial-row-image mask (cdc/patch.py) rides through when the
+        # source carries it; absent for full-image streams
+        *([F.col("updated_cols")] if "updated_cols" in ev.columns else []),
     )
 
 

@@ -817,7 +817,10 @@ class LakeTable:
         # --- schema evolution: new payload columns append; existing columns
         # promote along the Iceberg lattice (int->long, float->double,
         # decimal precision). Metadata-only — old files upcast at read.
-        payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
+        # __setmask/__inherit are patch-mode internals (cdc/patch.py):
+        # merge bookkeeping, never table columns.
+        internal = (op_col, "__bucket", "__setmask", "__inherit")
+        payload_cols = [f for f in changes.schema.fields if f.name not in internal]
         target_schema = _widen_schema(cur_schema, payload_cols, key_cols)
         target_cols = [f.name for f in target_schema.fields]
 
@@ -929,11 +932,16 @@ class LakeTable:
         # Iceberg bucket specs this join is storage-partitioned (no shuffle);
         # here Catalyst shuffles just the touched slice.
         src = changes  # already cast to target types by merge()
+        # partial-row-image mode (cdc/patch.py): the change set carries a
+        # per-column authority mask + inheritance flag instead of claiming
+        # the whole row. Detected structurally so merge() keeps one API.
+        patch = "__setmask" in src.columns
         for f in target_schema.fields:  # old cols missing from the batch → null
             if f.name not in src.columns:
                 src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
         src = src.select(*key_cols, op_col,
-                         *[c for c in target_cols if c not in key_cols])
+                         *[c for c in target_cols if c not in key_cols],
+                         *(["__setmask", "__inherit"] if patch else []))
 
         t = current.withColumn("__t_present", F.lit(True)).alias("t")
         s = src.alias("s")
@@ -968,10 +976,29 @@ class LakeTable:
         else:
             s_wins = s_present
         drop_row = s_wins & (F.col(f"s.{op_col}") == "D")
+        mask_names = (
+            set(src.schema["__setmask"].dataType.fieldNames()) if patch else set()
+        )
         out_cols = []
         for c in target_cols:
             if c in key_cols:
                 out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            elif patch and c not in (ordinal_col, tiebreak_col):
+                # per-column authority: set -> batch value; unset ->
+                # stored value only while the batch didn't break
+                # inheritance (I/D reset), else NULL. Columns the batch
+                # never saw (schema-carried) have no mask field -> unset.
+                set_c = (
+                    F.coalesce(F.col("s.__setmask").getField(c), F.lit(False))
+                    if c in mask_names
+                    else F.lit(False)
+                )
+                s_val = F.when(set_c, F.col(f"s.{c}")).otherwise(
+                    F.when(F.col("s.__inherit") & t_present, F.col(f"t.{c}"))
+                )
+                out_cols.append(
+                    F.when(s_wins, s_val).otherwise(F.col(f"t.{c}")).alias(c)
+                )
             else:
                 out_cols.append(
                     F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
@@ -1037,6 +1064,16 @@ class LakeTable:
         lineage in the same atomic snapshot, conditional-ordinal
         semantics enforced at resolution time.
         """
+        if "__setmask" in changes.columns:
+            # a patch (cdc/patch.py) is not self-contained: deferring it
+            # to a delta file would push the per-column fold into every
+            # read and every delta consumer. Completing it against
+            # current state IS the COW merge's touched-bucket join.
+            raise ValueError(
+                "partial-row-image change sets (__setmask present) require "
+                "the COW path: call merge(), or run the engine with "
+                "write_mode='cow' (see rook_spark.cdc.patch)"
+            )
         snap = self.snapshot()
         if batch_id <= snap.batch_id and run_id == snap.run_id:
             return {"skipped": True, "reason": "batch already committed",

