@@ -1607,6 +1607,148 @@ class LakeTable:
             "skipped_buckets": len(skipped),
         }
 
+    def delete_where(
+        self,
+        condition,
+        ranges: dict[str, tuple] | None = None,
+        points: dict[str, Any] | None = None,
+        buckets: list[int] | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Transactional predicate delete (Iceberg ``DELETE FROM ...
+        WHERE`` / GDPR-erasure analog): rewrite ONLY the files that may
+        contain matching rows, dropping them; everything else is carried
+        by reference in one atomic commit.
+
+        ``condition`` is a Column or SQL string; rows where it is TRUE
+        are deleted (NULL keeps the row — SQL WHERE semantics).
+        ``ranges`` / ``points`` are PRUNING HINTS with the same contract
+        as :meth:`read`: they must be IMPLIED by ``condition`` (a file
+        they exclude must contain no matching row) — the hint bounds the
+        rewrite set via the per-file min/max stats and bloom filters, it
+        never changes the result. ``buckets`` restricts scope the same
+        way (caller guarantees matches only live there, e.g. a key-
+        prefix delete). At 100 TB this is the difference between
+        rewriting one repo's bucket and scanning the table: a delete
+        with a good hint is O(matching files), and the returned
+        ``files_scanned`` / ``files_carried`` counts say exactly what
+        the hints bought.
+
+        MOR buckets: a bucket carrying deltas is FOLDED (resolved
+        through the LWW read) and rewritten whole — deleting from the
+        base under unresolved deltas could resurrect a shadowed row —
+        so a delete doubles as localized compaction, like the COW merge.
+
+        Concurrency: a delete is an INGEST-class writer — its output
+        depends on the state it read, and it does not commute with
+        concurrent upserts (upsert-then-delete kills the row;
+        delete-then-upsert keeps it). It therefore takes the loud
+        :class:`CommitConflict` path like ``merge``, never the
+        maintenance rebase (``_commit_rewrite``) — retry by re-running
+        against the new head. Reference contrast: rook evicts by key
+        only (``DefaultRowsMutationIndexer.java`` delete path);
+        predicate erasure is the lake-side requirement the reference
+        never had.
+        """
+        from pyspark.sql import Observation
+
+        snap = self.snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = {str(b) for b in buckets} if buckets is not None else None
+        in_scope = lambda b: keys is None or b in keys  # noqa: E731
+
+        fold_buckets = sorted(
+            int(b) for b, d in snap.deltas.items() if d and in_scope(b)
+        )
+        rewrite: dict[str, list[str]] = {}   # clean buckets: files to rewrite
+        carried: dict[str, list[str]] = {}   # clean buckets: files kept as-is
+        files_scanned = files_carried = 0
+        for b, fs in snap.buckets.items():
+            if not in_scope(b) or int(b) in fold_buckets:
+                continue
+            cands = fs
+            if ranges:
+                cands = [f for f in cands if _stats_may_match(snap.stats.get(f), ranges)]
+            if points:
+                cands = [
+                    f for f in cands
+                    if all(
+                        _bloom_may_contain(snap.blooms.get(f, {}).get(c), v)
+                        for c, v in points.items()
+                    )
+                ]
+            files_carried += len(fs) - len(cands)
+            if cands:
+                rewrite[b] = cands
+                if len(cands) < len(fs):
+                    kept = set(cands)
+                    carried[b] = [f for f in fs if f not in kept]
+        files_scanned = sum(len(fs) for fs in rewrite.values())
+
+        if not rewrite and not fold_buckets:
+            return {"skipped": True, "deleted_rows": 0, "files_scanned": 0,
+                    "files_carried": files_carried, "version": snap.version}
+
+        schema = snap.schema()
+        parts = []
+        if rewrite:
+            paths = [os.path.join(self.path, f) for fs in rewrite.values() for f in fs]
+            parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if fold_buckets:
+            parts.append(
+                self.read(buckets=fold_buckets, include_internal=True, ref="head")
+            )
+        df_raw = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        obs = Observation()
+        df = df_raw.observe(
+            obs, F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias("n_del")
+        )
+        kept = df.where(~F.coalesce(cond, F.lit(False))).withColumn(
+            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+        )
+        new_version = snap.version + 1
+        width = max(1, len(rewrite) + len(fold_buckets))
+        written = self._write_bucket_files(kept, new_version, min(snap.n_buckets, width))
+        # bounded wait: the observation is delivered by the listener of
+        # the already-completed write job; a miss (e.g. the PySpark
+        # empty-partitionBy-result defect apply.py documents) degrades
+        # to one recompute over the pruned candidate set, never a hang
+        import threading
+
+        res: dict = {}
+
+        def _watch():
+            try:
+                res.update(obs.get)
+            except Exception:
+                pass
+
+        th = threading.Thread(target=_watch, daemon=True)
+        th.start()
+        th.join(timeout=30)
+        if res:
+            deleted = int(res.get("n_del") or 0)
+        else:
+            deleted = int(df_raw.where(F.coalesce(cond, F.lit(False))).count())
+
+        new_snap = self._child_snapshot(snap, batch_id if batch_id is not None
+                                        else snap.batch_id, schema, None)
+        for b in list(rewrite) + [str(x) for x in fold_buckets]:
+            fs = carried.get(b, []) + written.get(b, [])
+            if fs:
+                new_snap.buckets[b] = fs
+            else:
+                new_snap.buckets.pop(b, None)
+        for b in fold_buckets:
+            new_snap.deltas.pop(str(b), None)
+        self._carry_stats(new_snap, snap, self._file_stats(written),
+                          self._file_blooms(written, new_snap))
+        self._write_snapshot(new_snap)
+        return {"skipped": False, "deleted_rows": deleted,
+                "files_scanned": files_scanned, "files_carried": files_carried,
+                "buckets_rewritten": len(rewrite) + len(fold_buckets),
+                "version": new_snap.version}
+
     def _commit_rewrite(
         self,
         parent: Snapshot,

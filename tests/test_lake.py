@@ -1304,3 +1304,98 @@ def test_changelog_across_widening_boundary(spark, tmp_path):
     rows = {r["k"]: (r["op"], r["n"]) for r in diff.collect()}
     assert rows["a"] == ("U", big)
     assert rows["b"][0] == "D" and rows["b"][1] == 2  # old image, upcast
+
+
+# ------------------------------------------------------- delete_where
+
+
+def _num_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string, n long, op string"
+    )
+
+
+@pytest.fixture()
+def num_table(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    return LakeTable.create(
+        spark, str(tmp_path / "nt"), schema, ["repo", "path"], n_buckets=4
+    )
+
+
+def test_delete_where_basic_and_time_travel(spark, num_table):
+    t = num_table
+    t.merge(_num_changes(spark, [
+        ("r", f"p{i}", f"v{i}", i, "I") for i in range(10)
+    ]), 0)
+    v_before = t.current_version()
+    res = t.delete_where(F.col("n") >= 7)
+    assert res["deleted_rows"] == 3 and not res["skipped"]
+    got = {r["path"] for r in t.read().collect()}
+    assert got == {f"p{i}" for i in range(7)}
+    # NULL predicate keeps the row (SQL WHERE semantics)
+    t.merge(_num_changes(spark, [("r", "pn", "vn", None, "I")]), 1)
+    res = t.delete_where("n >= 0")  # NULL >= 0 is NULL -> kept
+    assert res["deleted_rows"] == 7
+    assert {r["path"] for r in t.read().collect()} == {"pn"}
+    # time travel: pre-delete version intact
+    assert {r["path"] for r in t.read(version=v_before).collect()} \
+        == {f"p{i}" for i in range(10)}
+
+
+def test_delete_where_ranges_hint_prunes_files(spark, num_table):
+    """The ranges hint must bound the rewrite set via per-file min/max
+    stats: two epochs write disjoint n-ranges into each bucket; a hinted
+    delete targeting the high range must scan only the high-range files
+    and still produce the exact result."""
+    t = num_table
+    t.merge(_num_changes(
+        spark, [("r", f"a{i}", "lo", i, "I") for i in range(8)]), 0)
+    t.merge(_num_changes(
+        spark, [("r", f"b{i}", "hi", 1000 + i, "I") for i in range(8)]), 1)
+    total_files = sum(len(fs) for fs in t.snapshot().buckets.values())
+    res = t.delete_where(
+        F.col("n") >= 1000, ranges={"n": (1000, None)})
+    assert res["deleted_rows"] == 8
+    assert res["files_scanned"] < total_files, res
+    assert res["files_carried"] > 0, res
+    got = {r["path"] for r in t.read().collect()}
+    assert got == {f"a{i}" for i in range(8)}
+
+
+def test_delete_where_folds_mor_deltas(spark, num_table):
+    """A delta-shadowed base row must NOT be resurrected: the bucket is
+    resolved through the LWW read before the predicate applies, and its
+    delta list clears (the delete doubles as localized compaction)."""
+    t = num_table
+    t.merge(_num_changes(spark, [
+        ("r", "k1", "DELME", 1, "I"), ("r", "k2", "DELME", 2, "I"),
+    ]), 0)
+    # shadow k1's content via a MOR delta (newer ordinal wins at read)
+    ch = _num_changes(spark, [("r", "k1", "keep", 1, "U")]) \
+        .withColumn("__ordinal", F.lit(5)).withColumn("__offset", F.lit(5))
+    t.merge_mor(ch, 1)
+    assert any(t.snapshot().deltas.values())
+    res = t.delete_where(F.col("content") == "DELME")
+    # k1 resolves to 'keep' (survives); k2 is DELME (deleted)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"k1": "keep"}
+    assert res["deleted_rows"] == 1
+    assert not any(t.snapshot().deltas.values())
+
+
+def test_delete_where_everything_and_noop(spark, num_table):
+    t = num_table
+    t.merge(_num_changes(spark, [("r", "p", "v", 1, "I")]), 0)
+    res = t.delete_where(F.lit(True))
+    assert res["deleted_rows"] == 1
+    assert t.read().count() == 0
+    # empty table: nothing to scan -> skipped, no commit
+    v = t.current_version()
+    res = t.delete_where(F.lit(True))
+    assert res["skipped"] and t.current_version() == v

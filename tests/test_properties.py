@@ -166,6 +166,8 @@ _OP = st.one_of(
     st.tuples(st.just("stage"), st.none()),
     st.tuples(st.just("publish"), st.booleans()),
     st.tuples(st.just("abort"), st.none()),
+    # predicate delete: drop every row whose content came from merge #j
+    st.tuples(st.just("delete"), st.integers(0, 6)),
 )
 
 
@@ -267,6 +269,16 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
                 name = names[int(arg * (len(names) - 1))]
                 table.drop_tag(name)
                 del tags_model[name]
+        elif kind == "delete":
+            # predicate erasure interleaved with everything else: the
+            # model filters by the same content prefix; time travel,
+            # rollback, and WAP must all see the delete as one ordinary
+            # state transition
+            table.delete_where(f"content LIKE 'v{arg}\\_%' ESCAPE '\\'")
+            model = {
+                k: v for k, v in model.items()
+                if v is None or not v.startswith(f"v{arg}_")
+            }
         elif kind == "stage":
             if published_v is None:
                 published_v = table.current_version()
