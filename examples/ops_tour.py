@@ -115,6 +115,17 @@ def main() -> None:
         print("history after maintenance (expired untagged versions gone):")
         table.history().orderBy("version").show(truncate=False)
 
+        # --- 6b. predicate erasure (GDPR / retention): one atomic commit
+        # rewrites only files that may hold matches; the tagged snapshot
+        # still serves the pre-erasure corpus for audit
+        n_md = table.read().where(F.col("lang") == "md").count()
+        res = table.delete_where(F.col("lang") == "md")
+        assert res["deleted_rows"] == n_md
+        assert table.read().where(F.col("lang") == "md").count() == 0
+        assert table.read(tag="pre-maint").where(F.col("lang") == "md").count() > 0
+        print(f"\n== delete_where(lang='md') -> {res} ==")
+        print("erased rows stay readable through the pre-maint tag (audit)")
+
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
         store = InMemoryMetadataStore()
         mem = LakeTable.create(

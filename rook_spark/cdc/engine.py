@@ -542,6 +542,10 @@ class CdcEngine:
         src = stream_events_files(
             self.spark, source_dir, max_files_per_trigger=max_files_per_trigger,
             evolved=evolved,
+            # a minimal-row-image engine tails with the mask column in
+            # the read schema (full-image chunk files null-fill it, so a
+            # mixed log still streams — NULL mask = full image)
+            partial=self.row_image == "minimal",
         )
         return self.stream_events(src, checkpoint_dir)
 

@@ -99,6 +99,14 @@ def patch_reduce(
       state (true iff the batch contains no I/D for the key — an
       inheritance break means unset columns are NULL, not carried).
 
+    Mask hygiene: a mask naming a column ABSENT from the batch's payload
+    has no effect (there is no value to set — ``array_contains`` over a
+    nonexistent name never fires), and a column present in the payload
+    but never masked is simply never set. Neither is an error: CDC
+    sources legitimately ship masks for columns a downstream projection
+    dropped. A mask naming a column that exists but arrives NULL sets it
+    to NULL (authoritative), which is the whole reason the mask exists.
+
     Correctness of the single-pass trick: per column the candidate is the
     max (ordinal, offset) event that sets it; a column's value survives
     iff its candidate is at-or-after the latest inheritance break

@@ -40,23 +40,30 @@ def row_image_type(evolved: bool = False) -> T.StructType:
     return T.StructType(fields)
 
 
-def event_schema(evolved: bool = False) -> T.StructType:
+def event_schema(evolved: bool = False, partial: bool = False) -> T.StructType:
+    """``partial=True`` appends the ``updated_cols array<string>`` mask
+    column of ``binlog_row_image=MINIMAL`` streams (rook_spark.cdc.patch):
+    NULL = full image, array = the after-image columns the event
+    authoritatively sets. Full-image logs read fine under the partial
+    schema (the column null-fills), so an engine running
+    ``row_image='minimal'`` always tails with it."""
     img = row_image_type(evolved)
-    return T.StructType(
-        [
-            T.StructField("offset", T.LongType(), False),
-            T.StructField("tx_id", T.LongType()),
-            T.StructField("server_id", T.LongType()),
-            T.StructField("schema_name", T.StringType()),
-            T.StructField("table_name", T.StringType()),
-            T.StructField("op", T.StringType()),
-            T.StructField("before", img),
-            T.StructField("after", img),
-            T.StructField("commit_ordinal", T.LongType()),
-            T.StructField("source_partition", T.IntegerType()),
-            T.StructField("ts", T.TimestampType()),
-        ]
-    )
+    fields = [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("tx_id", T.LongType()),
+        T.StructField("server_id", T.LongType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("before", img),
+        T.StructField("after", img),
+        T.StructField("commit_ordinal", T.LongType()),
+        T.StructField("source_partition", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+    if partial:
+        fields.append(T.StructField("updated_cols", T.ArrayType(T.StringType())))
+    return T.StructType(fields)
 
 
 def repos_schema(evolved: bool = False) -> T.StructType:

@@ -60,11 +60,14 @@ def stream_events_files(
     fmt: str = "parquet",
     max_files_per_trigger: int = 1,
     evolved: bool = False,
+    partial: bool = False,
 ) -> DataFrame:
     """File-tail streaming source (ordered chunk files — see
-    ``write_events`` for the ordering contract)."""
+    ``write_events`` for the ordering contract). ``partial=True`` reads
+    the MINIMAL-row-image schema (``updated_cols`` mask; null-fills on
+    full-image chunk files, so a mixed log tails fine)."""
     reader = (
-        spark.readStream.schema(event_schema(evolved))
+        spark.readStream.schema(event_schema(evolved, partial=partial))
         .option("maxFilesPerTrigger", max_files_per_trigger)
     )
     if fmt == "parquet":
@@ -74,15 +77,21 @@ def stream_events_files(
     raise ValueError(f"unsupported streaming format: {fmt}")
 
 
-def parse_kafka_records(records: DataFrame, evolved: bool = False) -> DataFrame:
+def parse_kafka_records(
+    records: DataFrame, evolved: bool = False, partial: bool = False
+) -> DataFrame:
     """Decode Kafka-shaped records (``value`` binary/string JSON +
     ``partition``) into canonical events — the transformation
     :func:`stream_events_kafka` applies after ``.load()``, factored out
     so the decode plan is testable without the connector jar. The Kafka
     partition becomes ``source_partition`` (per-partition ordering is
-    exactly Kafka's guarantee — the engine's watermark contract)."""
+    exactly Kafka's guarantee — the engine's watermark contract).
+    ``partial=True`` decodes the MINIMAL-row-image ``updated_cols``
+    mask (absent in a record's JSON = full image)."""
     return records.select(
-        F.from_json(F.col("value").cast("string"), event_schema(evolved)).alias("e"),
+        F.from_json(
+            F.col("value").cast("string"), event_schema(evolved, partial=partial)
+        ).alias("e"),
         F.col("partition").cast("int").alias("__kp"),
     ).select("e.*", "__kp").withColumn(
         "source_partition", F.col("__kp")

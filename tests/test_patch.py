@@ -292,3 +292,75 @@ def test_patch_fold_matches_model_any_batching(spark, tmp_path, evs, cut):
     if rows[cut:]:
         _apply(two, spark, rows[cut:], 1)
     assert _read_state(two) == expected
+
+
+def test_stream_minimal_row_image(spark, tmp_path):
+    """row_image='minimal' through the streaming tail (the deployment
+    shape): the engine reads the partial event schema so the mask column
+    rides the file stream, and the streamed final state equals the batch
+    replay of the same MINIMAL log."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import (
+        as_minimal_images, generate_events, write_events,
+    )
+    from rook_spark.cdc.schema import event_schema
+
+    ev = as_minimal_images(generate_events(spark, 200, seed=9))
+    src = str(tmp_path / "src")
+    write_events(ev, src, n_files=3)
+
+    eng = CdcEngine(spark, str(tmp_path / "s_repos"), n_buckets=4,
+                    row_image="minimal").ignoring_servers(99)
+    q = eng.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = CdcEngine(spark, str(tmp_path / "b_repos"), n_buckets=4,
+                      row_image="minimal").ignoring_servers(99)
+    batch.replay(spark.read.schema(event_schema(partial=True)).parquet(src))
+
+    streamed = _read_state(eng.target())
+    assert streamed == _read_state(batch.target())
+    assert streamed, "stream must have applied rows"
+    assert not any(
+        v is not None and v.startswith("POISON")
+        for row in streamed.values() for v in row.values()
+    )
+
+
+def test_patch_with_additive_evolution(spark, tmp_path):
+    """A patch batch carrying a NEW column widens the table (additive
+    evolution) and sets it only where masked; pre-evolution rows
+    null-fill, and a later patch NOT naming the new column inherits it."""
+    t = _fresh_table(spark, tmp_path)
+    _apply(t, spark, [("r", "a", "c0", "l0", "t0", "I", 0, 0, None),
+                      ("r", "b", "c1", "l1", "t1", "I", 1, 1, None)], 0)
+
+    wide = T.StructType(list(FLAT_SCHEMA.fields[:5])
+                        + [T.StructField("stars", T.LongType())]
+                        + list(FLAT_SCHEMA.fields[5:]))
+    ev2 = spark.createDataFrame(
+        [("r", "a", None, None, None, 7, "U", 10, 10, ["stars"])], wide)
+    changes = (
+        patch_reduce(ev2)
+        .withColumnRenamed("commit_ordinal", "__ordinal")
+        .withColumnRenamed("offset", "__offset")
+    )
+    t.merge(changes, 1)
+    got = {(r["repo"], r["path"]): (r["content"], r["stars"])
+           for r in t.read().collect()}
+    # a's content inherited, stars set; b untouched -> stars null-fills
+    assert got == {("r", "a"): ("t0", 7), ("r", "b"): ("t1", None)}
+
+    # later patch not naming stars inherits it
+    ev3 = spark.createDataFrame(
+        [("r", "a", None, None, "t2", None, "U", 20, 20, ["content"])], wide)
+    changes = (
+        patch_reduce(ev3)
+        .withColumnRenamed("commit_ordinal", "__ordinal")
+        .withColumnRenamed("offset", "__offset")
+    )
+    t.merge(changes, 2)
+    got = {(r["repo"], r["path"]): (r["content"], r["stars"])
+           for r in t.read().collect()}
+    assert got == {("r", "a"): ("t2", 7), ("r", "b"): ("t1", None)}

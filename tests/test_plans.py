@@ -217,3 +217,29 @@ def test_contamination_benchmark_side_broadcasts(spark):
     plan = _plan(q.doc_contamination(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_patch_reduce_has_partial_aggregation(spark):
+    """The partial-row-image fold (cdc/patch.py) must plan exactly like
+    the LWW reduce: partial (map-side) aggregation below ONE Exchange —
+    per-column conditional maxes are plain maxes, so a hot key collapses
+    on every mapper and patch mode pays the same shuffle as full images
+    (the claim in the module docstring, pinned here)."""
+    from pyspark.sql import types as T
+
+    from rook_spark.cdc.patch import patch_reduce
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("commit_ordinal", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("updated_cols", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame([], schema)
+    plan = _plan(patch_reduce(df))
+    assert "partial_max" in plan
+    assert plan.index("partial_max") > plan.index("Exchange")
+    assert plan.count("Exchange") == 1
