@@ -594,6 +594,13 @@ class MultiTableCdcEngine:
     (Iceberg multi-table transactions in production — the per-table
     snapshots here map 1:1 onto that).
 
+    Until it arrives, :meth:`consistent_read` restores the cross-table
+    invariant READ-side: a crash between two tables' commits leaves the
+    epoch torn (table A at batch ``B``, table B at ``B-1`` until
+    re-delivery repairs it), and an aligned read time-travels every
+    table to the greatest COMMON epoch fence — see
+    :mod:`rook_spark.lake.consistent`.
+
     Tables whose payload schema differs from the default should be
     created up front via ``target(table, payload_schema=...)`` — the
     engines load-if-exists.
@@ -620,6 +627,26 @@ class MultiTableCdcEngine:
 
     def target(self, table: str, payload_schema=None) -> LakeTable:
         return self.engines[table].target(payload_schema)
+
+    def tables(self) -> dict[str, LakeTable]:
+        return {t: e.target() for t, e in self.engines.items()}
+
+    def consistent_versions(self, batch_id: int | None = None) -> dict[str, int]:
+        """Per-table version picks at the greatest common epoch fence
+        (see :mod:`rook_spark.lake.consistent`): the tables all hang off
+        ONE stream checkpoint / replay driver, so their batch ids are
+        the same number line by construction."""
+        from rook_spark.lake.consistent import consistent_versions
+
+        return consistent_versions(self.tables(), batch_id=batch_id)
+
+    def consistent_read(self, batch_id: int | None = None) -> dict[str, DataFrame]:
+        """Coordinated time travel across the demuxed tables: every
+        returned DataFrame is the state of the SAME epoch, so cross-table
+        joins never observe a torn epoch mid-recovery."""
+        from rook_spark.lake.consistent import consistent_read
+
+        return consistent_read(self.tables(), batch_id=batch_id)
 
     def replay(
         self, events: DataFrame, start_batch_id: int | None = None
