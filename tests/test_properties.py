@@ -274,7 +274,12 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
             # model filters by the same content prefix; time travel,
             # rollback, and WAP must all see the delete as one ordinary
             # state transition
-            table.delete_where(f"content LIKE 'v{arg}\\_%' ESCAPE '\\'")
+            # NOTE: '!' as the LIKE escape char — a backslash escape
+            # never parses here (Spark's default string-literal mode
+            # treats \ inside '...' as an escape, so ESCAPE '\' is an
+            # unterminated literal); this was latent until hypothesis
+            # drew a delete op
+            table.delete_where(f"content LIKE 'v{arg}!_%' ESCAPE '!'")
             model = {
                 k: v for k, v in model.items()
                 if v is None or not v.startswith(f"v{arg}_")
@@ -312,3 +317,82 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     for name, v in tags_model.items():
         tv = {r["path"]: r["content"] for r in table.read(tag=name).collect()}
         assert tv == history[v], f"tag {name} -> v{v}"
+
+
+# --------------------------------------------------------- MOR delete algebra
+
+_MOR_OP = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 4),
+                      st.one_of(st.none(), st.integers(0, 9))),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete"), st.integers(0, 8)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_MOR_OP, min_size=3, max_size=8))
+def test_mor_delete_algebra_matches_dict_model(spark, tmp_path_factory, ops):
+    """Any interleaving of MOR merges (incl. 'D' events), MOR predicate
+    deletes (tombstones at winner-ordinal/offset+1), and compactions
+    matches a sequential dict model — at the head AND at every retained
+    version. This is where a tombstone sort-key bug hides: a tombstone
+    that ties instead of winning resurrects the row one compact later;
+    one that overshoots swallows the NEXT legitimate upsert. Ordinals
+    are op indices (strictly increasing, the engine's contract), so a
+    post-delete merge must always resurrect and a pre-delete merge must
+    always stay dead."""
+    from rook_spark.lake.table import LakeTable
+
+    tmp = tmp_path_factory.mktemp("mor_del_alg")
+    table = LakeTable.create(
+        spark, str(tmp / "t"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("__ordinal", T.LongType()),
+            T.StructField("__offset", T.LongType()),
+        ]),
+        ["repo", "path"], n_buckets=2,
+    )
+    model: dict[str, str] = {}
+    history = {table.current_version(): dict(model)}
+
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "merge":
+            rows = [
+                ("r", f"p{k}", f"v{v}_{k}" if v is not None else None,
+                 i, i * 10 + k, "U" if v is not None else "D")
+                for k, v in arg
+            ]
+            table.merge_mor(spark.createDataFrame(
+                rows,
+                "repo string, path string, content string, "
+                "__ordinal long, __offset long, op string",
+            ), i)
+            for k, v in arg:
+                if v is None:
+                    model.pop(f"p{k}", None)
+                else:
+                    model[f"p{k}"] = f"v{v}_{k}"
+        elif kind == "delete":
+            table.delete_where(
+                f"content LIKE 'v{arg}!_%' ESCAPE '!'", mode="mor")
+            model = {k: v for k, v in model.items()
+                     if not v.startswith(f"v{arg}_")}
+        elif kind == "compact":
+            table.compact()
+        history[table.current_version()] = dict(model)
+
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got == model
+    for v, want in history.items():
+        got_v = {r["path"]: r["content"]
+                 for r in table.read(version=v).collect()}
+        assert got_v == want, f"time travel to v{v} diverged"
