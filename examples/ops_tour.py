@@ -126,6 +126,19 @@ def main() -> None:
         print(f"\n== delete_where(lang='md') -> {res} ==")
         print("erased rows stay readable through the pre-maint tag (audit)")
 
+        # --- 6c. merge-on-read erasure: tombstone deltas, zero base
+        # rewrite (O(matches) write — the 100 TB path), then compact
+        # executes the physical purge
+        n_py = table.read().where(F.col("lang") == "py").count()
+        base_before = dict(table.snapshot().buckets)
+        res = table.delete_where(F.col("lang") == "py", mode="mor")
+        assert res["deleted_rows"] == n_py
+        assert table.snapshot().buckets == base_before  # no base rewrite
+        assert table.read().where(F.col("lang") == "py").count() == 0
+        print(f"\n== delete_where(lang='py', mode='mor') -> {res} ==")
+        print(f"compact (physical purge) -> {table.compact()}")
+        assert not any(table.snapshot().deltas.values())
+
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
         store = InMemoryMetadataStore()
         mem = LakeTable.create(

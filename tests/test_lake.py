@@ -1399,3 +1399,140 @@ def test_delete_where_everything_and_noop(spark, num_table):
     v = t.current_version()
     res = t.delete_where(F.lit(True))
     assert res["skipped"] and t.current_version() == v
+
+
+# --------------------------------------------------- delete_where mode=mor
+
+
+def _del_changes(spark, rows):
+    """Engine-shaped change set: carries the __ordinal/__offset LWW sort
+    keys that mode='mor' tombstones need in the stored schema."""
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, content string, n long, "
+        "__ordinal long, __offset long, op string",
+    )
+
+
+@pytest.fixture()
+def del_table(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("__ordinal", T.LongType()),
+        T.StructField("__offset", T.LongType()),
+    ])
+    return LakeTable.create(
+        spark, str(tmp_path / "ot"), schema, ["repo", "path"], n_buckets=4
+    )
+
+
+def test_delete_where_mor_tombstones_no_base_rewrite(spark, del_table):
+    """mode='mor': matching rows vanish from read() via tombstone
+    deltas; base files are untouched (O(matches) write, the 100 TB
+    erasure path); time travel still serves the pre-delete state."""
+    t = del_table
+    t.merge(_del_changes(spark, [
+        ("r", f"p{i}", f"v{i}", i, i, i, "I") for i in range(10)
+    ]), 0)
+    v_before = t.current_version()
+    base_before = {b: list(fs) for b, fs in t.snapshot().buckets.items()}
+    res = t.delete_where(F.col("n") >= 7, mode="mor")
+    assert res["mode"] == "mor" and not res["skipped"]
+    assert res["deleted_rows"] == 3
+    assert {r["path"] for r in t.read().collect()} == {f"p{i}" for i in range(7)}
+    snap = t.snapshot()
+    assert snap.buckets == base_before, "mor delete must not rewrite bases"
+    assert any(snap.deltas.values()), "tombstones must land as deltas"
+    assert {r["path"] for r in t.read(version=v_before).collect()} \
+        == {f"p{i}" for i in range(10)}
+    # tombstones carry no erased content: delta rows for deleted keys
+    # are 'D' with NULL payload
+    delta_paths = [os.path.join(t.path, f)
+                   for fs in snap.deltas.values() for f in fs]
+    d = spark.read.parquet(*delta_paths)
+    assert d.count() == 3
+    assert d.where(F.col("__op") != "D").count() == 0
+    assert d.where(F.col("content").isNotNull() | F.col("n").isNotNull()).count() == 0
+
+
+def test_delete_where_mor_upsert_resurrects_key(spark, del_table):
+    """A later real event (higher ordinal) must win over the tombstone —
+    the same post-delete-upsert semantics as the COW path."""
+    t = del_table
+    t.merge(_del_changes(spark, [
+        ("r", "p1", "v1", 1, 1, 1, "I"), ("r", "p2", "v2", 2, 2, 2, "I"),
+    ]), 0)
+    t.delete_where(F.col("path") == "p1", mode="mor")
+    assert {r["path"] for r in t.read().collect()} == {"p2"}
+    t.merge_mor(_del_changes(spark, [("r", "p1", "back", 9, 100, 100, "U")]), 1)
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"p1": "back", "p2": "v2"}
+
+
+def test_delete_where_mor_compact_purges_physically(spark, del_table):
+    """compact() folds the tombstones: read unchanged, deltas cleared,
+    and the new base files no longer contain the erased rows — the
+    delete→compact→vacuum physical-purge pipeline."""
+    t = del_table
+    t.merge(_del_changes(spark, [
+        ("r", f"p{i}", f"v{i}", i, i, i, "I") for i in range(6)
+    ]), 0)
+    t.delete_where(F.col("n") % 2 == 0, mode="mor")
+    want = {r["path"] for r in t.read().collect()}
+    assert want == {"p1", "p3", "p5"}
+    t.compact()
+    snap = t.snapshot()
+    assert not any(snap.deltas.values())
+    assert {r["path"] for r in t.read().collect()} == want
+    base = spark.read.parquet(
+        *[os.path.join(t.path, f) for fs in snap.buckets.values() for f in fs]
+    )
+    assert {r["path"] for r in base.collect()} == want, \
+        "erased rows must be physically absent from the compacted base"
+
+
+def test_delete_where_mor_resolves_shadowed_winner(spark, del_table):
+    """The predicate applies to the RESOLVED state: a base row shadowed
+    by a newer delta must not be tombstoned on its stale content."""
+    t = del_table
+    t.merge(_del_changes(spark, [
+        ("r", "k1", "DELME", 1, 1, 1, "I"), ("r", "k2", "DELME", 2, 2, 2, "I"),
+    ]), 0)
+    t.merge_mor(_del_changes(spark, [("r", "k1", "keep", 1, 5, 5, "U")]), 1)
+    res = t.delete_where(F.col("content") == "DELME", mode="mor")
+    assert res["deleted_rows"] == 1
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"k1": "keep"}
+
+
+def test_delete_where_mor_hint_prunes_and_noop_skips(spark, del_table):
+    """ranges hints bound the scan in mor mode too; a no-match delete
+    commits nothing."""
+    t = del_table
+    t.merge(_del_changes(
+        spark, [("r", f"a{i}", "lo", i, i, i, "I") for i in range(8)]), 0)
+    t.merge(_del_changes(
+        spark, [("r", f"b{i}", "hi", 1000 + i, 100 + i, 100 + i, "I")
+                for i in range(8)]), 1)
+    total_files = sum(len(fs) for fs in t.snapshot().buckets.values())
+    res = t.delete_where(F.col("n") >= 1000, ranges={"n": (1000, None)},
+                         mode="mor")
+    assert res["deleted_rows"] == 8
+    assert res["files_scanned"] < total_files
+    assert res["files_carried"] > 0
+    assert {r["path"] for r in t.read().collect()} == {f"a{i}" for i in range(8)}
+    v = t.current_version()
+    res = t.delete_where(F.col("n") < 0, ranges={"n": (None, -1)}, mode="mor")
+    assert res["skipped"] and t.current_version() == v
+
+
+def test_delete_where_mor_requires_sort_keys(spark, num_table):
+    """A table whose stored schema lacks __ordinal/__offset cannot
+    express a winning tombstone — loud ValueError, not a wrong fold."""
+    t = num_table
+    t.merge(_num_changes(spark, [("r", "p", "v", 1, "I")]), 0)
+    with pytest.raises(ValueError, match="mor"):
+        t.delete_where(F.lit(True), mode="mor")
