@@ -74,9 +74,18 @@ def version_at_fence(table: LakeTable, fence: int) -> int:
     Maintenance commits (compact / cluster / tag / staging markers)
     inherit their parent's batch id, so the walk lands on the newest
     state-identical rewrite of the fenced epoch — the cheapest version
-    to read. Rollback commits REVERT the batch id, so a rolled-back
-    table naturally lowers the fence for the whole group (those epochs
-    officially un-happened; the group must not serve them).
+    to read. Predicate-erasure commits (``delete_where``, either mode)
+    ALSO inherit the fence while changing state — deliberate: retention
+    erasure is out-of-band of the epoch stream and must not be
+    escapable by fence alignment, so an aligned read serves "epoch B,
+    with all erasures to date applied". Rollback commits REVERT the
+    batch id, so a rolled-back table naturally lowers the fence for
+    the whole group (those epochs officially un-happened; the group
+    must not serve them).
+
+    Walk cost is O(versions past the fence) metadata loads — i.e. the
+    cross-table commit skew (normally a handful of epochs), never the
+    chain length.
 
     Raises ``ValueError`` when the walk hits a vacuumed gap before
     finding a qualifying version: the fenced state is no longer

@@ -1799,7 +1799,13 @@ class LakeTable:
         any applied winner) — post-delete upserts resurrect the key
         exactly like the COW path. Non-key payload columns are NULLed
         in the tombstone: the delta itself carries none of the erased
-        content."""
+        content.
+
+        Rows whose stored sort keys are NULL (a direct merge that never
+        populated them) tombstone at ``(-1, -1+1)`` — resurrection then
+        needs the later event to carry a real ordinal or a higher
+        offset, which the engine always does; hand-rolled NULL-ordinal
+        writers should prefer ``mode="cow"``."""
         from pyspark.sql import Observation
 
         schema = snap.schema()
