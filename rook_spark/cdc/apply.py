@@ -223,8 +223,12 @@ def apply_batch(
     # Buckets of BOTH images are collected so key-changing updates touch
     # the old key's bucket too.
     keys = list(key_cols)
-    b_before = bucket_expr([f"before.{k}" for k in keys], snap.n_buckets)
-    b_after = bucket_expr([f"after.{k}" for k in keys], snap.n_buckets)
+    # route by the snapshot's bucket columns (a subset of the key when
+    # bucket_cols is set), never the full key — must stay bit-identical
+    # to the MERGE's own bucket assignment
+    bkey = snap.bucket_key()
+    b_before = bucket_expr([f"before.{k}" for k in bkey], snap.n_buckets)
+    b_after = bucket_expr([f"after.{k}" for k in bkey], snap.n_buckets)
     # observe_bytes=False: byte accounting joins this aggregate instead,
     # at the cost of decoding content here too (a second heavy pass —
     # only for callers that opt out of Observation; the streaming path

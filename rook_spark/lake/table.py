@@ -281,6 +281,17 @@ class Snapshot:
     # commits, and vacuum retains tagged versions (and their files)
     # past the keep_last window. See LakeTable.tag.
     tags: dict[str, int] = field(default_factory=dict)
+    # bucket-routing columns: a PREFIX/subset of key_cols (Iceberg
+    # bucket-transform-on-identifier-subset analog). None = key_cols
+    # (the historical layout; old snapshots load as None). Lets a table
+    # whose merge key is finer than its locality key — e.g. an inverted
+    # index merged on (doc, token) but co-located by doc — keep one
+    # row-set with two orthogonal pruning axes (buckets for the
+    # locality key, blooms/stats for the rest).
+    bucket_cols: list[str] | None = None
+
+    def bucket_key(self) -> list[str]:
+        return self.bucket_cols or self.key_cols
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -304,6 +315,7 @@ class Snapshot:
                 "blooms": self.blooms,
                 "tags": self.tags,
                 "refs": self.refs,
+                "bucket_cols": self.bucket_cols,
             }
         )
 
@@ -344,12 +356,28 @@ class LakeTable:
         n_buckets: int = 32,
         store=None,
         bloom_cols: list[str] | tuple[str, ...] | None = None,
+        bucket_cols: list[str] | tuple[str, ...] | None = None,
     ) -> "LakeTable":
         """``bloom_cols``: columns to harvest per-file bloom filters for
         at every commit (drives ``read(points=...)`` equality skipping —
         the point-predicate pruning axis for columns min/max stats can't
         serve, e.g. a high-cardinality ``commit`` string). Costs one
-        driver-local column read per fresh file at commit time."""
+        driver-local column read per fresh file at commit time.
+
+        ``bucket_cols``: route buckets by a SUBSET of ``key_cols``
+        (default: all of them) — the Iceberg bucket-transform-on-a-
+        -key-prefix analog. Rows sharing the subset co-locate even when
+        the merge key is finer (an inverted index merged on
+        ``(doc, token)`` but co-located by doc); the subset constraint
+        is what keeps every MERGE/delete path correct, since a row's
+        bucket stays a pure function of its merge key."""
+        if bucket_cols is not None:
+            extra = set(bucket_cols) - set(key_cols)
+            if extra or not bucket_cols:
+                raise ValueError(
+                    f"bucket_cols must be a non-empty subset of key_cols "
+                    f"{list(key_cols)}, got {list(bucket_cols)}"
+                )
         t = cls(spark, path, store=store)
         t._store.init()
         if t.current_version() >= 0:
@@ -362,6 +390,7 @@ class LakeTable:
             n_buckets=n_buckets,
             committed_at=time.time(),
             bloom_cols=list(bloom_cols or []),
+            bucket_cols=list(bucket_cols) if bucket_cols else None,
         )
         t._write_snapshot(snap)
         return t
@@ -831,7 +860,7 @@ class LakeTable:
         for f in target_schema.fields:
             if f.name in changes.columns and changes.schema[f.name].dataType != f.dataType:
                 changes = changes.withColumn(f.name, F.col(f.name).cast(f.dataType))
-        changes = changes.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        changes = changes.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
         # cache only when the change set feeds >1 action (guard and/or
         # touched-bucket listing besides the COW write); on the engine
         # fast path (cardinality guaranteed by LWW, buckets piggybacked
@@ -1004,7 +1033,7 @@ class LakeTable:
                     F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
                 )
         merged = joined.where(~drop_row).select(*out_cols)
-        merged = merged.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        merged = merged.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
 
         # --- write new files for touched buckets (copy-on-write).
         # Shuffle/task width = O(touched buckets), NOT O(table buckets): a
@@ -1095,7 +1124,7 @@ class LakeTable:
                 # xxhash64(long), so narrow keys must hash as stored
                 src = src.withColumn(f.name, F.col(f.name).cast(f.dataType))
         src = src.select(*[f.name for f in target_schema.fields], "__op")
-        src = src.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        src = src.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
 
         new_version = snap.version + 1
         # Same O(touched) task-width rule as the COW path. The engine
@@ -1130,7 +1159,7 @@ class LakeTable:
         snap = self.snapshot()
         schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
         new_version = snap.version + 1
-        with_bucket = df.withColumn("__bucket", bucket_expr(snap.key_cols, snap.n_buckets))
+        with_bucket = df.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
         buckets = self._write_bucket_files(with_bucket, new_version, None)
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, schema, None
@@ -1254,7 +1283,7 @@ class LakeTable:
         if not fat:
             return {"compacted_buckets": 0}
         df = self.read(buckets=fat, include_internal=True, ref="head").withColumn(
-            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+            "__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets)
         )
         new_version = snap.version + 1
         written = self._write_bucket_files(df, new_version, len(fat))
@@ -1310,6 +1339,7 @@ class LakeTable:
             parent=cur.version,
             deltas={b: list(fs) for b, fs in target.deltas.items()},
             run_id=target.run_id,
+            bucket_cols=target.bucket_cols,
             stats={f: dict(mm) for f, mm in target.stats.items()},
             bloom_cols=list(target.bloom_cols),
             blooms={f: dict(bb) for f, bb in target.blooms.items()},
@@ -1484,7 +1514,7 @@ class LakeTable:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         df = self.read(include_internal=True, ref="head").withColumn(
-            "__bucket", bucket_expr(snap.key_cols, n_buckets)
+            "__bucket", bucket_expr(snap.bucket_key(), n_buckets)
         )
         new_version = snap.version + 1
         new_buckets = self._write_bucket_files(df, new_version, n_buckets)
@@ -1567,7 +1597,7 @@ class LakeTable:
         if not target:
             return {"clustered_buckets": 0}
         df = self.read(buckets=target, include_internal=True, ref="head").withColumn(
-            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+            "__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets)
         )
         # quantile fences: one bounded driver-side pass for all z columns
         zc = [F.col(c).cast("double").alias(c) for c in zorder]
@@ -1733,7 +1763,7 @@ class LakeTable:
             obs, F.sum(F.coalesce(cond, F.lit(False)).cast("long")).alias("n_del")
         )
         kept = df.where(~F.coalesce(cond, F.lit(False))).withColumn(
-            "__bucket", bucket_expr(snap.key_cols, snap.n_buckets)
+            "__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets)
         )
         new_version = snap.version + 1
         width = max(1, len(rewrite) + len(fold_buckets))
@@ -1846,7 +1876,7 @@ class LakeTable:
 
         tomb = matches.select(
             *[_field(f) for f in schema.fields], F.lit("D").alias("__op")
-        ).withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        ).withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
         obs = Observation()
         tomb = tomb.observe(obs, F.count(F.lit(1)).alias("n_del"))
 
@@ -2141,6 +2171,7 @@ class LakeTable:
             # maintenance commits (compact/vacuum/overwrite) pass None and
             # inherit the committing run's identity unchanged
             run_id=parent.run_id if run_id is None else run_id,
+            bucket_cols=parent.bucket_cols,
             # base files unchanged unless the caller rewrites buckets, in
             # which case it re-derives stats via _carry_stats; stats are
             # keyed by version-scoped paths so carried entries can never

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 72 queries, so the 22
+# order got CORRECTNESS rows). The registry holds 73 queries, so the 23
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -82,6 +82,7 @@ _DRIVER_TAIL = (
     "cdc_retention_delete",
     "cdc_consistent_read",
     "cdc_retention_delete_mor",
+    "cdc_fulltext_index",
 )
 
 
@@ -2851,4 +2852,79 @@ def cdc_retention_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.compact()  # physical purge: fold tombstones into the base
     return t.read().select(
         "repo", "path", "lang", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+_FULLTEXT_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    ),
+    final AS (
+      SELECT repo, path, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    ),
+    toks AS (
+      SELECT repo, path,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(content), '[^a-z0-9]+'),
+               t -> t <> ''))) AS token
+      FROM final
+    )
+    SELECT token, count(*) AS n_docs,
+           sum(CAST(('0x' || substr(md5(repo || '|' || path), 1, 12))
+                    AS BIGINT)) AS doc_checksum
+    FROM toks GROUP BY token
+    """
+
+
+@register("cdc_fulltext_index", _FULLTEXT_SQL)
+def cdc_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted text index through the LIVE engine
+    (cdc/fulltext.py — rook's FullTextIndexSynchronizer analog,
+    ``FullTextIndexSynchronizer.java:74-87`` /
+    ``DefaultRowsMutationIndexer.java:64-88``): the K1 listener fan-out
+    maintains a posting table (doc key, token) from the change feed —
+    bucketed by DOC for O(changed-docs) maintenance, bloom-filtered on
+    TOKEN for lookup file skipping (the bucket_cols key-prefix routing).
+    Two epochs of the driver log guarantee cross-epoch updates, so
+    stale-token tombstones and deleted-doc purges actually fire. The
+    oracle re-derives every posting from the independent LWW replay
+    with the IDENTICAL tokenizer (lower / split on non-alphanumerics /
+    distinct) and aggregates per token with an md5-prefix doc checksum
+    — a stale posting left behind, a purge that overshot, or a
+    tokenizer drift all hash-mismatch."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.cdc.fulltext import InvertedIndex
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    cut = n // 2
+    d = _scratch_dir("fulltext")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    idx = InvertedIndex(spark, f"{d}/fts", n_buckets=16)
+    engine.with_sink("fulltext_index", idx.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < cut))
+    engine.replay(ev.where(F.col("offset") >= cut))
+    return idx.postings().groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "repo", "path")), 1, 12),
+                16, 10,
+            ).cast("long")
+        ).alias("doc_checksum"),
     )
