@@ -189,8 +189,12 @@ class InvertedIndex:
                 # sets no longer contain — including every posting of a
                 # deleted doc (rook's purge half of index-or-purge,
                 # DefaultRowsMutationIndexer.java:64-88)
+                # ref="head": the write path must see the chain head —
+                # under WAP staging of the index a default read would
+                # resolve the published ref and tombstone against stale
+                # postings (same convention as every engine write path)
                 old = (
-                    idx.read(buckets=touched)
+                    idx.read(buckets=touched, ref="head")
                     .select(*self.key_cols, "token")
                     .join(
                         docs.select(
