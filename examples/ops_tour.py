@@ -139,6 +139,30 @@ def main() -> None:
         print(f"compact (physical purge) -> {table.compact()}")
         assert not any(table.snapshot().deltas.values())
 
+        # --- 6d. inverted text index: bootstrap from the table, then
+        # bloom-pruned token lookup + AND-search (rook's full-text sink
+        # analog; incrementally maintained when attached as an engine
+        # sink — see cdc/fulltext.py)
+        from rook_spark.cdc.fulltext import InvertedIndex
+
+        fts = InvertedIndex(spark, os.path.join(work, "fts"), n_buckets=8)
+        n_post = fts.rebuild(table)
+        # two live tokens from one real document -> lookup and AND-search
+        # are guaranteed non-empty
+        doc = fts.postings().orderBy("repo", "path", "token").first()
+        t1, t2 = [
+            r["token"]
+            for r in fts.postings()
+            .where((F.col("repo") == doc["repo"]) & (F.col("path") == doc["path"]))
+            .select("token").distinct().orderBy("token").limit(2).collect()
+        ]
+        n1 = fts.lookup(t1).count()
+        both = fts.search_all([t1, t2]).count()
+        assert n1 > 0 and both > 0
+        assert fts.table().snapshot().bucket_cols == ["repo", "path"]
+        print(f"\n== inverted index: {n_post} postings; lookup({t1!r}) -> "
+              f"{n1} docs, search_all({t1!r} AND {t2!r}) -> {both} ==")
+
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
         store = InMemoryMetadataStore()
         mem = LakeTable.create(
