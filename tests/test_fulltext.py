@@ -189,3 +189,41 @@ def test_bucket_cols_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="subset"):
         LakeTable.create(spark, str(tmp_path / "t2"), schema, ["a"],
                          bucket_cols=[])
+
+
+def test_streaming_tail_maintains_postings(spark, tmp_path):
+    """The index sink under a REAL Structured Streaming tail (S1 →
+    foreachBatch): micro-batched delivery must land the same postings
+    as tokenizing the final table — the production deployment shape."""
+    from rook_spark.cdc.fixtures import write_events
+
+    src = str(tmp_path / "log")
+    write_events(generate_events(spark, 1200, seed=63), src, n_files=4)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    idx = InvertedIndex(spark, str(tmp_path / "fts"), n_buckets=8)
+    engine.with_sink("fulltext_index", idx.sink(), when="before")
+    q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # genuinely micro-batched
+    assert _postings_state(idx) == _recompute_state(idx, engine.target().read())
+
+
+def test_fresh_checkpoint_restart_does_not_fence_new_postings(spark, tmp_path):
+    """The fence is scoped to the checkpoint run_id (same contract as
+    DedupIndex): a restart from a FRESH checkpoint restarts batch ids
+    at 0 — the new run's batches must fall through to the conditional-
+    ordinal MERGE, while re-delivery within ONE run stays fenced."""
+    idx = InvertedIndex(spark, str(tmp_path / "fts"), n_buckets=4)
+    sink = idx.sink()
+    for bid in range(3):
+        sink(_flat(spark, [
+            ("r", f"a{bid}", "I", bid + 1, bid, f"alpha beta{bid}")
+        ]), bid, "ckptA")
+    before = _postings_state(idx)
+    # same run, duplicate batch: fenced
+    sink(_flat(spark, [("r", "zz", "I", 9, 9, "zeta")]), 2, "ckptA")
+    assert _postings_state(idx) == before
+    # fresh checkpoint, batch ids restart at 0: must apply
+    sink(_flat(spark, [("r", "b0", "I", 10, 10, "delta")]), 0, "ckptB")
+    assert ("r", "b0", "delta") in _postings_state(idx)
