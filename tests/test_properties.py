@@ -171,9 +171,11 @@ _OP = st.one_of(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.parametrize("bucket_cols", [None, ["repo"]],
+                         ids=["full-key", "prefix-routed"])
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
-def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
+def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, ops):
     """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
     / cluster (z-order rewrite) / tag / drop_tag / stage / publish /
     abort matches a dict model, at the final version AND at every
@@ -198,7 +200,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
             T.StructField("content", T.StringType()),
             T.StructField("n", T.LongType()),
         ]),
-        ["repo", "path"], n_buckets=4,
+        ["repo", "path"], n_buckets=4, bucket_cols=bucket_cols,
     )
     model: dict[str, str] = {}
     history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
@@ -209,7 +211,9 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, ops):
     for i, (kind, arg) in enumerate(ops):
         if kind == "merge":
             rows = [
-                ("r", f"p{k}", f"v{i}_{k}" if v is not None else None,
+                # repo varies with the key so PREFIX routing actually
+                # spreads buckets (and full-key routing is unchanged)
+                (f"r{k % 2}", f"p{k}", f"v{i}_{k}" if v is not None else None,
                  (v if v is not None else 0) * 10 + k,
                  "U" if v is not None else "D")
                 for k, v in arg
