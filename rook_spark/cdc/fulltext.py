@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 from rook_spark.cdc.reduce import lww_reduce
 from rook_spark.lake.table import LakeTable, bucket_expr
 
-__all__ = ["InvertedIndex", "tokens_expr"]
+__all__ = ["InvertedIndex", "tokens_expr", "token_positions_expr"]
 
 
 def tokens_expr(text_col: str | Column) -> Column:
@@ -69,6 +69,21 @@ def tokens_expr(text_col: str | Column) -> Column:
     return F.array_distinct(
         F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != "")
     )
+
+
+def token_positions_expr(text_col: str | Column) -> Column:
+    """``array<struct<t: string, p: int>>`` — every token occurrence
+    with its WORD position (index in the raw split array; empties are
+    dropped but keep their slot, so positions of adjacent words always
+    differ by exactly 1 regardless of leading separators). The same
+    rule on both the incremental and rebuild paths is what makes
+    phrase adjacency well-defined."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.split(F.lower(col), "[^a-z0-9]+")
+    pairs = F.transform(
+        arr, lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("p"))
+    )
+    return F.filter(pairs, lambda x: x["t"] != "")
 
 
 class InvertedIndex:
@@ -110,7 +125,9 @@ class InvertedIndex:
         by_name = {f.name: f.dataType for f in reference.schema.fields}
         schema = T.StructType(
             [T.StructField(c, by_name[c]) for c in self.key_cols]
-            + [T.StructField("token", T.StringType())]
+            + [T.StructField("token", T.StringType()),
+               # word positions of every occurrence (phrase adjacency)
+               T.StructField("positions", T.ArrayType(T.IntegerType()))]
             + [T.StructField(c, T.LongType()) for c in ("__ordinal", "__offset")]
         )
         return LakeTable.create(
@@ -150,6 +167,48 @@ class InvertedIndex:
             out = out.join(self.lookup(tk), self.key_cols, "leftsemi")
         return out
 
+    def phrase_search(self, words: Iterable[str]) -> DataFrame:
+        """Documents containing the words CONSECUTIVELY (Lucene phrase
+        query): per-word bloom-pruned posting legs joined on the doc
+        key, then one array predicate — a start position of word 0
+        whose i-th successor appears in every word i's positions. Cost:
+        len(phrase) pruned scans + posting-sized joins, never a content
+        re-scan. Words must be single tokens of the index's tokenizer
+        (validated loudly)."""
+        from functools import reduce as _reduce
+
+        ws = [w.lower() for w in words]
+        if not ws:
+            raise ValueError("phrase_search needs at least one word")
+        for w in ws:
+            if not w or any(not ("a" <= c <= "z" or "0" <= c <= "9") for c in w):
+                raise ValueError(
+                    f"phrase word {w!r} is not a single token of the "
+                    "index tokenizer ([a-z0-9]+ after lowercasing)")
+        if len(ws) == 1:
+            return self.lookup(ws[0])
+        t = self.table()
+
+        def leg(w: str, i: int) -> DataFrame:
+            return (
+                t.read(points={"token": w})
+                .where(F.col("token") == w)
+                .select(*self.key_cols, F.col("positions").alias(f"__p{i}"))
+            )
+
+        out = leg(ws[0], 0)
+        for i, w in enumerate(ws[1:], start=1):
+            out = out.join(leg(w, i), self.key_cols)
+        adjacent = F.exists(
+            F.col("__p0"),
+            lambda p: _reduce(
+                lambda a, b: a & b,
+                [F.array_contains(F.col(f"__p{i}"), p + i)
+                 for i in range(1, len(ws))],
+            ),
+        )
+        return out.where(adjacent).select(*self.key_cols)
+
     # ----------------------------------------------------------------- sink
 
     def sink(self):
@@ -169,7 +228,7 @@ class InvertedIndex:
                     *self.key_cols, "op",
                     F.col("commit_ordinal").alias("__ordinal"),
                     F.col("offset").alias("__offset"),
-                    tokens_expr(self.text_col).alias("__tokens"),
+                    token_positions_expr(self.text_col).alias("__tp"),
                 )
                 # touched buckets: bounded driver aggregate (≤ n_buckets
                 # ints, computed on the persisted reduce — same class of
@@ -180,9 +239,16 @@ class InvertedIndex:
                         bucket_expr(self.key_cols, self.n_buckets)
                     ).distinct().collect()
                 ]
-                new = docs.where(F.col("op") != "D").select(
-                    *self.key_cols, "__ordinal", "__offset",
-                    F.explode("__tokens").alias("token"),
+                new = (
+                    docs.where(F.col("op") != "D")
+                    .select(*self.key_cols, "__ordinal", "__offset",
+                            F.explode("__tp").alias("tp"))
+                    .groupBy(*self.key_cols, F.col("tp.t").alias("token"))
+                    .agg(
+                        F.sort_array(F.collect_list("tp.p")).alias("positions"),
+                        F.first("__ordinal").alias("__ordinal"),
+                        F.first("__offset").alias("__offset"),
+                    )
                 )
                 # stale postings: everything the index holds for the
                 # batch's docs (touched buckets only) that the new token
@@ -204,9 +270,10 @@ class InvertedIndex:
                 )
                 stale = old.join(new.select(*self.merge_keys),
                                  self.merge_keys, "leftanti")
-                changes = (
-                    new.withColumn("op", F.lit("U"))
-                    .unionByName(stale.withColumn("op", F.lit("D")))
+                changes = new.withColumn("op", F.lit("U")).unionByName(
+                    # tombstones carry no positions (null-filled)
+                    stale.withColumn("op", F.lit("D")),
+                    allowMissingColumns=True,
                 )
                 idx.merge(
                     changes, batch_id, op_col="op",
@@ -232,9 +299,15 @@ class InvertedIndex:
         for c in ("__ordinal", "__offset"):
             if c not in docs.columns:
                 docs = docs.withColumn(c, F.lit(-1).cast("long"))
-        post = docs.select(
-            *self.key_cols, "__ordinal", "__offset",
-            F.explode(tokens_expr(self.text_col)).alias("token"),
+        post = (
+            docs.select(*self.key_cols, "__ordinal", "__offset",
+                        F.explode(token_positions_expr(self.text_col)).alias("tp"))
+            .groupBy(*self.key_cols, F.col("tp.t").alias("token"))
+            .agg(
+                F.sort_array(F.collect_list("tp.p")).alias("positions"),
+                F.first("__ordinal").alias("__ordinal"),
+                F.first("__offset").alias("__offset"),
+            )
         )
         post.persist()
         try:

@@ -140,6 +140,13 @@ def _widen_schema(
             continue
         if cur.dataType == f.dataType:
             continue
+        if cur.dataType.simpleString() == f.dataType.simpleString():
+            # same type up to NULLABILITY metadata (array<int> with
+            # containsNull true vs false, e.g. a stored nullable array
+            # column fed from collect_list) — not an evolution; the
+            # stored (more permissive) form stands and the merge's cast
+            # loop aligns the incoming frame
+            continue
         wide = _promote_type(cur.dataType, f.dataType)
         if wide is None:
             raise ValueError(

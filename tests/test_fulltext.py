@@ -112,6 +112,12 @@ def test_rebuild_equals_incremental(spark, tmp_path):
     n = idx2.rebuild(engine.target())
     assert n == len(incremental)
     assert _postings_state(idx2) == incremental
+    # positions parity too — phrase adjacency must not depend on which
+    # path built the index
+    def _pos(ix):
+        return {(r["repo"], r["path"], r["token"]): r["positions"]
+                for r in ix.postings().collect()}
+    assert _pos(idx) == _pos(idx2)
 
 
 def _nfiles(df) -> int:
@@ -227,3 +233,40 @@ def test_fresh_checkpoint_restart_does_not_fence_new_postings(spark, tmp_path):
     # fresh checkpoint, batch ids restart at 0: must apply
     sink(_flat(spark, [("r", "b0", "I", 10, 10, "delta")]), 0, "ckptB")
     assert ("r", "b0", "delta") in _postings_state(idx)
+
+
+def test_positions_and_phrase_search(spark, tmp_path):
+    """Positional postings: word positions index the raw split array
+    (adjacent words differ by exactly 1), and phrase_search matches
+    CONSECUTIVE occurrences only — order matters, updates move
+    positions, malformed phrase words refuse loudly."""
+    idx = InvertedIndex(spark, str(tmp_path / "fts"), n_buckets=4)
+    sink = idx.sink()
+    sink(_flat(spark, [
+        ("r", "a", "I", 0, 0, "Hello, world hello"),
+        ("r", "b", "I", 0, 1, "world hello"),
+    ]), 0)
+    pos = {(r["repo"], r["path"], r["token"]): list(r["positions"])
+           for r in idx.postings().collect()}
+    assert pos[("r", "a", "hello")] == [0, 2]
+    assert pos[("r", "a", "world")] == [1]
+    assert pos[("r", "b", "world")] == [0]
+
+    assert {tuple(r) for r in idx.phrase_search(["hello", "world"]).collect()} \
+        == {("r", "a")}
+    assert {tuple(r) for r in idx.phrase_search(["world", "hello"]).collect()} \
+        == {("r", "a"), ("r", "b")}
+    assert {tuple(r) for r in
+            idx.phrase_search(["hello", "world", "hello"]).collect()} == {("r", "a")}
+    # single word degrades to lookup; case folds
+    assert {tuple(r) for r in idx.phrase_search(["HELLO"]).collect()} \
+        == {("r", "a"), ("r", "b")}
+    # an update moves positions: the old phrase stops matching
+    sink(_flat(spark, [("r", "a", "U", 1, 2, "world of hello")]), 1)
+    assert idx.phrase_search(["hello", "world"]).count() == 0
+    assert {tuple(r) for r in idx.phrase_search(["world", "of", "hello"]).collect()} \
+        == {("r", "a")}
+    with pytest.raises(ValueError, match="single token"):
+        idx.phrase_search(["two words"])
+    with pytest.raises(ValueError, match="at least one"):
+        idx.phrase_search([])
