@@ -209,6 +209,54 @@ class InvertedIndex:
         )
         return out.where(adjacent).select(*self.key_cols)
 
+    def rank_search(
+        self, words: Iterable[str], k: int = 10, n_docs: int | None = None
+    ) -> DataFrame:
+        """OR-query with tf-idf ranking (the Lucene scoring shape):
+        docs matching ANY word, scored ``Σ_t tf(d,t) · ln((N+1)/(df(t)+1))``
+        over the matched words, top-``k`` by score. tf rides the stored
+        positions (``size(positions)``); df is counted on the
+        bloom-pruned legs themselves (posting-sized, never the corpus).
+        ``n_docs`` (corpus size N) should be passed by callers that
+        know it — e.g. the main table's row count the engine already
+        tracks; when omitted it is counted from the INDEX
+        (O(index) — fine for tests, wasteful at 10^10 docs).
+        Returns ``(key_cols..., score)``, ties broken by key for
+        determinism."""
+        ws = list(dict.fromkeys(w.lower() for w in words))
+        if not ws:
+            raise ValueError("rank_search needs at least one word")
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        t = self.table()
+        legs = None
+        for w in ws:
+            leg = (
+                t.read(points={"token": w})
+                .where(F.col("token") == w)
+                .select(*self.key_cols, "token",
+                        F.size("positions").alias("tf"))
+            )
+            legs = leg if legs is None else legs.unionByName(leg)
+        if n_docs is None:
+            n_docs = t.read().select(*self.key_cols).distinct().count()
+        # df per token over the pruned legs (posting-sized aggregate),
+        # broadcast back onto them — the corpus is never touched
+        df_per_token = legs.groupBy("token").agg(
+            F.count_distinct(*[F.col(c) for c in self.key_cols]).alias("df")
+        )
+        scored = (
+            legs.join(F.broadcast(df_per_token), "token")
+            .withColumn(
+                "__w",
+                F.col("tf")
+                * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+            )
+            .groupBy(*self.key_cols)
+            .agg(F.sum("__w").alias("score"))
+        )
+        return scored.orderBy(F.desc("score"), *self.key_cols).limit(k)
+
     # ----------------------------------------------------------------- sink
 
     def sink(self):

@@ -270,3 +270,38 @@ def test_positions_and_phrase_search(spark, tmp_path):
         idx.phrase_search(["two words"])
     with pytest.raises(ValueError, match="at least one"):
         idx.phrase_search([])
+
+
+def test_rank_search_tfidf_ordering(spark, tmp_path):
+    """tf-idf ranking: higher term frequency of a rarer word wins; the
+    OR semantics admit partial matches; scores match a hand model."""
+    import math
+
+    idx = InvertedIndex(spark, str(tmp_path / "fts"), n_buckets=4)
+    sink = idx.sink()
+    sink(_flat(spark, [
+        ("r", "a", "I", 0, 0, "rare rare common"),
+        ("r", "b", "I", 0, 1, "rare common common"),
+        ("r", "c", "I", 0, 2, "common common common"),
+        ("r", "d", "I", 0, 3, "nothing else here"),
+    ]), 0)
+    got = [(r["path"], r["score"])
+           for r in idx.rank_search(["rare", "common"], k=3, n_docs=4).collect()]
+    idf_rare = math.log(5 / 3)    # df(rare)=2
+    idf_common = math.log(5 / 4)  # df(common)=3
+    want = sorted(
+        [("a", 2 * idf_rare + 1 * idf_common),
+         ("b", 1 * idf_rare + 2 * idf_common),
+         ("c", 3 * idf_common)],
+        key=lambda x: -x[1],
+    )
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gs), (wp, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gp, gs, ws)
+    # k bounds the result; OR semantics exclude non-matching docs
+    assert idx.rank_search(["rare"], k=1, n_docs=4).first()["path"] == "a"
+    assert {r["path"] for r in
+            idx.rank_search(["rare", "common"], k=10, n_docs=4).collect()} \
+        == {"a", "b", "c"}
+    with pytest.raises(ValueError, match="at least one"):
+        idx.rank_search([])
