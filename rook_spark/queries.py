@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 73 queries, so the 23
+# order got CORRECTNESS rows). The registry holds 74 queries, so the 24
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -83,6 +83,7 @@ _DRIVER_TAIL = (
     "cdc_consistent_read",
     "cdc_retention_delete_mor",
     "cdc_fulltext_index",
+    "cdc_fulltext_phrase",
 )
 
 
@@ -2928,3 +2929,76 @@ def cdc_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("doc_checksum"),
     )
+
+
+_FULLTEXT_PHRASE_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    ),
+    final AS (
+      SELECT repo, path, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    ),
+    pairs AS (
+      SELECT repo, path,
+             unnest(list_filter(
+               list_transform(
+                 regexp_split_to_array(lower(content), '[^a-z0-9]+'),
+                 (x, i) -> struct_pack(t := x, p := i - 1)),
+               s -> s.t <> '')) AS tp
+      FROM final
+    ),
+    pos AS (
+      SELECT repo, path, tp.t AS token, list_sort(list(tp.p)) AS positions
+      FROM pairs GROUP BY repo, path, tp.t
+    ),
+    a AS (SELECT repo, path, positions AS pa FROM pos WHERE token = 'v1'),
+    b AS (SELECT repo, path, positions AS pb FROM pos WHERE token = 'click')
+    SELECT a.repo AS repo, a.path AS path
+    FROM a JOIN b USING (repo, path)
+    WHERE len(list_filter(pa, p -> list_contains(pb, p + 1))) > 0
+    """
+
+
+@register("cdc_fulltext_phrase", _FULLTEXT_PHRASE_SQL)
+def cdc_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query over the CDC-maintained POSITIONAL postings
+    (cdc/fulltext.py `phrase_search` — the Lucene phrase-query shape):
+    after a two-epoch engine replay with the index sink, the phrase
+    ["v1", "click"] must return exactly the documents whose FINAL
+    content carries the two tokens consecutively — i.e. LWW winners of
+    event_type='click'. The oracle re-derives word positions from the
+    independent LWW replay with the identical rule (index in the raw
+    split array, empties dropped but slots kept — DuckDB's
+    list_transform (x, i) lambda) and applies the same adjacency
+    predicate — a positions-drift between the incremental index and a
+    from-scratch tokenization, a stale posting surviving an update, or
+    an off-by-one in the adjacency test all hash-mismatch."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fulltext import InvertedIndex
+
+    from rook_spark.cdc.fixtures import map_driver_events
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    cut = n // 2
+    d = _scratch_dir("fulltext_phrase")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    idx = InvertedIndex(spark, f"{d}/fts", n_buckets=16)
+    engine.with_sink("fulltext_index", idx.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < cut))
+    engine.replay(ev.where(F.col("offset") >= cut))
+    return idx.phrase_search(["v1", "click"])
