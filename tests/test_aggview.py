@@ -144,3 +144,21 @@ def test_payload_derived_group_migration(spark, tmp_path):
         )
     }
     assert got == want
+
+
+def test_streaming_tail_maintains_view(spark, tmp_path):
+    """The delta-fold sink under a REAL Structured Streaming tail:
+    micro-batched folds must land the same totals as one full
+    aggregate — the production deployment shape."""
+    from rook_spark.cdc.fixtures import write_events
+
+    src = str(tmp_path / "log")
+    write_events(generate_events(spark, 1200, seed=76), src, n_files=4)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    view = _view(spark, tmp_path, engine)
+    engine.with_sink("agg_view", view.sink(), when="before")
+    q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # genuinely micro-batched
+    assert _state(view) == _recompute(view)
