@@ -20,7 +20,11 @@ is running, in one runnable script.
    (``read(ranges=...)``: "what changed since the watermark" without
    listing the untouched bulk of the table),
 9. dedup at ingest → **DedupIndex** (signatures maintained per epoch
-   from the change feed; near-dup probe of new docs against the index).
+   from the change feed; near-dup probe of new docs against the index),
+10. time + totals as derived sinks → **Scd2History** (validity
+    intervals; ``state_at`` any ordinal — no snapshot needed) and
+    **DeltaAggView** (per-group totals moved by signed delta folds,
+    O(changed rows) per epoch).
 
 Run:  python examples/ops_tour.py   (local[4], ~1.5 min)
 """
@@ -162,6 +166,41 @@ def main() -> None:
         assert fts.table().snapshot().bucket_cols == ["repo", "path"]
         print(f"\n== inverted index: {n_post} postings; lookup({t1!r}) -> "
               f"{n1} docs, search_all({t1!r} AND {t2!r}) -> {both} ==")
+
+        # --- 6e. time and totals as derived sinks: SCD2 history (every
+        # version as a validity interval; point-in-time reads at ANY
+        # ordinal, beyond epoch-granular time travel) and a delta-fold
+        # aggregate view (per-repo totals moved by signed contributions,
+        # O(changed rows) per epoch even for hot groups)
+        from rook_spark.cdc.aggview import DeltaAggView
+        from rook_spark.cdc.scd2 import Scd2History
+
+        eng_d = CdcEngine(
+            spark, os.path.join(work, "repos_d"), n_buckets=4
+        ).ignoring_servers(99)
+        hist = Scd2History(spark, os.path.join(work, "scd2"), n_buckets=4)
+        mv = DeltaAggView(
+            spark, os.path.join(work, "mv"), eng_d.target,
+            group_expr=lambda: F.col("repo"),
+            measures={"total_chars": lambda: F.length("content")},
+            group_name="repo", n_buckets=4,
+        )
+        eng_d.with_sink("scd2", hist.sink(), when="before")
+        eng_d.with_sink("agg_view", mv.sink(), when="before")
+        small = events.where(F.col("offset") < 8_000)
+        eng_d.replay(small.where(F.col("offset") < 4_000), 0)
+        eng_d.replay(small.where(F.col("offset") >= 4_000), 1)
+        n_int = hist.history().count()
+        n_open = hist.current().count()
+        probe = 6_000  # an ordinal INSIDE epoch 2 — no snapshot exists here
+        n_at = hist.state_at(probe).count()
+        top = mv.read().orderBy(F.col("n_rows").desc()).first()
+        assert n_open == eng_d.target().read().count()
+        print(f"\n== scd2: {n_int} intervals ({n_open} open = live rows); "
+              f"state_at({probe}) -> {n_at} rows mid-epoch ==")
+        print(f"== delta-fold view: top repo {top['repo']} has "
+              f"{top['n_rows']} paths / {top['total_chars']} chars, "
+              f"folded per epoch — never re-aggregated ==")
 
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
         store = InMemoryMetadataStore()
