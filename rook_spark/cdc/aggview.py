@@ -68,7 +68,7 @@ from pyspark.sql import types as T
 
 from rook_spark.cdc.apply import watermark_filter
 from rook_spark.cdc.reduce import lww_reduce
-from rook_spark.lake.table import LakeTable
+from rook_spark.lake.table import LakeTable, bucket_expr
 
 
 class DeltaAggView:
@@ -161,12 +161,20 @@ class DeltaAggView:
             if batch_id <= snap.batch_id and run_id == snap.run_id:
                 return
             fresh = watermark_filter(flat, snap.lineage)
-            # one narrow pass: per-partition watermarks + global fold guard
+            # one narrow pass: per-partition watermarks + global fold
+            # guard + the MAIN table's touched buckets (piggybacked here
+            # so the pre-image read below lists only those files — the
+            # scan is O(touched buckets), never O(main table))
+            main_snap = self.main().snapshot()
             lin_rows = (
                 fresh.groupBy("source_partition")
                 .agg(F.max("offset").alias("max_off"),
                      F.count(F.lit(1)).alias("n"),
-                     F.max("commit_ordinal").alias("max_ord"))
+                     F.max("commit_ordinal").alias("max_ord"),
+                     F.collect_set(
+                         bucket_expr(main_snap.bucket_key(),
+                                     main_snap.n_buckets)
+                     ).alias("bks"))
                 .collect()
             )
             if not lin_rows:
@@ -181,11 +189,13 @@ class DeltaAggView:
             }
             max_ord = max(int(r["max_ord"]) for r in lin_rows)
             max_off = max(int(r["max_off"]) for r in lin_rows)
+            main_buckets = sorted({b for r in lin_rows for b in r["bks"]})
 
             reduced = lww_reduce(fresh, key_cols=self.key_cols)
             reduced.persist()
+            delta = None
             try:
-                old = self.main().read().join(
+                old = self.main().read(buckets=main_buckets).join(
                     reduced.select(*self.key_cols), self.key_cols, "inner"
                 )
                 delta = (
@@ -201,7 +211,18 @@ class DeltaAggView:
                           & _all_zero(list(self.measures)))
                     )
                 )
-                cur = t.read().select(
+                # same pruning for the stored-totals read: the touched
+                # GROUPS' buckets only (delta is tiny — persisted so the
+                # bucket listing doesn't recompute the fold; unpersisted
+                # in the shared finally below)
+                delta.persist()
+                mv_buckets = sorted(
+                    r[0]
+                    for r in delta.select(
+                        bucket_expr(snap.bucket_key(), snap.n_buckets)
+                    ).distinct().collect()
+                )
+                cur = t.read(buckets=mv_buckets).select(
                     self.group_name,
                     F.col("n_rows").alias("__cur_n"),
                     *[F.col(m).alias(f"__cur_{m}") for m in self.measures],
@@ -231,6 +252,8 @@ class DeltaAggView:
                 )
             finally:
                 reduced.unpersist()
+                if delta is not None:
+                    delta.unpersist()
 
         return fn
 

@@ -68,7 +68,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from rook_spark.lake.table import LakeTable
+from rook_spark.lake.table import LakeTable, bucket_expr
 
 # batch bookkeeping columns that never become history payload
 _NON_PAYLOAD = ("op", "commit_ordinal", "offset", "source_partition", "tx_id")
@@ -213,7 +213,19 @@ class Scd2History:
                     F.min(F.struct("commit_ordinal", "offset", "op")).alias("__f")
                 )
                 t = self.table(reference=flat)
-                cur = t.read().where(F.col("is_current"))
+                # file-level pruning for the close-currents read: only
+                # the buckets the batch's keys route to are even LISTED
+                # (bucket_cols co-location makes this exact) — the scan
+                # is O(touched buckets), never O(history), the same
+                # mechanism the MERGE itself uses
+                snap = t.snapshot()
+                touched = sorted(
+                    r[0]
+                    for r in flat.select(
+                        bucket_expr(snap.bucket_key(), snap.n_buckets)
+                    ).distinct().collect()
+                )
+                cur = t.read(buckets=touched).where(F.col("is_current"))
                 # carry the STORED row's columns (not the batch's — an
                 # additive-evolution batch has columns old rows lack)
                 keep = [c for c in cur.columns
