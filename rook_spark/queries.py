@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 77 queries, so the 27
+# order got CORRECTNESS rows). The registry holds 78 queries, so the 28
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -87,6 +87,7 @@ _DRIVER_TAIL = (
     "cdc_scd2_history",
     "cdc_scd2_state_at",
     "cdc_delta_agg_mv",
+    "cdc_asof_version_lookup",
 )
 
 
@@ -3184,3 +3185,72 @@ def cdc_delta_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.replay(ev.where(F.col("offset") < n // 2))
     engine.replay(ev.where(F.col("offset") >= n // 2))
     return view.read().select("repo", "n_rows", "total_chars")
+
+
+_ASOF_VERSION_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    probes AS (
+      SELECT 'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             event_id AS probe_ordinal
+      FROM events
+      WHERE event_id % 5 = 2
+    )
+    SELECT p.repo AS repo, p.path AS path, p.probe_ordinal AS probe_ordinal,
+           m.op AS matched_op,
+           sha256(m.content) AS matched_sha,
+           m.commit_ordinal AS matched_ordinal
+    FROM probes p
+    ASOF LEFT JOIN mapped m
+      ON p.repo = m.repo AND p.path = m.path
+     AND p.probe_ordinal >= m.commit_ordinal
+    """
+
+
+@register("cdc_asof_version_lookup", _ASOF_VERSION_SQL)
+def cdc_asof_version_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) enrichment over the CDC version log: each probe
+    (key, ordinal) picks up the LATEST version at-or-before its ordinal
+    — the point-in-time lookup shape every audit/debug/train-serve-skew
+    investigation needs, and the operator Spark lacks natively. The
+    engine side is rook_spark.functions.asof.asof_join (union + ONE
+    window pass per key — no range cross-product, no per-group Python);
+    the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the tie semantics
+    (probe at exactly a version's ordinal matches it, inclusive) and
+    the no-prior-version null case are checked against an independent
+    industrial implementation, not our own logic restated. Decoy-key
+    probes (their versions filtered from the log) must surface as
+    nulls on both sides."""
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.cdc.normalize import normalize
+    from rook_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    probes = ev.where(F.col("event_id") % 5 == 2).select(
+        F.concat(F.lit("repo-"), F.lpad((uid % 25).cast("string"), 4, "0")).alias("repo"),
+        F.concat(F.lit("src/f"), F.lpad(uid.cast("string"), 6, "0"), F.lit(".txt")).alias("path"),
+        F.col("event_id").alias("probe_ordinal"),
+    )
+    versions = normalize(map_driver_events(ev), ignored_server_ids=(99,)).select(
+        "repo", "path", "commit_ordinal",
+        F.col("op").alias("matched_op"),
+        F.sha2("content", 256).alias("matched_sha"),
+        F.col("commit_ordinal").alias("matched_ordinal"),
+    )
+    return asof_join(
+        probes, versions, key_cols=["repo", "path"],
+        left_time="probe_ordinal", right_time="commit_ordinal",
+        value_cols=["matched_op", "matched_sha", "matched_ordinal"],
+    )
