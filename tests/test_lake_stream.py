@@ -1,0 +1,141 @@
+"""Lake changelog as a Structured Streaming source (lake/stream.py):
+the invariant is that the streamed per-epoch feed, LWW-folded, always
+reproduces the table state — across multi-epoch tails, maintenance
+commits interleaved mid-stream, and checkpoint restarts (exactly-once:
+a recovered query re-emits nothing) — and that the COW contract is
+enforced loudly rather than epochs being dropped silently."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events
+from rook_spark.lake.stream import LakeChangeDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(LakeChangeDataSource)
+    return spark
+
+
+def _feed(spark, path, start=-1, end=None):
+    r = (spark.read.format("rook_lake_changes")
+         .option("path", path).option("start_version", start))
+    if end is not None:
+        r = r.option("end_version", end)
+    return r.load()
+
+
+def _fold(df):
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.col("ordinal").desc(), F.col("offset").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("repo", "path", "content")
+    )
+
+
+def _same(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_batch_feed_folds_to_table_state(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 2000, seed=91)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 1000), 0)
+    eng.replay(ev.where(F.col("offset") >= 1000), 1)
+    feed = _feed(spark, str(tmp_path / "t"))
+    assert set(feed.select("commit_version").distinct().toPandas()
+               ["commit_version"]) == {1, 2}
+    assert _same(_fold(feed), eng.target().read().select("repo", "path", "content"))
+    # ops survive verbatim (I/U/D — the reduced rows' own ops)
+    assert set(feed.select("op").distinct().toPandas()["op"]) <= {"I", "U", "D"}
+
+
+def test_bounded_window_reads_one_epoch(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 1500, seed=92)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 700), 0)
+    eng.replay(ev.where(F.col("offset") >= 700), 1)
+    one = _feed(spark, str(tmp_path / "t"), start=1, end=2)
+    assert set(one.select("commit_version").distinct().toPandas()
+               ["commit_version"]) == {2}
+
+
+def test_streaming_tail_with_maintenance_and_restart(registered, tmp_path):
+    """The full production shape: tail the feed while epochs land, a
+    compact interleaves (maintenance = version bump, NO change rows,
+    no error), the query restarts from its checkpoint (re-emits
+    nothing), then keeps tailing."""
+    spark = registered
+    ev = generate_events(spark, 2400, seed=93)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 600), 0)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("rook_lake_changes")
+            .option("path", str(tmp_path / "t")).option("start_version", 0)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    eng.replay(ev.where((F.col("offset") >= 600) & (F.col("offset") < 1200)), 1)
+    eng.target().compact()
+    eng.replay(ev.where((F.col("offset") >= 1200) & (F.col("offset") < 1800)), 2)
+    q.processAllAvailable()
+    q.stop()
+    n_before = spark.read.parquet(out).count()
+
+    q2 = start()
+    q2.processAllAvailable()
+    assert spark.read.parquet(out).count() == n_before  # nothing re-emitted
+    eng.replay(ev.where(F.col("offset") >= 1800), 3)
+    q2.processAllAvailable()
+    q2.stop()
+    df = spark.read.parquet(out)
+    assert df.count() > n_before  # the tail continued after restart
+    assert _same(_fold(df), eng.target().read().select("repo", "path", "content"))
+
+
+def test_cow_data_commit_refused_loudly(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 800, seed=94)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4).ignoring_servers(99)
+    eng.replay(ev, 0)
+    with pytest.raises(Exception, match="copy-on-write"):
+        _feed(spark, str(tmp_path / "t")).count()
+
+
+def test_mor_predicate_delete_rides_the_feed(registered, tmp_path):
+    """delete_where(mode='mor') writes key tombstone deltas — they must
+    surface as 'D' feed rows, so downstream consumers erase too (the
+    GDPR-propagation story)."""
+    spark = registered
+    ev = generate_events(spark, 1200, seed=95)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev, 0)
+    res = eng.target().delete_where(F.col("lang") == "md", mode="mor")
+    assert res["deleted_rows"] > 0
+    last = _feed(spark, str(tmp_path / "t"), start=1)
+    assert last.where(F.col("op") == "D").count() >= res["deleted_rows"]
+    assert _same(_fold(_feed(spark, str(tmp_path / "t"))),
+                 eng.target().read().select("repo", "path", "content"))
