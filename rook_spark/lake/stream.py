@@ -105,6 +105,8 @@ def _load_snapshot(table_path: str, version: int | None = None):
                     snap.buckets[b] = list(e["files"])
                 if e.get("deltas"):
                     snap.deltas[b] = list(e["deltas"])
+                snap.stats.update(e.get("stats", {}))
+                snap.blooms.update(e.get("blooms", {}))
     return snap
 
 

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 80 queries, so the 30
+# order got CORRECTNESS rows). The registry holds 81 queries, so the 31
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -90,6 +90,7 @@ _DRIVER_TAIL = (
     "cdc_asof_version_lookup",
     "cdc_change_feed",
     "cdc_relay_replica",
+    "cdc_lake_source_read",
 )
 
 
@@ -3386,4 +3387,63 @@ def cdc_relay_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     return LakeTable.load(spark, f"{d}/replica").read().select(
         "repo", "path", F.sha2("content", 256).alias("content_sha")
+    )
+
+
+_LAKE_SOURCE_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    )
+    SELECT repo, path, sha256(content) AS content_sha
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D' AND repo = 'repo-0003'
+    """
+
+
+@register("cdc_lake_source_read", _LAKE_SOURCE_SQL)
+def cdc_lake_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table as a first-class Spark batch format with
+    pushdown-driven file skipping (rook_spark.lake.source
+    .LakeTableDataSource, PySpark 4 Python Data Source API): a
+    two-epoch merge-on-read replay LEAVES UNFOLDED DELTAS, then the
+    table is read through ``spark.read.format("rook_lake")`` with a
+    key-equality predicate — Catalyst pushes the filter into the
+    source (stats/bloom file skipping, delta-carrying buckets exempt
+    for soundness) and re-applies it exactly; the worker-side pyarrow
+    bucket fold must reproduce read()'s LWW resolution bit for bit.
+    The oracle is the filtered independent LWW replay — a wrong fold
+    winner, a lost tombstone, or an over-eager prune all mismatch."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.lake.source import LakeTableDataSource
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    d = _scratch_dir("lake_source_read")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16,
+                       write_mode="mor").ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < n // 2))
+    engine.replay(ev.where(F.col("offset") >= n // 2))
+    try:
+        spark.dataSource.register(LakeTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("rook_lake").load(f"{d}/repos")
+        .where(F.col("repo") == "repo-0003")
+        .select("repo", "path", F.sha2("content", 256).alias("content_sha"))
     )

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source pushdown (lake/source.py pushFilters —
+        # stats/bloom file skipping driven by Catalyst's own predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("ROOK_SPARK_DRIVER_MEM", "8g"))

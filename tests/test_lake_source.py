@@ -1,0 +1,124 @@
+"""Lake table as a batch Spark format with pushdown file skipping
+(lake/source.py): the invariant is exact equality with
+``LakeTable.read()`` in every state (unfolded MOR deltas, post-delete,
+time travel) while pushed predicates prune files through the
+snapshot's stats/blooms — and NEVER prune a delta-carrying bucket
+(the soundness exemption read() applies)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+from rook_spark.cdc.engine import CdcEngine
+from rook_spark.cdc.fixtures import generate_events
+from rook_spark.lake.source import LakeTableDataSource, LakeTableReader
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(LakeTableDataSource)
+    return spark
+
+
+def _state(df):
+    return {(r["repo"], r["path"], r["content"]) for r in
+            df.select("repo", "path", "content").collect()}
+
+
+def _mor_engine(spark, path, ev, **kw):
+    eng = CdcEngine(spark, path, n_buckets=8, write_mode="mor",
+                    **kw).ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 1200), 0)
+    eng.target().compact()
+    eng.replay(ev.where(F.col("offset") >= 1200), 1)  # unfolded deltas
+    return eng
+
+
+def test_source_equals_read_with_unfolded_deltas(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 2500, seed=121)
+    eng = _mor_engine(spark, str(tmp_path / "t"), ev)
+    got = spark.read.format("rook_lake").load(str(tmp_path / "t"))
+    assert _state(got) == _state(eng.target().read())
+    # and after an erasure (tombstone deltas in the mix)
+    eng.target().delete_where(F.col("lang") == "md", mode="mor")
+    got = spark.read.format("rook_lake").load(str(tmp_path / "t"))
+    assert _state(got) == _state(eng.target().read())
+    assert got.where("lang = 'md'").count() == 0
+
+
+def test_version_time_travel(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 1500, seed=122)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 700), 0)
+    eng.replay(ev.where(F.col("offset") >= 700), 1)
+    old = (spark.read.format("rook_lake").option("version", 1)
+           .load(str(tmp_path / "t")))
+    assert _state(old) == _state(eng.target().read(version=1))
+
+
+def test_pushed_ranges_prune_files_but_stay_exact(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 2000, seed=123)
+    eng = _mor_engine(spark, str(tmp_path / "t"), ev)
+    eng.target().compact()  # fold → every bucket stat-prunable
+
+    r_all = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    n_all = sum(len(p.base) for p in r_all.partitions())
+    r = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    remaining = list(r.pushFilters([GreaterThanOrEqual(("__ordinal",), 10**9)]))
+    assert len(remaining) == 1  # every filter handed back for re-apply
+    assert sum(len(p.base) for p in r.partitions()) == 0 < n_all
+
+    # e2e through Spark: a real predicate still returns EXACT rows
+    got = (spark.read.format("rook_lake").load(str(tmp_path / "t"))
+           .where("lang = 'py'"))
+    assert _state(got) == _state(eng.target().read().where("lang = 'py'"))
+
+
+def test_bloom_equality_pruning(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 2000, seed=124)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=8, write_mode="mor",
+                    bloom_cols=("commit",)).ignoring_servers(99)
+    eng.replay(ev, 0)
+    eng.target().compact()
+    probe = eng.target().read().select("commit").first()["commit"]
+
+    r_all = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    n_all = sum(len(p.base) for p in r_all.partitions())
+    r = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    list(r.pushFilters([EqualTo(("commit",), probe)]))
+    n_pruned = sum(len(p.base) for p in r.partitions())
+    assert n_pruned < n_all  # a high-cardinality hash hits few blooms
+
+    got = (spark.read.format("rook_lake").load(str(tmp_path / "t"))
+           .where(F.col("commit") == probe))
+    assert got.count() == eng.target().read().where(F.col("commit") == probe).count()
+
+
+def test_delta_carrying_buckets_never_pruned(registered, tmp_path):
+    """Soundness: with unfolded deltas, stats describe only the BASE —
+    a delta row may revive a key outside the base bounds, so pruning
+    must skip those buckets entirely (mirrors read()'s exemption)."""
+    spark = registered
+    ev = generate_events(spark, 2000, seed=125)
+    eng = _mor_engine(spark, str(tmp_path / "t"), ev)  # deltas pending
+    hi = eng.target().read(include_internal=True).agg(
+        F.max("__ordinal")).first()[0]
+    # a range only the DELTA rows satisfy: pruning by base stats alone
+    # would drop base files whose keys the deltas revive
+    r = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    list(r.pushFilters([GreaterThanOrEqual(("__ordinal",), int(hi))]))
+    parts = r.partitions()
+    # every delta-carrying bucket keeps ALL its base files
+    snap_deltas = {p for p in parts if p.deltas}
+    assert snap_deltas, "fixture should leave unfolded deltas"
+    full = LakeTableReader(None, {"path": str(tmp_path / "t")})
+    by_first = {tuple(p.deltas): len(p.base) for p in full.partitions() if p.deltas}
+    for p in snap_deltas:
+        assert len(p.base) == by_first[tuple(p.deltas)]
