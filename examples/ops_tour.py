@@ -24,7 +24,12 @@ is running, in one runnable script.
 10. time + totals as derived sinks → **Scd2History** (validity
     intervals; ``state_at`` any ordinal — no snapshot needed) and
     **DeltaAggView** (per-group totals moved by signed delta folds,
-    O(changed rows) per epoch).
+    O(changed rows) per epoch),
+11. the table as first-class Spark formats → the **changelog feed**
+    (``readStream.format("rook_lake_changes")`` — MOR delta files ARE
+    the epoch's change set), a **relay replica** kept in sync at
+    O(change volume), read back via ``format("rook_lake")`` with
+    Catalyst filter pushdown driving stats/bloom file skipping.
 
 Run:  python examples/ops_tour.py   (local[4], ~1.5 min)
 """
@@ -176,8 +181,9 @@ def main() -> None:
         from rook_spark.cdc.scd2 import Scd2History
 
         eng_d = CdcEngine(
-            spark, os.path.join(work, "repos_d"), n_buckets=4
-        ).ignoring_servers(99)
+            spark, os.path.join(work, "repos_d"), n_buckets=4,
+            write_mode="mor",  # MOR: the delta files double as the
+        ).ignoring_servers(99)  # change feed for step 6f
         hist = Scd2History(spark, os.path.join(work, "scd2"), n_buckets=4)
         mv = DeltaAggView(
             spark, os.path.join(work, "mv"), eng_d.target,
@@ -201,6 +207,35 @@ def main() -> None:
         print(f"== delta-fold view: top repo {top['repo']} has "
               f"{top['n_rows']} paths / {top['total_chars']} chars, "
               f"folded per epoch — never re-aggregated ==")
+
+        # --- 6f. the table as FIRST-CLASS Spark formats: tail the
+        # changelog with readStream (each MOR commit's delta files ARE
+        # the epoch's change set), relay it into a replica, and read
+        # the replica back through the batch format with Catalyst
+        # filter pushdown driving stats-based file skipping
+        from rook_spark.lake.replicate import replicate
+        from rook_spark.lake.source import LakeTableDataSource
+        from rook_spark.lake.stream import LakeChangeDataSource
+
+        spark.dataSource.register(LakeChangeDataSource)
+        spark.dataSource.register(LakeTableDataSource)
+        feed = (spark.read.format("rook_lake_changes")
+                .option("path", os.path.join(work, "repos_d"))
+                .option("start_version", -1).load())
+        n_feed = feed.count()
+        qr = replicate(spark, os.path.join(work, "repos_d"),
+                       os.path.join(work, "replica"),
+                       os.path.join(work, "relay_ckpt"))
+        qr.processAllAvailable()
+        qr.stop()
+        replica = (spark.read.format("rook_lake")
+                   .load(os.path.join(work, "replica")))
+        n_rep, n_src = replica.count(), eng_d.target().read().count()
+        assert n_rep == n_src
+        print(f"\n== change feed: {n_feed} rows across "
+              f"{feed.select('commit_version').distinct().count()} commits; "
+              f"relay replica == source ({n_rep} rows), read back via "
+              f"format('rook_lake') with pushdown ==")
 
         # --- 7. same engine logic, different catalog: zero _meta/ on disk
         store = InMemoryMetadataStore()
