@@ -46,8 +46,8 @@ Usage::
     spark.dataSource.register(LakeChangeDataSource)
     feed = (spark.readStream.format("rook_lake_changes")
             .option("path", table_path)
-            .option("start_version", 0)   # default: current version
-            .load())
+            .option("start_version", 0)   # or "earliest" / "latest";
+            .load())                      # default: latest (new commits)
     # batch mode reads a closed window:
     df = (spark.read.format("rook_lake_changes")
           .option("path", table_path)
@@ -72,6 +72,17 @@ from pyspark.sql.datasource import (
 )
 
 FEED_COLS = ("op", "ordinal", "offset", "commit_version")
+
+
+def _resolve_start(table_path: str, sv) -> int:
+    """``start_version`` option: an int version, ``"earliest"`` (full
+    retained history, = -1), or ``"latest"``/absent (only commits after
+    query start — the Kafka-offset-alias convention)."""
+    if sv is None or sv == "latest":
+        return _load_snapshot(table_path).version
+    if sv == "earliest":
+        return -1
+    return int(sv)
 
 
 # ------------------------------------------------------- sparkless loader
@@ -175,6 +186,11 @@ def _window_partitions(
                 (ver, f)
             )
     sj = schema.json()
+    if not by_bucket:
+        # an empty window still needs ONE (fileless) partition — the
+        # Python DS batch path calls read(None) when partitions() is
+        # empty instead of planning zero tasks
+        return [_DeltaFilesPartition([], sj)]
     return [
         _DeltaFilesPartition(files, sj)
         for _, files in sorted(by_bucket.items())
@@ -218,11 +234,8 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         if not self.table_path:
             raise ValueError("rook_lake_changes requires .option('path', ...)")
         self.schema = schema
-        sv = options.get("start_version")
-        self.start_version = (
-            int(sv) if sv is not None
-            else _load_snapshot(self.table_path).version
-        )
+        self.start_version = _resolve_start(self.table_path,
+                                            options.get("start_version"))
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -249,7 +262,10 @@ class LakeChangeBatchReader(DataSourceReader):
         if not self.table_path:
             raise ValueError("rook_lake_changes requires .option('path', ...)")
         self.schema = schema
-        self.start_version = int(options.get("start_version", -1) or -1)
+        sv = options.get("start_version")
+        # batch default = full history (a closed-window read wants it
+        # all; the STREAM default is "latest" — only new commits)
+        self.start_version = -1 if sv is None else _resolve_start(self.table_path, sv)
         ev = options.get("end_version")
         self.end_version = (
             int(ev) if ev is not None

@@ -139,3 +139,19 @@ def test_mor_predicate_delete_rides_the_feed(registered, tmp_path):
     assert last.where(F.col("op") == "D").count() >= res["deleted_rows"]
     assert _same(_fold(_feed(spark, str(tmp_path / "t"))),
                  eng.target().read().select("repo", "path", "content"))
+
+
+def test_start_version_aliases(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 800, seed=96)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev, 0)
+    full = (spark.read.format("rook_lake_changes")
+            .option("path", str(tmp_path / "t"))
+            .option("start_version", "earliest").load())
+    assert full.count() > 0
+    none_yet = (spark.read.format("rook_lake_changes")
+                .option("path", str(tmp_path / "t"))
+                .option("start_version", "latest").load())
+    assert none_yet.count() == 0  # nothing after the current version
