@@ -155,3 +155,16 @@ def test_start_version_aliases(registered, tmp_path):
                 .option("path", str(tmp_path / "t"))
                 .option("start_version", "latest").load())
     assert none_yet.count() == 0  # nothing after the current version
+
+
+def test_vacuumed_window_fails_with_retention_error(registered, tmp_path):
+    spark = registered
+    ev = generate_events(spark, 1200, seed=97)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    write_mode="mor").ignoring_servers(99)
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1200)]):
+        eng.replay(ev.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
+    eng.target().compact()
+    eng.target().vacuum(keep_last=1, min_age_s=0)
+    with pytest.raises(Exception, match="vacuum|retention"):
+        _feed(spark, str(tmp_path / "t"), start="earliest").count()

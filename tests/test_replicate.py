@@ -99,3 +99,30 @@ def test_erasure_propagates(spark, tmp_path):
     dst = LakeTable.load(spark, str(tmp_path / "dst"))
     assert _state(dst.read()) == _state(eng.target().read())
     assert dst.read().where(F.col("lang") == "md").count() == 0
+
+
+def test_schema_evolution_lands_after_relay_restart(spark, tmp_path):
+    """Feed schema is locked per query (the CDF contract): an additive
+    source column streams as null until the relay restarts; after the
+    restart the replica widens via the MERGE's evolution path and the
+    new column's values match the source."""
+    ev = generate_events(spark, 1600, seed=85, evolve_after_frac=0.5)
+    eng = CdcEngine(spark, str(tmp_path / "src"), n_buckets=8,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 800), 0)  # size_bytes all-null
+    _drain(replicate(spark, str(tmp_path / "src"), str(tmp_path / "dst"),
+                     str(tmp_path / "ckpt")))
+
+    eng.replay(ev.where(F.col("offset") >= 800), 1)  # values appear
+    _drain(replicate(spark, str(tmp_path / "src"), str(tmp_path / "dst"),
+                     str(tmp_path / "ckpt")))  # restart = fresh schema
+    got = {
+        (r["repo"], r["path"]): r["size_bytes"]
+        for r in LakeTable.load(spark, str(tmp_path / "dst")).read().collect()
+    }
+    want = {
+        (r["repo"], r["path"]): r["size_bytes"]
+        for r in eng.target().read().collect()
+    }
+    assert got == want
+    assert any(v is not None for v in want.values())
