@@ -168,3 +168,74 @@ def test_vacuumed_window_fails_with_retention_error(registered, tmp_path):
     eng.target().vacuum(keep_last=1, min_age_s=0)
     with pytest.raises(Exception, match="vacuum|retention"):
         _feed(spark, str(tmp_path / "t"), start="earliest").count()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FEED_OP = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(0, 99))),
+            min_size=1, max_size=6, unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("delete"), st.integers(0, 5)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_FEED_OP, min_size=2, max_size=6))
+def test_feed_fold_matches_state_under_interleavings(
+    spark, tmp_path_factory, registered, ops
+):
+    """Property: after ANY interleaving of MOR merges, compactions, and
+    tombstone erasures, the full batch feed LWW-folds to exactly the
+    table's state AND an independent dict model — compaction emits
+    nothing yet loses nothing, erasures ride as 'D' rows, and no epoch
+    is dropped or double-emitted."""
+    from pyspark.sql import types as T
+
+    from rook_spark.lake.table import LakeTable
+
+    tmp = tmp_path_factory.mktemp("feed_alg")
+    table = LakeTable.create(
+        spark, str(tmp / "t"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        ["repo", "path"], n_buckets=4,
+    )
+    model: dict[str, str] = {}
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "merge":
+            rows = [
+                ("r", f"p{k}", f"v{i}_{k}" if v is not None else None,
+                 "U" if v is not None else "D", i, k)
+                for k, v in arg
+            ]
+            table.merge_mor(spark.createDataFrame(
+                rows, "repo string, path string, content string, op string, "
+                      "__ordinal long, __offset long"), i)
+            for k, v in arg:
+                if v is None:
+                    model.pop(f"p{k}", None)
+                else:
+                    model[f"p{k}"] = f"v{i}_{k}"
+        elif kind == "compact":
+            table.compact()
+        elif kind == "delete":
+            table.delete_where(
+                F.col("content").startswith(f"v{arg}_"), mode="mor")
+            model = {p: c for p, c in model.items()
+                     if not c.startswith(f"v{arg}_")}
+    feed = (registered.read.format("rook_lake_changes")
+            .option("path", str(tmp / "t"))
+            .option("start_version", "earliest").load())
+    folded = {r["path"]: r["content"] for r in _fold(feed).collect()}
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert folded == state == model

@@ -243,3 +243,18 @@ def test_patch_reduce_has_partial_aggregation(spark):
     assert "partial_max" in plan
     assert plan.index("partial_max") > plan.index("Exchange")
     assert plan.count("Exchange") == 1
+
+
+def test_asof_join_is_one_shuffle_no_python(spark):
+    """The as-of join (functions/asof.py) must plan as the union + ONE
+    window pass it claims: exactly one Exchange (the key partitioning),
+    no range cross-product (no BroadcastNestedLoop/Cartesian), and no
+    Python in the plan — the operator stays JVM-side end to end."""
+    from rook_spark.functions.asof import asof_join
+
+    l = spark.createDataFrame([], "k string, t long")
+    r = spark.createDataFrame([], "k string, rt long, v double")
+    plan = _plan(asof_join(l, r, ["k"], "t", "rt", ["v"]))
+    assert plan.count("Exchange") == 1
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "Python" not in plan
