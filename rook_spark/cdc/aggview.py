@@ -18,8 +18,8 @@ The third point on the derived-table cost spectrum, and the cheapest:
   difference between re-aggregating a million-row group every epoch
   and touching two rows of it. The price is the algebraic restriction:
   measures must form a commutative group (sum/count over integers
-  here; min/max/distinct need the Rollup shape because deletes can't
-  be un-folded).
+  here, with null measure values counting as 0; min/max/distinct need
+  the Rollup shape because deletes can't be un-folded).
 
 Plan shape per epoch (all JVM-side, partial-aggregable):
 
@@ -43,7 +43,13 @@ that motivates it: sink commits its fold, the process dies before the
 main-table commit, and the operator restarts from a FRESH checkpoint —
 batch ids restart and the run_id fence cannot help, but the view's own
 watermark drops the re-delivered offsets. Covered by the
-fresh-checkpoint test.
+fresh-checkpoint test. The watermark also makes the REVERSE window
+detectable — the view folded offsets the main table never committed —
+and the sink repairs it by rolling the view back (metadata-only) to
+its latest version whose watermarks are ≤ main's, then re-folding the
+re-delivered batch against consistent pre-images; without the repair,
+later events for the same keys would fold against pre-images that
+never absorbed the lost epoch (double-subtraction).
 
 ORDINAL/ORDERING CONTRACT: same as the engine's (per-source-partition
 non-decreasing offsets); the view additionally inherits the main
@@ -136,14 +142,51 @@ class DeltaAggView:
     def read(self) -> DataFrame:
         return self.table().read()
 
+    # ---------------------------------------------------- crash-window sync
+
+    @staticmethod
+    def _wm(snap) -> dict[int, int]:
+        return {int(p): int(m["last_applied_offset"])
+                for p, m in snap.lineage.items()}
+
+    def _ahead_of(self, view_snap, main_snap) -> bool:
+        main_wm = self._wm(main_snap)
+        return any(off > main_wm.get(p, -1)
+                   for p, off in self._wm(view_snap).items())
+
+    def _sync_point(self, t: LakeTable, main_snap) -> int:
+        """Latest retained view version whose watermarks are all ≤ the
+        main table's — version 0 (empty lineage) always qualifies, so
+        the walk terminates; a vacuumed gap raises through rollback's
+        own retention check with its clear error."""
+        main_wm = self._wm(main_snap)
+        for v in range(t.current_version(), -1, -1):
+            try:
+                s = t.snapshot(v)
+            except FileNotFoundError:  # vacuumed — keep walking
+                continue
+            if all(off <= main_wm.get(p, -1)
+                   for p, off in self._wm(s).items()):
+                return v
+        raise RuntimeError(
+            "no retained view version is behind the main table — vacuum "
+            "erased the sync point; repair with full_recompute() after "
+            "re-replaying the main table past the view's watermarks"
+        )
+
     # ------------------------------------------------------------ the fold
 
     def _contrib(self, rows: DataFrame, sign: int) -> DataFrame:
+        # null measure values count as 0 — WITHOUT the coalesce, a null
+        # old-image measure (e.g. a pre-evolution row) would subtract
+        # nothing while its non-null replacement adds, and a group whose
+        # delta sums to null would null out its stored total through
+        # the fold's `stored + delta` arithmetic
         return rows.select(
             self.group_expr().alias(self.group_name),
             F.lit(sign).cast("long").alias("n_rows"),
             *[
-                (F.lit(sign) * fn().cast("long")).alias(m)
+                (F.lit(sign) * F.coalesce(fn().cast("long"), F.lit(0))).alias(m)
                 for m, fn in self.measures.items()
             ],
         )
@@ -160,17 +203,30 @@ class DeltaAggView:
             snap = t.snapshot()
             if batch_id <= snap.batch_id and run_id == snap.run_id:
                 return
-            fresh = watermark_filter(flat, snap.lineage)
-            # one narrow pass: per-partition watermarks + global fold
-            # guard + the MAIN table's touched buckets (piggybacked here
-            # so the pre-image read below lists only those files — the
-            # scan is O(touched buckets), never O(main table))
             main_snap = self.main().snapshot()
+            # VIEW-AHEAD-OF-MAIN repair (the sink-committed /
+            # main-uncommitted crash window, restarted from a FRESH
+            # checkpoint): the view's watermark would screen its
+            # already-folded offsets, but the pre-image join reads MAIN
+            # state that never received them — folding the batch's later
+            # events against those stale images double-subtracts. The
+            # watermarks make the divergence DETECTABLE: if the view is
+            # ahead of main anywhere, roll the view back to its latest
+            # version whose watermarks are ≤ main's (metadata-only;
+            # totals and watermarks revert together), then fold the
+            # whole re-delivered batch against consistent pre-images.
+            if self._ahead_of(snap, main_snap):
+                t.rollback(self._sync_point(t, main_snap))
+                snap = t.snapshot()
+            fresh = watermark_filter(flat, snap.lineage)
+            # one narrow pass: per-partition watermarks + the MAIN
+            # table's touched buckets (piggybacked here so the
+            # pre-image read below lists only those files — the scan is
+            # O(touched buckets), never O(main table))
             lin_rows = (
                 fresh.groupBy("source_partition")
                 .agg(F.max("offset").alias("max_off"),
                      F.count(F.lit(1)).alias("n"),
-                     F.max("commit_ordinal").alias("max_ord"),
                      F.collect_set(
                          bucket_expr(main_snap.bucket_key(),
                                      main_snap.n_buckets)
@@ -187,9 +243,14 @@ class DeltaAggView:
                 }
                 for r in lin_rows
             }
-            max_ord = max(int(r["max_ord"]) for r in lin_rows)
-            max_off = max(int(r["max_off"]) for r in lin_rows)
             main_buckets = sorted({b for r in lin_rows for b in r["bks"]})
+            # the fold row's LWW guard stamp must be MONOTONE per view
+            # commit — the batch's event ordinals are NOT (source
+            # partitions have incomparable ordinal domains, so a later
+            # epoch's max can be lower and the conditional MERGE would
+            # silently refuse the fold). The view's own commit sequence
+            # is the clock that is always monotone.
+            fold_ord = snap.version + 1
 
             reduced = lww_reduce(fresh, key_cols=self.key_cols)
             reduced.persist()
@@ -197,6 +258,21 @@ class DeltaAggView:
             try:
                 old = self.main().read(buckets=main_buckets).join(
                     reduced.select(*self.key_cols), self.key_cols, "inner"
+                )
+                # the pre-image read may PREDATE an additive evolution
+                # the batch carries (the main table widens only when its
+                # own MERGE commits, which is after this before-phase
+                # sink): evaluate group/measure expressions over the
+                # batch's schema by adding the missing columns as nulls
+                # — exactly how narrow files read under the widened
+                # schema. Without this, the first epoch whose batch
+                # carries a new measure column throws UNRESOLVED_COLUMN
+                # on its own pre-image branch and dead-letters silently.
+                have = set(old.columns)
+                old = old.select(
+                    "*",
+                    *[F.lit(None).cast(f.dataType).alias(f.name)
+                      for f in flat.schema.fields if f.name not in have],
                 )
                 delta = (
                     self._contrib(old, -1)
@@ -242,8 +318,8 @@ class DeltaAggView:
                         "op",
                         F.when(F.col("n_rows") <= 0, "D").otherwise("U"),
                     )
-                    .withColumn("__ordinal", F.lit(max_ord).cast("long"))
-                    .withColumn("__offset", F.lit(max_off).cast("long"))
+                    .withColumn("__ordinal", F.lit(fold_ord).cast("long"))
+                    .withColumn("__offset", F.lit(0).cast("long"))
                 )
                 t.merge(
                     folded, batch_id, op_col="op",

@@ -30,10 +30,14 @@ Incremental maintenance per epoch is O(batch) + O(touched keys):
    against the batch's per-key first event. Keys untouched by the
    batch are never read or rewritten.
 3. Both row sets MERGE into the history table in one atomic, fenced
-   commit — exactly-once under re-delivery and fresh-checkpoint
-   restarts, same discipline as the main table (the sink registers in
-   the "before" phase and scopes its fence to the engine's run_id, see
-   ``CdcEngine.with_sink``).
+   commit. Exactly-once is layered like ``DeltaAggView``'s: the run_id
+   fence absorbs foreachBatch re-deliveries, and the history keeps its
+   OWN per-source-partition offset watermarks in its snapshot lineage
+   — the sink-committed/main-uncommitted crash window restarted from a
+   FRESH checkpoint (where the fence cannot help and the MAIN table's
+   watermark never advanced) is screened by the history's own
+   watermark, which would otherwise re-append rows and collide the
+   re-computed open interval with the close of the stored one.
 
 The history table's merge key is ``key + (valid_from, valid_from_off)``
 but it BUCKETS by the key prefix alone (``bucket_cols`` routing), so a
@@ -68,6 +72,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from rook_spark.cdc.apply import watermark_filter
 from rook_spark.lake.table import LakeTable, bucket_expr
 
 # batch bookkeeping columns that never become history payload
@@ -202,9 +207,39 @@ class Scd2History:
         closes touched keys' open intervals in one fenced commit."""
 
         def fn(flat: DataFrame, batch_id: int, run_id: str = "") -> None:
-            # two plan branches consume the batch (intervals + firsts)
+            t = self.table(reference=flat)
+            snap0 = t.snapshot()
+            if batch_id <= snap0.batch_id and run_id == snap0.run_id:
+                return
+            # the history's OWN per-partition offset watermark — the
+            # fence alone is not exactly-once for this sink: in the
+            # sink-committed / main-uncommitted crash window restarted
+            # from a FRESH checkpoint, re-delivered rows pass the MAIN
+            # table's watermark (it never advanced) and would re-append
+            # — the re-computed open row and the close of the stored
+            # open interval then collide on the same merge key
+            # (key, valid_from, valid_from_off), duplicating rows.
+            flat = watermark_filter(flat, snap0.lineage)
+            # three plan branches consume the batch (lineage aggregate
+            # + intervals + firsts)
             flat.persist()
             try:
+                lin_rows = (
+                    flat.groupBy("source_partition")
+                    .agg(F.max("offset").alias("max_off"),
+                         F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+                if not lin_rows:
+                    return  # fully re-delivered batch — already appended
+                lineage_update = {
+                    int(r["source_partition"]): {
+                        "last_applied_offset": int(r["max_off"]),
+                        "rows_applied": int(r["n"]),
+                        "bytes": 0,
+                    }
+                    for r in lin_rows
+                }
                 fresh = self._intervals(flat)
                 # per-key FIRST batch event = the closer of the stored
                 # open interval; struct-min orders by (ordinal, offset)
@@ -212,17 +247,15 @@ class Scd2History:
                 firsts = flat.groupBy(*self.key_cols).agg(
                     F.min(F.struct("commit_ordinal", "offset", "op")).alias("__f")
                 )
-                t = self.table(reference=flat)
                 # file-level pruning for the close-currents read: only
                 # the buckets the batch's keys route to are even LISTED
                 # (bucket_cols co-location makes this exact) — the scan
                 # is O(touched buckets), never O(history), the same
                 # mechanism the MERGE itself uses
-                snap = t.snapshot()
                 touched = sorted(
                     r[0]
                     for r in flat.select(
-                        bucket_expr(snap.bucket_key(), snap.n_buckets)
+                        bucket_expr(snap0.bucket_key(), snap0.n_buckets)
                     ).distinct().collect()
                 )
                 cur = t.read(buckets=touched).where(F.col("is_current"))
@@ -249,7 +282,7 @@ class Scd2History:
                 # widens the table; old intervals read back as null)
                 t.merge(
                     fresh.unionByName(closed, allowMissingColumns=True),
-                    batch_id, op_col="op",
+                    batch_id, op_col="op", lineage_update=lineage_update,
                     validate_cardinality=False, run_id=run_id,
                 )
             finally:

@@ -59,6 +59,18 @@ from pyspark.sql.datasource import (
 from rook_spark.lake.stream import _load_snapshot
 
 
+def _read_snapshot(table_path: str, version: int | None):
+    """The snapshot a CONSUMER read resolves: an explicit version wins;
+    otherwise the published WAP ``main`` ref when staging is active,
+    else the chain head — one resolution shared by schema(),
+    pushFilters() and partitions() so a staged schema-evolving commit
+    can never make the declared schema diverge from the planned files."""
+    snap = _load_snapshot(table_path, version)
+    if version is None and "main" in snap.refs:
+        snap = _load_snapshot(table_path, snap.refs["main"])
+    return snap
+
+
 def _merge_range(ranges: dict, col: str, lo, hi) -> None:
     plo, phi = ranges.get(col, (None, None))
     if lo is not None:
@@ -95,7 +107,7 @@ class LakeTableReader(DataSourceReader):
         filter is returned for Spark to re-apply (skipping is superset-
         only, see module docstring). Unsupported shapes just don't
         prune."""
-        snap = _load_snapshot(self.table_path, self.version)
+        snap = _read_snapshot(self.table_path, self.version)
         bloomable = set(snap.bloom_cols)
         for f in filters:
             col = getattr(f, "attribute", None)
@@ -118,10 +130,7 @@ class LakeTableReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         from rook_spark.lake.table import _bloom_may_contain, _stats_may_match
 
-        snap = _load_snapshot(self.table_path, self.version)
-        if self.version is None and "main" in snap.refs:
-            # WAP: consumers see the published (audited) version
-            snap = _load_snapshot(self.table_path, snap.refs["main"])
+        snap = _read_snapshot(self.table_path, self.version)
         # delta files keep the FULL stored schema + __op; worker-side
         # fold needs the internals even though the declared schema hides
         # them
@@ -216,7 +225,7 @@ class LakeTableDataSource(DataSource):
         if not path:
             raise ValueError("rook_lake requires .option('path', ...) / load(path)")
         v = self.options.get("version")
-        snap = _load_snapshot(path, int(v) if v is not None else None)
+        snap = _read_snapshot(path, int(v) if v is not None else None)
         return T.StructType([
             f for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
             if not f.name.startswith("__")

@@ -24,8 +24,17 @@ CONTRACT (enforced loudly, not silently):
 - The table's DATA commits must be merge-on-read (``CdcEngine(...,
   write_mode='mor')`` or ``merge_mor``/``delete_where(mode='mor')``).
   A COW data commit changes state without delta files — the reader
-  detects it (batch id advanced, no new deltas) and raises rather
-  than silently dropping the epoch.
+  detects it (batch id advanced AND base files rewritten with no new
+  deltas) and raises rather than silently dropping the epoch; empty
+  MOR epochs (batch id advances, nothing else changes) and
+  rollback/abort (batch id moves backward) correctly emit nothing.
+  The one undetectable shape is a batch-id-preserving COW rewrite
+  (``delete_where(mode='cow')``) — indistinguishable from compaction,
+  which is why erasure on a fed table must use ``mode='mor'``.
+- Write-audit-publish: the feed ends at the PUBLISHED ``main`` ref
+  while staging is active (same resolution as default reads) — staged
+  pre-audit epochs are never emitted, so an audit failure's rollback
+  never needs un-emitting.
 - Maintenance commits (compact / rebucket / vacuum / tags / WAP
   refs / rollback) advance the version WITHOUT advancing the batch
   id and are logically state-preserving — the feed correctly emits
@@ -79,7 +88,7 @@ def _resolve_start(table_path: str, sv) -> int:
     retained history, = -1), or ``"latest"``/absent (only commits after
     query start — the Kafka-offset-alias convention)."""
     if sv is None or sv == "latest":
-        return _load_snapshot(table_path).version
+        return _published_version(table_path)
     if sv == "earliest":
         return -1
     return int(sv)
@@ -121,31 +130,54 @@ def _load_snapshot(table_path: str, version: int | None = None):
     return snap
 
 
-def _new_delta_files(table_path: str, v: int) -> list[tuple[int, str]]:
-    """(version, abs_path) for every delta file ADDED by version ``v``,
-    with the COW-commit guard (see module contract)."""
+def _published_version(table_path: str) -> int:
+    """The feed's end-of-stream: the published WAP ref when staging is
+    active (consumers must never see pre-audit epochs — the same
+    resolution default reads apply, lake/table.py read()), else the
+    chain head."""
+    snap = _load_snapshot(table_path)
+    return snap.refs.get("main", snap.version)
+
+
+def _new_delta_files(table_path: str, v: int, prev) -> tuple[list[tuple[int, str]], object]:
+    """(version, abs_path) for every delta file ADDED by version ``v``
+    (vs its parent — ``prev`` is reused when it IS the parent, halving
+    metadata loads on window scans), plus ``v``'s snapshot for the
+    caller's rolling iteration. Guard (see module contract): a commit
+    that ADVANCES the batch id and REWRITES base files without new
+    deltas is a copy-on-write data commit — refused loudly. An empty
+    MOR epoch (batch id advances, nothing else changes) and
+    rollback/abort (batch id moves BACKWARD with the reverted state)
+    correctly emit nothing. The one undetectable case: a COW rewrite
+    that preserves the batch id (``delete_where(mode='cow')``) looks
+    exactly like maintenance — which is why the contract mandates
+    ``mode='mor'`` erasure on fed tables."""
     snap = _load_snapshot(table_path, v)
     if snap.parent < 0:
         prev_deltas: dict[str, list[str]] = {}
-        prev_batch = -1
+        prev_batch = snap.batch_id
+        prev_buckets = snap.buckets
     else:
-        prev = _load_snapshot(table_path, snap.parent)
+        if prev is None or prev.version != snap.parent:
+            prev = _load_snapshot(table_path, snap.parent)
         prev_deltas, prev_batch = prev.deltas, prev.batch_id
+        prev_buckets = prev.buckets
     fresh: list[tuple[int, str]] = []
     for b, files in snap.deltas.items():
         seen = set(prev_deltas.get(b, []))
         fresh.extend((v, os.path.join(table_path, f))
                      for f in files if f not in seen)
-    if not fresh and snap.batch_id != prev_batch:
+    if not fresh and snap.batch_id > prev_batch and snap.buckets != prev_buckets:
         raise ValueError(
             f"version {v} of {table_path} advanced batch_id "
-            f"{prev_batch} -> {snap.batch_id} without writing delta files "
-            "— a copy-on-write data commit. The change feed requires "
-            "merge-on-read data commits (CdcEngine(write_mode='mor') / "
-            "merge_mor / delete_where(mode='mor')); use "
-            "LakeTable.changes() for COW tables."
+            f"{prev_batch} -> {snap.batch_id} by rewriting base files "
+            "without delta files — a copy-on-write data commit. The "
+            "change feed requires merge-on-read data commits "
+            "(CdcEngine(write_mode='mor') / merge_mor / "
+            "delete_where(mode='mor')); use LakeTable.changes() for COW "
+            "tables."
         )
-    return fresh
+    return fresh, snap
 
 
 def _feed_schema(table_path: str) -> T.StructType:
@@ -179,8 +211,10 @@ def _window_partitions(
     tracks the table layout; files of one bucket stay together so a
     downstream repartition-free fold sees each key in one task)."""
     by_bucket: dict[str, list[tuple[int, str]]] = {}
+    prev = None
     for v in range(start_v + 1, end_v + 1):
-        for ver, f in _new_delta_files(table_path, v):
+        fresh, prev = _new_delta_files(table_path, v, prev)
+        for ver, f in fresh:
             # delta files live under v{N}/b{bucket}/ — group by dirname
             by_bucket.setdefault(os.path.basename(os.path.dirname(f)), []).append(
                 (ver, f)
@@ -241,7 +275,10 @@ class LakeChangeStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _load_snapshot(self.table_path).version}
+        # published-ref resolution: staged (pre-audit) WAP epochs must
+        # never reach consumers — abort rolls them back, and a feed
+        # that emitted them would have relayed phantom rows
+        return {"version": _published_version(self.table_path)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return _window_partitions(
@@ -269,7 +306,7 @@ class LakeChangeBatchReader(DataSourceReader):
         ev = options.get("end_version")
         self.end_version = (
             int(ev) if ev is not None
-            else _load_snapshot(self.table_path).version
+            else _published_version(self.table_path)
         )
 
     def partitions(self) -> Sequence[InputPartition]:

@@ -162,3 +162,55 @@ def test_streaming_tail_maintains_view(spark, tmp_path):
     q.stop()
     assert len(engine.stats) >= 3  # genuinely micro-batched
     assert _state(view) == _recompute(view)
+
+
+def test_view_ahead_of_main_crash_window_repairs(spark, tmp_path):
+    """The REVERSE crash window: the view folded an epoch the main
+    table never committed, then a fresh-checkpoint restart re-delivers
+    a WIDER batch. The view's watermark alone would screen its folded
+    offsets while the pre-image join reads main state that never
+    absorbed them — double-subtracting. The sink must detect the view
+    is ahead, roll back to the sync point, and re-fold consistently."""
+    from rook_spark.cdc.normalize import normalize
+
+    ev = generate_events(spark, 1600, seed=77)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    view = _view(spark, tmp_path, engine)
+    engine.with_sink("agg_view", view.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < 800), 0)
+
+    # crash window: the sink folds 800-1200 but main NEVER applies it
+    lost = normalize(ev.where((F.col("offset") >= 800) & (F.col("offset") < 1200)),
+                     ignored_server_ids=(99,))
+    view.sink()(lost, 1, run_id="doomed-run")
+
+    # fresh checkpoint: the full suffix 800-1600 re-delivers through the
+    # engine (main watermark never advanced past 800)
+    engine.replay(ev.where(F.col("offset") >= 800), 1)
+    assert _state(view) == _recompute(view)
+
+
+def test_null_measures_count_as_zero(spark, tmp_path):
+    """A measure over a nullable column (the evolution-added size_bytes)
+    must fold null as 0 — not skip the negative asymmetrically or null
+    out a stored total."""
+    ev = generate_events(spark, 1500, seed=78, evolve_after_frac=0.5)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    view = DeltaAggView(
+        spark, str(tmp_path / "mv"), engine.target,
+        group_expr=lambda: F.col("repo"),
+        measures={"total_size": lambda: F.col("size_bytes")},
+        group_name="repo", n_buckets=4,
+    )
+    engine.with_sink("agg_view", view.sink(), when="before")
+    engine.replay(ev.where(F.col("offset") < 700), 0)   # mostly-null era
+    engine.replay(ev.where(F.col("offset") >= 700), 1)  # values era
+    got = {r["repo"]: (r["n_rows"], r["total_size"])
+           for r in view.read().collect()}
+    want = {r["repo"]: (r["n"], r["t"])
+            for r in (engine.target().read().groupBy("repo")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.coalesce(F.col("size_bytes"), F.lit(0)))
+                           .alias("t")).collect())}
+    assert got == want
+    assert all(v is not None for _, v in got.values())

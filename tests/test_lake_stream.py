@@ -239,3 +239,51 @@ def test_feed_fold_matches_state_under_interleavings(
     folded = {r["path"]: r["content"] for r in _fold(feed).collect()}
     state = {r["path"]: r["content"] for r in table.read().collect()}
     assert folded == state == model
+
+
+def test_empty_mor_epoch_and_rollback_emit_nothing(registered, tmp_path):
+    """An epoch whose events are all decoys (empty MOR commit — batch id
+    advances, nothing else changes) and a rollback (batch id moves
+    BACKWARD) must both ride the feed silently — neither is a COW
+    commit, and either once crashed the stream."""
+    spark = registered
+    ev = generate_events(spark, 1000, seed=98)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 500), 0)
+    v_good = eng.target().current_version()
+    # decoy-only epoch: every event filtered out -> empty commit
+    eng.replay(ev.where((F.col("offset") >= 500)
+                        & (F.col("server_id") == 99)), 1)
+    eng.replay(ev.where(F.col("offset") >= 500), 2)
+    eng.target().rollback(v_good)
+    feed = _feed(spark, str(tmp_path / "t"), start="earliest")
+    assert feed.count() > 0  # no ValueError, rollback emitted nothing
+    # after re-replay, fold still converges (re-emission absorbed by LWW)
+    eng.replay(ev.where(F.col("offset") >= 500), 3)
+    assert _same(_fold(_feed(spark, str(tmp_path / "t"), start="earliest")),
+                 eng.target().read().select("repo", "path", "content"))
+
+
+def test_staged_wap_epochs_never_reach_the_feed(registered, tmp_path):
+    """Write-audit-publish: while staging is active the feed must end at
+    the PUBLISHED ref — pre-audit epochs are never emitted, so a failed
+    audit's rollback never needs un-emitting from consumers."""
+    spark = registered
+    ev = generate_events(spark, 1000, seed=99)
+    eng = CdcEngine(spark, str(tmp_path / "t"), n_buckets=4,
+                    write_mode="mor").ignoring_servers(99)
+    eng.replay(ev.where(F.col("offset") < 500), 0)
+    t = eng.target()
+    t.begin_staging()
+    eng.replay(ev.where(F.col("offset") >= 500), 1)  # staged, unaudited
+    staged_versions = set(
+        r["commit_version"] for r in
+        _feed(spark, str(tmp_path / "t"), start="earliest")
+        .select("commit_version").distinct().collect()
+    )
+    assert max(staged_versions) <= t.snapshot().refs["main"]
+    t.publish()
+    published = _feed(spark, str(tmp_path / "t"), start="earliest")
+    assert _same(_fold(published),
+                 t.read().select("repo", "path", "content"))
