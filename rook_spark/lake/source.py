@@ -82,11 +82,14 @@ def _merge_range(ranges: dict, col: str, lo, hi) -> None:
 
 class _BucketPartition(InputPartition):
     def __init__(self, base: list[str], deltas: list[str], schema_json: str,
-                 key_cols: list[str]):
+                 key_cols: list[str], phys_map: dict[str, str] | None = None):
         self.base = base
         self.deltas = deltas
         self.schema_json = schema_json
         self.key_cols = key_cols
+        # logical→physical in-file names (Snapshot.phys_map) — file
+        # bytes are name-stable across rename_column
+        self.phys_map = phys_map or {}
 
 
 class LakeTableReader(DataSourceReader):
@@ -137,24 +140,28 @@ class LakeTableReader(DataSourceReader):
         stored = T.StructType.fromJson(json.loads(snap.schema_json))
         sj = stored.json()
         parts = []
+        # pushed predicates carry LOGICAL names; footer stats and bloom
+        # keys are PHYSICAL (table.py read() applies the same translation)
+        ranges = {snap.phys(c): v for c, v in self.ranges.items()}
+        points = {snap.phys(c): v for c, v in self.points.items()}
         for b in sorted(set(snap.buckets) | set(snap.deltas), key=int):
             base = snap.buckets.get(b, [])
             deltas = snap.deltas.get(b, [])
-            if not deltas and (self.ranges or self.points):
-                if self.ranges:
+            if not deltas and (ranges or points):
+                if ranges:
                     base = [f for f in base
-                            if _stats_may_match(snap.stats.get(f), self.ranges)]
-                if self.points:
+                            if _stats_may_match(snap.stats.get(f), ranges)]
+                if points:
                     base = [
                         f for f in base
                         if all(_bloom_may_contain(snap.blooms.get(f, {}).get(c), v)
-                               for c, v in self.points.items())
+                               for c, v in points.items())
                     ]
             if base or deltas:
                 parts.append(_BucketPartition(
                     [os.path.join(self.table_path, f) for f in base],
                     [os.path.join(self.table_path, f) for f in deltas],
-                    sj, list(snap.key_cols),
+                    sj, list(snap.key_cols), snap.phys_map,
                 ))
         return parts
 
@@ -174,12 +181,15 @@ class LakeTableReader(DataSourceReader):
                          + [T.StructField("__op", T.StringType())])
         )
 
+        phys = partition.phys_map
+
         def conform(path: str, implicit_upsert: bool):
             t = pq.read_table(path)
             cols = []
             for field in full:
-                if field.name in t.column_names:
-                    cols.append(t.column(field.name).cast(field.type))
+                src = phys.get(field.name, field.name)
+                if src in t.column_names:
+                    cols.append(t.column(src).cast(field.type))
                 elif field.name == "__op" and implicit_upsert:
                     cols.append(pa.array(["U"] * len(t), type=field.type))
                 else:

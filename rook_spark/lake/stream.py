@@ -199,9 +199,15 @@ def _feed_schema(table_path: str) -> T.StructType:
 # ------------------------------------------------------------- partitions
 
 class _DeltaFilesPartition(InputPartition):
-    def __init__(self, files: list[tuple[int, str]], schema_json: str):
+    def __init__(self, files: list[tuple[int, str]], schema_json: str,
+                 phys_map: dict[str, str] | None = None):
         self.files = files
         self.schema_json = schema_json
+        # logical→physical column names (Snapshot.phys_map): delta file
+        # BYTES are name-stable across rename_column, so one map —
+        # loaded when the partitions were planned — covers every file
+        # in the window regardless of which version wrote it
+        self.phys_map = phys_map or {}
 
 
 def _window_partitions(
@@ -220,13 +226,15 @@ def _window_partitions(
                 (ver, f)
             )
     sj = schema.json()
+    pm = (prev if prev is not None and prev.version == end_v
+          else _load_snapshot(table_path, end_v)).phys_map if end_v >= 0 else {}
     if not by_bucket:
         # an empty window still needs ONE (fileless) partition — the
         # Python DS batch path calls read(None) when partitions() is
         # empty instead of planning zero tasks
-        return [_DeltaFilesPartition([], sj)]
+        return [_DeltaFilesPartition([], sj, pm)]
     return [
-        _DeltaFilesPartition(files, sj)
+        _DeltaFilesPartition(files, sj, pm)
         for _, files in sorted(by_bucket.items())
     ]
 
@@ -251,6 +259,7 @@ def _read_partition(part: _DeltaFilesPartition) -> Iterator:
                 arr = pa.array([version] * len(tbl), type=field.type)
             else:
                 src = rename.get(field.name, field.name)
+                src = part.phys_map.get(src, src)
                 if src in tbl.column_names:
                     arr = tbl.column(src).cast(field.type)
                 else:

@@ -241,6 +241,48 @@ def _stats_may_match(stats: dict | None, ranges: dict[str, tuple]) -> bool:
     return True
 
 
+def _read_files_logical(spark, snap, files, extra_fields=(), schema=None):
+    """Read parquet ``files`` under ``snap``'s LOGICAL schema (plus
+    ``extra_fields``, e.g. the MOR ``__op``): the files carry PHYSICAL
+    column names (see ``Snapshot.phys_map``), so the read schema is
+    built physical and the result renamed positionally back to logical.
+    The no-rename case is byte-identical to a plain schema'd read."""
+    logical = list((schema or snap.schema()).fields) + list(extra_fields)
+    phys = T.StructType(
+        [T.StructField(snap.phys(f.name), f.dataType, f.nullable) for f in logical]
+    )
+    names = [f.name for f in logical]
+    if not files:
+        return spark.createDataFrame([], T.StructType(logical))
+    df = spark.read.schema(phys).parquet(*files)
+    return df.toDF(*names) if phys.fieldNames() != names else df
+
+
+def _alloc_phys(snap, target_schema: T.StructType) -> dict[str, str]:
+    """The phys_map governing a commit whose LOGICAL schema widened to
+    ``target_schema``: existing mappings carry over verbatim; a logical
+    column NEW in this commit normally maps to itself, but gets a fresh
+    suffixed physical name when its name was ever used physically by a
+    since-dropped/renamed column — retained files still carry data under
+    that name, and reading it back into the new column would resurrect
+    dropped values (the reason Iceberg re-adds under a new field id)."""
+    cur_logical = {f.name for f in snap.schema().fields}
+    new_map = dict(snap.phys_map)
+    blocked = set(snap.retired_phys) | {snap.phys(n) for n in cur_logical}
+    for f in target_schema.fields:
+        if f.name in cur_logical or f.name.startswith("__") or f.name in new_map:
+            continue
+        if f.name in blocked:
+            i = 2
+            while f"{f.name}__v{i}" in blocked:
+                i += 1
+            new_map[f.name] = f"{f.name}__v{i}"
+            blocked.add(new_map[f.name])
+        else:
+            blocked.add(f.name)
+    return new_map
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -296,9 +338,34 @@ class Snapshot:
     # row-set with two orthogonal pruning axes (buckets for the
     # locality key, blooms/stats for the rest).
     bucket_cols: list[str] | None = None
+    # LOGICAL → PHYSICAL column-name map (Iceberg field-id analog,
+    # expressed as names): ``schema_json``/key_cols/bucket_cols and
+    # every public surface speak LOGICAL names; parquet files, footer
+    # stats, and bloom keys always carry PHYSICAL names. A physical
+    # name never changes once a file has been written with it — that
+    # single invariant is what makes ``rename_column`` and
+    # ``drop_column`` O(1) metadata commits on a 100 TB table: a rename
+    # re-points the logical name at the same physical column, and a
+    # column re-added after a drop maps to a FRESH physical name so the
+    # dropped data can never resurrect out of old files. Identity
+    # entries are omitted; {} = the historical all-identity layout
+    # (old snapshots load unchanged).
+    phys_map: dict[str, str] = field(default_factory=dict)
+    # physical names released by rename/drop that may still exist in
+    # retained data files — the allocation blacklist for additive
+    # evolution (see ``phys_map``). Grows monotonically; entries only
+    # matter until every file carrying them is compacted+vacuumed, but
+    # keeping them forever is a few bytes and removes a whole class of
+    # resurrection races.
+    retired_phys: list[str] = field(default_factory=list)
 
     def bucket_key(self) -> list[str]:
         return self.bucket_cols or self.key_cols
+
+    def phys(self, name: str) -> str:
+        """Physical (in-file) name for a logical column. Internal
+        ``__``-prefixed columns are never remapped."""
+        return self.phys_map.get(name, name)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -323,6 +390,8 @@ class Snapshot:
                 "tags": self.tags,
                 "refs": self.refs,
                 "bucket_cols": self.bucket_cols,
+                "phys_map": self.phys_map,
+                "retired_phys": self.retired_phys,
             }
         )
 
@@ -588,6 +657,12 @@ class LakeTable:
         if snap is None:
             snap = self.snapshot(version)
         schema = snap.schema()
+        # footer stats / bloom keys are PHYSICAL names (they describe
+        # file bytes); callers speak logical — translate the hint keys
+        if ranges:
+            ranges = {snap.phys(c): v for c, v in ranges.items()}
+        if points:
+            points = {snap.phys(c): v for c, v in points.items()}
         keys = {str(b) for b in buckets} if buckets is not None else None
 
         def pick(mapping: dict[str, list[str]], prune: bool = False) -> list[str]:
@@ -611,10 +686,7 @@ class LakeTable:
             return out
 
         base_files = pick(snap.buckets, prune=True)
-        if base_files:
-            df = spark.read.schema(schema).parquet(*base_files)
-        else:
-            df = spark.createDataFrame([], schema)
+        df = _read_files_logical(spark, snap, base_files, schema=schema)
 
         delta_files = pick(snap.deltas)
         if delta_files:
@@ -622,8 +694,10 @@ class LakeTable:
             # winner per key is the max-(ordinal, offset) row; a winning
             # tombstone drops the key. Same semantics the COW MERGE bakes
             # into files at write time, applied lazily here.
-            delta_schema = T.StructType(list(schema.fields) + [T.StructField("__op", T.StringType())])
-            deltas = spark.read.schema(delta_schema).parquet(*delta_files)
+            deltas = _read_files_logical(
+                spark, snap, delta_files, schema=schema,
+                extra_fields=[T.StructField("__op", T.StringType())],
+            )
             base = df.withColumn("__op", F.lit("U"))
             merged = base.unionByName(deltas)
             payload = [c for c in merged.columns if c not in snap.key_cols]
@@ -746,6 +820,29 @@ class LakeTable:
                 )
         old = self.read(version=from_version, buckets=buckets, include_internal=True)
         new = self.read(version=snap_to.version, buckets=buckets, include_internal=True)
+        # align the old side to the TO version's schema by PHYSICAL
+        # identity (Snapshot.phys_map), not by name: across a
+        # rename_column boundary the same column carries two logical
+        # names (diff it with itself), across a drop + re-add boundary
+        # the same NAME is two different columns (the re-added one is
+        # null at from_version — never diffed against the dropped
+        # values), and columns dropped in the window leave the diff
+        # entirely (a column drop is not a row change).
+        snap_from = self.snapshot(from_version)
+        phys_to_old = {snap_from.phys(f.name): f.name
+                       for f in snap_from.schema().fields}
+        if snap_from.phys_map != snap_to.phys_map or \
+                snap_from.schema_json != snap_to.schema_json:
+            old = old.select(
+                *[F.col(c) for c in old.columns if c.startswith("__")],
+                *[
+                    (F.col(src).alias(f.name) if src is not None
+                     else F.lit(None).cast(f.dataType).alias(f.name))
+                    for f in snap_to.schema().fields
+                    if not f.name.startswith("__")
+                    for src in [phys_to_old.get(snap_to.phys(f.name))]
+                ],
+            )
         keys = snap_to.key_cols
         payload = [c for c in new.columns if c not in keys]
         for c in payload:  # schema evolution: widen the old side with nulls
@@ -946,11 +1043,7 @@ class LakeTable:
         else:
             files = [os.path.join(self.path, f)
                      for b in touched for f in snap.buckets.get(str(b), [])]
-            current = (
-                spk.read.schema(snap.schema()).parquet(*files)
-                if files
-                else spk.createDataFrame([], snap.schema())
-            )
+            current = _read_files_logical(spk, snap, files)
         # Widen current state through the target schema: evolution-added
         # columns null-fill; type-promoted columns upcast (no-op casts
         # are elided by Catalyst, so the common unchanged case is free).
@@ -1052,7 +1145,8 @@ class LakeTable:
         # even when several buckets hash into one shuffle partition.
         new_version = snap.version + 1
         written = self._write_bucket_files(
-            merged, new_version, min(snap.n_buckets, len(touched)))
+            merged, new_version, min(snap.n_buckets, len(touched)),
+            _alloc_phys(snap, target_schema))
 
         new_buckets = dict(snap.buckets)
         buckets_rewritten = 0
@@ -1146,7 +1240,8 @@ class LakeTable:
         else:
             width = min(snap.n_buckets,
                         changes.sparkSession.sparkContext.defaultParallelism)
-        delta_files = self._write_bucket_files(src, new_version, width)
+        delta_files = self._write_bucket_files(
+            src, new_version, width, _alloc_phys(snap, target_schema))
 
         new_deltas = {b: list(fs) for b, fs in snap.deltas.items()}
         written = 0
@@ -1167,7 +1262,8 @@ class LakeTable:
         schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
         new_version = snap.version + 1
         with_bucket = df.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
-        buckets = self._write_bucket_files(with_bucket, new_version, None)
+        buckets = self._write_bucket_files(
+            with_bucket, new_version, None, _alloc_phys(snap, schema))
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, schema, None
         )
@@ -1293,7 +1389,7 @@ class LakeTable:
             "__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets)
         )
         new_version = snap.version + 1
-        written = self._write_bucket_files(df, new_version, len(fat))
+        written = self._write_bucket_files(df, new_version, len(fat), snap.phys_map)
         applied, skipped, version = self._commit_rewrite(snap, fat, written, batch_id)
         return {"compacted_buckets": len(applied), "version": version,
                 "skipped_buckets": len(skipped)}
@@ -1355,6 +1451,11 @@ class LakeTable:
             # abort_staging clears the "main" ref itself after reverting)
             tags=dict(cur.tags),
             refs=dict(cur.refs),
+            # the map matches the reverted schema; the retirement
+            # blacklist stays MONOTONE across the revert (files written
+            # by the rolled-back versions still exist until vacuum)
+            phys_map=dict(target.phys_map),
+            retired_phys=sorted(set(cur.retired_phys) | set(target.retired_phys)),
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -1479,6 +1580,85 @@ class LakeTable:
         self._write_snapshot(new)
         return {"aborted_to": pub, "version": new.version}
 
+    # ------------------------------------------------- schema evolution DDL
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Rename a column — METADATA-ONLY, O(1) at any table size (the
+        Iceberg field-id rename analog): the logical name re-points at
+        the same PHYSICAL in-file column (``Snapshot.phys_map``), so no
+        data file is touched, footer stats and bloom filters keep
+        working (they are keyed physical), time travel shows each
+        version under ITS OWN names, and an in-flight change feed —
+        whose schema locked at query start — keeps streaming seamlessly
+        because the bytes in every delta file are name-stable. Key and
+        bucket columns rename freely (bucket ids hash VALUES, not
+        names). A later additive merge that re-introduces the OLD name
+        allocates a fresh physical column, so it can never read back
+        this column's historical values (``_alloc_phys``)."""
+        cur = self.snapshot()
+        schema = cur.schema()
+        names = {f.name for f in schema.fields}
+        if old.startswith("__") or new.startswith("__"):
+            raise ValueError("internal __ columns cannot be renamed")
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have: {sorted(n for n in names if not n.startswith('__'))})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new == old or not new:
+            raise ValueError(f"invalid rename target {new!r}")
+        new_schema = T.StructType([
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ])
+        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
+        phys = dict(cur.phys_map)
+        phys[new] = phys.pop(old, old)
+        if phys[new] == new:  # renaming BACK to the physical name
+            del phys[new]
+        snap.phys_map = phys
+        snap.key_cols = [new if c == old else c for c in cur.key_cols]
+        if cur.bucket_cols is not None:
+            snap.bucket_cols = [new if c == old else c for c in cur.bucket_cols]
+        snap.bloom_cols = [new if c == old else c for c in cur.bloom_cols]
+        self._write_snapshot(snap)
+        return {"renamed": {old: new}, "version": snap.version,
+                "physical": snap.phys(new)}
+
+    def drop_column(self, name: str) -> dict:
+        """Drop a column — METADATA-ONLY, O(1) at any table size (the
+        Iceberg drop-column analog): the logical field leaves the
+        schema and its physical name joins the retirement blacklist, so
+        (a) no read ever projects it again, (b) a future column re-added
+        under the same name maps to a FRESH physical column and cannot
+        resurrect the dropped values, and (c) the bytes remain in
+        retained files — readable via time travel to pre-drop versions —
+        until ``compact()`` rewrites (compaction projects the CURRENT
+        logical schema, purging dropped physicals) and ``vacuum()``
+        reclaims: GDPR-complete column erasure is drop + compact +
+        vacuum, the same honesty contract as ``delete_where(mode='mor')``.
+        Key/bucket columns refuse (dropping one would re-route every
+        row); internal columns refuse."""
+        cur = self.snapshot()
+        schema = cur.schema()
+        if name.startswith("__"):
+            raise ValueError("internal __ columns cannot be dropped")
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"no column {name!r}")
+        if name in cur.key_cols or name in (cur.bucket_cols or []):
+            raise ValueError(
+                f"column {name!r} is a key/bucket column — dropping it "
+                "would re-route every row; recreate the table instead")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
+        phys = dict(cur.phys_map)
+        released = phys.pop(name, name)
+        snap.phys_map = phys
+        snap.retired_phys = sorted(set(cur.retired_phys) | {released})
+        snap.bloom_cols = [c for c in cur.bloom_cols if c != name]
+        self._write_snapshot(snap)
+        return {"dropped": name, "version": snap.version,
+                "retired_physical": released}
+
     def is_staging(self) -> bool:
         return "main" in self.snapshot().refs
 
@@ -1524,7 +1704,7 @@ class LakeTable:
             "__bucket", bucket_expr(snap.bucket_key(), n_buckets)
         )
         new_version = snap.version + 1
-        new_buckets = self._write_bucket_files(df, new_version, n_buckets)
+        new_buckets = self._write_bucket_files(df, new_version, n_buckets, snap.phys_map)
         new_snap = self._child_snapshot(
             snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
         )
@@ -1635,7 +1815,7 @@ class LakeTable:
             .drop("__z")
         )
         new_version = snap.version + 1
-        written = self._write_bucket_files(out, new_version, None)
+        written = self._write_bucket_files(out, new_version, None, snap.phys_map)
         applied, skipped, version = self._commit_rewrite(snap, target, written, batch_id)
         return {
             "clustered_buckets": len(applied),
@@ -1715,6 +1895,12 @@ class LakeTable:
             raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        # stats/bloom keys are physical; hints arrive logical (same
+        # translation read() applies)
+        if ranges:
+            ranges = {snap.phys(c): v for c, v in ranges.items()}
+        if points:
+            points = {snap.phys(c): v for c, v in points.items()}
         keys = {str(b) for b in buckets} if buckets is not None else None
         in_scope = lambda b: keys is None or b in keys  # noqa: E731
 
@@ -1759,7 +1945,7 @@ class LakeTable:
         parts = []
         if rewrite:
             paths = [os.path.join(self.path, f) for fs in rewrite.values() for f in fs]
-            parts.append(self.spark.read.schema(schema).parquet(*paths))
+            parts.append(_read_files_logical(self.spark, snap, paths))
         if fold_buckets:
             parts.append(
                 self.read(buckets=fold_buckets, include_internal=True, ref="head")
@@ -1774,7 +1960,8 @@ class LakeTable:
         )
         new_version = snap.version + 1
         width = max(1, len(rewrite) + len(fold_buckets))
-        written = self._write_bucket_files(kept, new_version, min(snap.n_buckets, width))
+        written = self._write_bucket_files(
+            kept, new_version, min(snap.n_buckets, width), snap.phys_map)
         # bounded wait: the observation is delivered by the listener of
         # the already-completed write job; a miss (e.g. the PySpark
         # empty-partitionBy-result defect apply.py documents) degrades
@@ -1861,7 +2048,7 @@ class LakeTable:
         if rewrite:
             paths = [os.path.join(self.path, f)
                      for fs in rewrite.values() for f in fs]
-            parts.append(self.spark.read.schema(schema).parquet(*paths))
+            parts.append(_read_files_logical(self.spark, snap, paths))
         if fold_buckets:
             parts.append(
                 self.read(buckets=fold_buckets, include_internal=True,
@@ -1889,7 +2076,8 @@ class LakeTable:
 
         width = min(snap.n_buckets,
                     max(1, self.spark.sparkContext.defaultParallelism))
-        delta_files = self._write_bucket_files(tomb, snap.version + 1, width)
+        delta_files = self._write_bucket_files(
+            tomb, snap.version + 1, width, snap.phys_map)
         if not delta_files:
             # no matching rows: nothing to commit (the empty write dir
             # is unreferenced and waits for vacuum, like any orphan)
@@ -2021,7 +2209,8 @@ class LakeTable:
         raise AssertionError("unreachable")
 
     def _write_bucket_files(
-        self, df: DataFrame, new_version: int, repartition_n: int | None
+        self, df: DataFrame, new_version: int, repartition_n: int | None,
+        phys_map: dict[str, str],
     ) -> dict[str, list[str]]:
         """Shared write-then-list step for every bucket-file producer
         (COW merge, MOR delta append, overwrite, compact, rebucket):
@@ -2048,7 +2237,14 @@ class LakeTable:
         out_dir_rel = os.path.join(
             _DATA, f"v{new_version:010d}-{_uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, out_dir_rel)
+        # files always carry PHYSICAL names (Snapshot.phys_map): rename
+        # the logical frame just before the write so every producer —
+        # merge, MOR append, compact, rebucket, cluster, delete — lands
+        # the same in-file layout. Callers pass the map that will govern
+        # the snapshot REFERENCING these files. Identity map = no-op.
         out = df if repartition_n is None else df.repartition(repartition_n, "__bucket")
+        if phys_map:
+            out = out.toDF(*[phys_map.get(c, c) for c in out.columns])
         out.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
@@ -2114,7 +2310,9 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         present = {f.name for f in snap.schema().fields}
-        cols = [c for c in snap.bloom_cols if c in present]
+        # bloom_cols are logical; files and the stored bloom keys are
+        # PHYSICAL (read(points=) translates before consulting)
+        cols = [snap.phys(c) for c in snap.bloom_cols if c in present]
         if not cols:
             return {}
         out: dict[str, dict[str, str]] = {}
@@ -2188,4 +2386,11 @@ class LakeTable:
             blooms={f: dict(bb) for f, bb in parent.blooms.items()},
             tags=dict(parent.tags),
             refs=dict(parent.refs),
+            # logical→physical map: carried, extended deterministically
+            # for columns this commit's schema added (_alloc_phys is a
+            # pure function of parent + schema, so write paths that
+            # renamed files before this snapshot existed computed the
+            # SAME map)
+            phys_map=_alloc_phys(parent, schema),
+            retired_phys=list(parent.retired_phys),
         )

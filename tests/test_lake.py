@@ -1018,9 +1018,9 @@ def test_epoch_write_width_is_o_touched_not_o_table(spark, tmp_path, monkeypatch
     widths: list[int | None] = []
     orig = LakeTable._write_bucket_files
 
-    def spy(self, df, new_version, repartition_n):
+    def spy(self, df, new_version, repartition_n, phys_map):
         widths.append(repartition_n)
-        return orig(self, df, new_version, repartition_n)
+        return orig(self, df, new_version, repartition_n, phys_map)
 
     monkeypatch.setattr(LakeTable, "_write_bucket_files", spy)
 
