@@ -109,6 +109,19 @@ def main() -> None:
         print(f"post-rebucket epoch applied {stats.rows_applied} rows "
               f"across {stats.touched_buckets} of 16 buckets")
 
+        # --- 4b. metadata-only DDL (Iceberg field-id analog): rename a
+        # payload column and rename it back — zero file rewrites either
+        # way (files carry name-stable PHYSICAL columns; the snapshot
+        # maps logical names onto them), values and pruning survive
+        files_pre = sorted(f for fs in table.snapshot().buckets.values() for f in fs)
+        print(f"\n== rename_column content -> body: {table.rename_column('content', 'body')} ==")
+        n_body = table.read().where(F.col("body").isNotNull()).count()
+        assert n_body > 0
+        assert sorted(f for fs in table.snapshot().buckets.values() for f in fs) == files_pre
+        print(f"{n_body} rows read through the renamed column; "
+              "identical file set (O(1) DDL, no rewrite)")
+        table.rename_column("body", "content")  # producers still send 'content'
+
         # --- 5 + 6. compaction + retention. A named tag pins the
         # pre-maintenance snapshot through ANY vacuum (audit/repro:
         # "the corpus the model trained on"); min_age_s is the grace

@@ -168,6 +168,11 @@ _OP = st.one_of(
     st.tuples(st.just("abort"), st.none()),
     # predicate delete: drop every row whose content came from merge #j
     st.tuples(st.just("delete"), st.integers(0, 6)),
+    # metadata-only DDL (Snapshot.phys_map): rename the content column;
+    # drop the n column (the next merge re-adds it under a fresh
+    # physical name — the resurrection guard under arbitrary orderings)
+    st.tuples(st.just("rename"), st.none()),
+    st.tuples(st.just("drop_n"), st.none()),
 )
 
 
@@ -207,6 +212,14 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
     vacuumed: set[int] = set()
     tags_model: dict[str, int] = {}
     published_v: int | None = None  # WAP: version default reads resolve
+    # DDL state: the content column's CURRENT logical name (rename op
+    # re-points it; each version remembers its own — time-travel reads
+    # must see per-version names), and whether n is currently in-schema
+    cname = "content"
+    cname_hist: dict[int, str] = {table.current_version(): cname}
+
+    def n_present() -> bool:
+        return "n" in {f.name for f in table.snapshot().schema().fields}
 
     for i, (kind, arg) in enumerate(ops):
         if kind == "merge":
@@ -220,7 +233,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
             ]
             table.merge(spark.createDataFrame(
                 rows,
-                "repo string, path string, content string, n long, op string",
+                f"repo string, path string, {cname} string, n long, op string",
             ), i)
             for k, v in arg:
                 if v is None:
@@ -241,13 +254,19 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
             else:
                 table.rollback(target)
                 model = dict(history[target])
+                cname = cname_hist[target]  # names revert WITH the schema
         elif kind == "compact":
             table.compact()
         elif kind == "cluster":
             # z-order rewrite on a payload numeric column — a state
             # identity like compact, folded into the same arbitrary-
-            # interleaving property (content + time travel unaffected)
-            table.cluster(zorder=["n"], target_files_per_bucket=arg)
+            # interleaving property (content + time travel unaffected).
+            # n may be dropped at this point; fall back to plain compact
+            # (cluster on a missing column is a user error, not algebra)
+            if n_present():
+                table.cluster(zorder=["n"], target_files_per_bucket=arg)
+            else:
+                table.compact()
         elif kind == "vacuum":
             table.vacuum(keep_last=arg)
             cutoff = table.current_version() - arg + 1
@@ -283,7 +302,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
             # treats \ inside '...' as an escape, so ESCAPE '\' is an
             # unterminated literal); this was latent until hypothesis
             # drew a delete op
-            table.delete_where(f"content LIKE 'v{arg}!_%' ESCAPE '!'")
+            table.delete_where(f"{cname} LIKE 'v{arg}!_%' ESCAPE '!'")
             model = {
                 k: v for k, v in model.items()
                 if v is None or not v.startswith(f"v{arg}_")
@@ -300,26 +319,45 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
             if published_v is not None:
                 table.abort_staging()
                 model = dict(history[published_v])
+                cname = cname_hist[published_v]
                 published_v = None
+        elif kind == "rename":
+            new_name = f"c{i}"
+            table.rename_column(cname, new_name)
+            cname = new_name
+        elif kind == "drop_n":
+            # metadata-only drop; the NEXT merge re-adds n under a fresh
+            # physical name — old n values must never resurrect (checked
+            # implicitly: a resurrected physical column would also shift
+            # content reads through the positional rename)
+            if n_present():
+                table.drop_column("n")
         history[table.current_version()] = dict(model)
+        cname_hist[table.current_version()] = cname
 
     # head state always equals the model; the DEFAULT read equals the
     # published model while staging, the head model otherwise
-    got = {r["path"]: r["content"] for r in table.read(ref="head").collect()}
+    got = {r["path"]: r[cname] for r in table.read(ref="head").collect()}
     assert got == model
     want_default = history[published_v] if published_v is not None else model
-    got_default = {r["path"]: r["content"] for r in table.read().collect()}
+    # default reads resolve the PUBLISHED version while staging — under
+    # ITS OWN column names (a head-side rename stays invisible too)
+    dname = cname_hist[published_v] if published_v is not None else cname
+    got_default = {r["path"]: r[dname] for r in table.read().collect()}
     assert got_default == want_default
     assert table.is_staging() == (published_v is not None)
     assert table.snapshot().tags == tags_model
     # time travel: every retained version matches its model snapshot —
-    # including versions retained ONLY because a tag pins them
+    # including versions retained ONLY because a tag pins them — under
+    # the column names THAT version declared
     for v, m in history.items():
-        tv = {r["path"]: r["content"] for r in table.read(version=v).collect()}
+        tv = {r["path"]: r[cname_hist[v]]
+              for r in table.read(version=v).collect()}
         assert tv == m, f"version {v}"
     # tag reads resolve through the ref to the same state
     for name, v in tags_model.items():
-        tv = {r["path"]: r["content"] for r in table.read(tag=name).collect()}
+        tv = {r["path"]: r[cname_hist[v]]
+              for r in table.read(tag=name).collect()}
         assert tv == history[v], f"tag {name} -> v{v}"
 
 
