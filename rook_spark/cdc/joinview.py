@@ -314,6 +314,21 @@ class JoinView:
                    validate_cardinality=False)
         return int(n_keys or 0)
 
+    # ------------------------------------------------------------ streaming
+
+    def sink(self):
+        """Adapter for the engine's after-phase fan-out
+        (``CdcEngine.with_sink(..., when="after")``): refresh after each
+        epoch's base commits. The batch contents are deliberately
+        IGNORED — refresh is driven by the tables' own version
+        watermarks, so a re-delivered, reordered, or partially-applied
+        epoch changes nothing about correctness (it just refreshes
+        whatever actually committed). Attach to whichever engine commits
+        LAST in the epoch (or to both — the second call no-ops)."""
+        def fn(flat: DataFrame, batch_id: int, run_id: str = "") -> None:
+            self.refresh()
+        return fn
+
     # --------------------------------------------------------------- repair
 
     def full_recompute(self) -> dict:

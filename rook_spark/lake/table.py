@@ -577,12 +577,18 @@ class LakeTable:
         points: dict[str, Any] | None = None,
         tag: str | None = None,
         ref: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
         ``tag``: read the version a named tag points at (``VERSION AS OF
         'tag'`` by name; see :meth:`tag`). Mutually exclusive with
         ``version``.
+
+        ``as_of``: wall-clock time travel (``TIMESTAMP AS OF``): epoch
+        seconds, a datetime, or an ISO string — resolves to the newest
+        retained version committed at or before that instant
+        (:meth:`version_at`). Mutually exclusive with version/tag/ref.
 
         ``ref``: read a movable branch ref — ``"main"`` is the published
         (last-audited) version while write-audit-publish staging is
@@ -633,6 +639,10 @@ class LakeTable:
         listener manager.
         """
         spark = spark or self.spark
+        if as_of is not None:
+            if version is not None or tag is not None or ref is not None:
+                raise ValueError("pass exactly one of version / tag / ref / as_of")
+            version = self.version_at(as_of)
         if tag is not None:
             if version is not None or ref is not None:
                 raise ValueError("pass exactly one of version / tag / ref")
@@ -718,6 +728,32 @@ class LakeTable:
         if not include_internal:
             df = df.drop(*[c for c in df.columns if c.startswith("__")])
         return df
+
+    def version_at(self, ts) -> int:
+        """The newest retained version committed AT OR BEFORE ``ts``
+        (Iceberg ``TIMESTAMP AS OF`` resolution; ts = epoch seconds, a
+        datetime, or an ISO string). Walks retained metadata newest-
+        first — vacuumed versions are skipped, and a timestamp older
+        than everything retained raises (retention erodes wall-clock
+        travel exactly like version travel; pin a tag for durable
+        anchors)."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts).timestamp()
+        elif isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        for v in range(self.current_version(), -1, -1):
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:  # vacuumed
+                continue
+            if s.committed_at <= ts:
+                return v
+        raise ValueError(
+            f"no retained version of {self.path} committed at or before "
+            f"{ts} — older snapshots were vacuumed (tag the versions you "
+            "need durable wall-clock access to)")
 
     def lineage(self, version: int | None = None) -> DataFrame:
         """The per-partition offset-watermark table (north_rule lineage)."""

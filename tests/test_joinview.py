@@ -196,3 +196,34 @@ def test_engine_fed_bases_end_to_end(spark, tmp_path):
            for r in jv.read().collect()}
     assert got == want
     assert len(got) > 0 and any(v[1] is not None for v in got.values())
+
+
+def test_streaming_tail_maintains_view(spark, tmp_path):
+    """The deployment shape: a live file-tail stream drives the facts
+    engine with the view attached as an after-phase sink — the view
+    converges to the full join at stream end (and the sink's batch args
+    are ignored by design: refresh is version-driven)."""
+    from rook_spark.cdc.engine import CdcEngine, await_stream_ready
+    from rook_spark.cdc.fixtures import generate_events, write_events
+
+    ev = generate_events(spark, 900, seed=43)
+    src = str(tmp_path / "src")
+    write_events(ev, src, n_files=3)
+    eng_l = CdcEngine(spark, str(tmp_path / "facts"), n_buckets=8).ignoring_servers(99)
+    R = LakeTable.create(spark, str(tmp_path / "R"), key_cols=["lang"], n_buckets=2,
+                         schema=T.StructType.fromDDL("lang string, family string"))
+    R.merge(spark.createDataFrame(
+        [(lg, f"fam_{lg}") for lg in ("I", "U", "D", "error", "click", "view")],
+        "lang string, family string").withColumn("op", F.lit("U")), 0)
+    jv = JoinView(spark, str(tmp_path / "V"), eng_l.target, lambda: R,
+                  join_on=["lang"], right_cols={"family": "family"}, n_buckets=8)
+    eng_l.with_sink("join_view", jv.sink(), when="after")
+    q = eng_l.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    await_stream_ready(q)
+    q.processAllAvailable()
+    q.stop()
+    want = {(r["repo"], r["path"]): r["family"] for r in
+            eng_l.target().read().join(R.read().select(
+                "lang", F.col("family").alias("family")), "lang", "left").collect()}
+    got = {(r["repo"], r["path"]): r["family"] for r in jv.read().collect()}
+    assert got == want and len(got) > 0

@@ -263,3 +263,29 @@ def test_engine_table_rename_between_epochs(spark, tmp_path):
         note = "E2|" + r["w"]["commit"] if r["w"]["offset"] >= 700 else None
         want[(r["repo"], r["path"])] = (r["w"]["content"], note)
     assert got == want
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read(as_of=...) — Iceberg TIMESTAMP AS OF: resolves the newest
+    retained version committed at or before the instant; older-than-
+    retention timestamps raise (wall-clock travel erodes with vacuum,
+    same as version travel)."""
+    import time
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.merge(_rows(spark, 0, 5), 0)
+    ts1 = t.snapshot().committed_at
+    time.sleep(0.05)
+    t.merge(_rows(spark, 5, 10, a="b"), 1)
+    ts2 = t.snapshot().committed_at
+    assert t.read(as_of=ts1).count() == 5
+    assert t.read(as_of=ts2).count() == 10
+    assert t.read(as_of=(ts1 + ts2) / 2).count() == 5  # between commits
+    assert t.version_at(ts2) == t.current_version()
+    import datetime
+    iso = datetime.datetime.fromtimestamp(ts2 + 1).isoformat()
+    assert t.read(as_of=iso).count() == 10
+    with pytest.raises(ValueError, match="no retained version"):
+        t.read(as_of=ts1 - 10_000)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.read(as_of=ts1, version=1)
