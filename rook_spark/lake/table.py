@@ -472,6 +472,85 @@ class LakeTable:
         return t
 
     @classmethod
+    def clone(
+        cls,
+        spark: SparkSession,
+        src_path: str,
+        dst_path: str,
+        version: int | None = None,
+        tag: str | None = None,
+        store=None,
+    ) -> "LakeTable":
+        """ZERO-COPY shallow clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-export analog): a new, independently writable table
+        whose first snapshot REFERENCES the source's data files by
+        absolute path — no bytes move, so forking a 100 TB table costs
+        one metadata commit. Writes to the clone land under its own
+        root and never touch the source; the source keeps evolving
+        unaffected. The fork carries the source's LINEAGE WATERMARKS,
+        so a cloned CDC target is a what-if fork of the pipeline: point
+        a second engine at the clone and re-replay an alternate suffix
+        of the log with full exactly-once semantics (the anti-filter
+        admits exactly the offsets past the fork point).
+
+        Resolution: ``tag`` / ``version`` pick the fork point; default
+        is what consumers see (the published WAP ref while the source
+        is staging, else head).
+
+        HONEST CAVEATS (same as Delta's): the source's ``vacuum`` does
+        not know about clones — reclaiming a version the clone still
+        references breaks the clone's reads (loudly, at scan time).
+        Durable forks should ``tag`` the source version first and keep
+        the tag while the clone lives, or run ``clone.compact(
+        max_files_per_bucket=0)`` — compaction rewrites every referenced
+        byte under the clone's own root, turning the shallow clone into
+        a deep one bucket by bucket. The clone starts with NO tags/refs
+        (they would point into the source's chain) and a fresh version
+        line at 0. ``store`` is the CLONE's metadata store; the source
+        is opened with its default (POSIX) store."""
+        src = cls.load(spark, src_path)
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass at most one of version / tag")
+            version = src.resolve_tag(tag)
+        snap = src.snapshot(version)
+        if version is None and "main" in snap.refs:
+            snap = src.snapshot(snap.refs["main"])
+        root = src.path
+
+        def _abs(f: str) -> str:
+            return f if os.path.isabs(f) else os.path.join(root, f)
+
+        buckets = {b: [_abs(f) for f in fs] for b, fs in snap.buckets.items()}
+        deltas = {b: [_abs(f) for f in fs] for b, fs in snap.deltas.items()}
+        first = Snapshot(
+            version=0,
+            batch_id=snap.batch_id,
+            schema_json=snap.schema_json,
+            key_cols=list(snap.key_cols),
+            n_buckets=snap.n_buckets,
+            buckets=buckets,
+            lineage={p: dict(m) for p, m in snap.lineage.items()},
+            committed_at=time.time(),
+            parent=-1,
+            deltas=deltas,
+            run_id="",
+            stats={_abs(f): dict(mm) for f, mm in snap.stats.items()},
+            bloom_cols=list(snap.bloom_cols),
+            blooms={_abs(f): dict(bb) for f, bb in snap.blooms.items()},
+            bucket_cols=snap.bucket_cols,
+            phys_map=dict(snap.phys_map),
+            retired_phys=list(snap.retired_phys),
+        )
+        t = cls(spark, dst_path, store=store)
+        t._store.init()
+        if t.current_version() >= 0:
+            raise ValueError(f"clone target {dst_path} already exists")
+        os.makedirs(os.path.join(t.path, _DATA), exist_ok=True)
+        t._write_snapshot(first)
+        return t
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str, store=None) -> "LakeTable":
         t = cls(spark, path, store=store)
         if t.current_version() < 0:

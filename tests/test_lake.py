@@ -1536,3 +1536,132 @@ def test_delete_where_mor_requires_sort_keys(spark, num_table):
     t.merge(_num_changes(spark, [("r", "p", "v", 1, "I")]), 0)
     with pytest.raises(ValueError, match="mor"):
         t.delete_where(F.lit(True), mode="mor")
+
+
+# ---------------------------------------------------------------- clone
+
+
+def _clone_changes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, content string, "
+        "__ordinal long, __offset long, op string",
+    )
+
+
+def _clone_src(spark, tmp_path):
+    """Source with COW bases, MOR deltas, lineage, and a tag."""
+    schema = T.StructType(
+        list(SCHEMA)
+        + [T.StructField("__ordinal", T.LongType()),
+           T.StructField("__offset", T.LongType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, ["repo", "path"], n_buckets=4
+    )
+    t.merge(
+        _clone_changes(spark, [("r1", "a", "v1", 0, 0, "I"), ("r2", "b", "v1", 0, 1, "I")]),
+        0,
+        lineage_update={0: {"last_applied_offset": 10, "rows_applied": 2, "bytes": 64}},
+    )
+    t.tag("fork-point")
+    v1 = t.current_version()
+    t.merge_mor(
+        _clone_changes(spark, [("r1", "a", "v2", 1, 2, "U"), ("r3", "c", "v1", 1, 3, "I")]), 1
+    )
+    return t, v1
+
+
+def test_clone_zero_copy_reads_equal(spark, tmp_path):
+    """A shallow clone reads byte-identically to its source (bases AND
+    unfolded MOR deltas) while moving ZERO data bytes: its data dir is
+    empty and every referenced file is an absolute path into the
+    source's root."""
+    src, _ = _clone_src(spark, tmp_path)
+    c = LakeTable.clone(spark, src.path, str(tmp_path / "c"))
+    assert sorted(map(tuple, c.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    assert os.listdir(os.path.join(c.path, "data")) == []
+    snap = c.snapshot()
+    refs = [f for fs in list(snap.buckets.values()) + list(snap.deltas.values()) for f in fs]
+    assert refs and all(f.startswith(src.path + os.sep) for f in refs)
+    # stats/bloom keys follow the file refs (pruning still works)
+    assert all(k.startswith(src.path + os.sep) for k in snap.stats)
+    # fresh identity: no tags/refs, version line restarts at 0
+    assert snap.tags == {} and snap.refs == {} and snap.version == 0
+    # lineage watermarks carried: the clone is a what-if CDC fork
+    assert snap.lineage == src.snapshot().lineage
+    assert snap.lineage["0"]["last_applied_offset"] == 10
+
+
+def test_clone_writes_are_independent(spark, tmp_path):
+    """Divergence: writes to the clone land under ITS root and never
+    touch the source; the source keeps evolving without moving the
+    clone."""
+    src, _ = _clone_src(spark, tmp_path)
+    c = LakeTable.clone(spark, src.path, str(tmp_path / "c"))
+    src_files_before = {
+        f for fs in src.snapshot().buckets.values() for f in fs
+    }
+    c.merge(_clone_changes(spark, [("r9", "z", "clone-only", 2, 10, "I")]), 99)
+    src2 = LakeTable.load(spark, src.path)
+    assert {f for fs in src2.snapshot().buckets.values() for f in fs} == src_files_before
+    assert src2.read().where("repo = 'r9'").count() == 0
+    src.merge(_clone_changes(spark, [("r8", "y", "src-only", 2, 11, "I")]), 2)
+    assert c.read().where("repo = 'r8'").count() == 0
+    assert c.read().where("repo = 'r9'").count() == 1
+
+
+def test_clone_at_version_and_tag(spark, tmp_path):
+    """version= / tag= pick the fork point; both together is an error."""
+    src, v1 = _clone_src(spark, tmp_path)
+    by_v = LakeTable.clone(spark, src.path, str(tmp_path / "cv"), version=v1)
+    by_tag = LakeTable.clone(spark, src.path, str(tmp_path / "ct"), tag="fork-point")
+    want = sorted(map(tuple, src.read(version=v1).collect()))
+    assert sorted(map(tuple, by_v.read().collect())) == want
+    assert sorted(map(tuple, by_tag.read().collect())) == want
+    with pytest.raises(ValueError, match="at most one"):
+        LakeTable.clone(spark, src.path, str(tmp_path / "cx"), version=v1, tag="fork-point")
+    with pytest.raises(ValueError, match="already exists"):
+        LakeTable.clone(spark, src.path, str(tmp_path / "cv"))
+
+
+def test_clone_wap_source_defaults_to_published(spark, tmp_path):
+    """Cloning a WAP-staging source forks what CONSUMERS see (the
+    published ref), not the unaudited staging head; version= still
+    reaches the staging head explicitly."""
+    src, _ = _clone_src(spark, tmp_path)
+    src.begin_staging()
+    src.merge(_clone_changes(spark, [("r7", "w", "staged", 2, 12, "I")]), 5)
+    pub = src.published_version()
+    c = LakeTable.clone(spark, src.path, str(tmp_path / "c"))
+    assert sorted(map(tuple, c.read().collect())) == sorted(
+        map(tuple, src.read(version=pub).collect())
+    )
+    head = LakeTable.clone(
+        spark, src.path, str(tmp_path / "ch"), version=src.current_version()
+    )
+    assert head.read().where("repo = 'r7'").count() == 1
+
+
+def test_clone_compact_localizes_then_survives_source_vacuum(spark, tmp_path):
+    """The deep-copy escape hatch: compact(0) rewrites every referenced
+    byte under the clone's root; afterwards reclaiming the source
+    entirely leaves the clone readable. Without localization, a source
+    vacuum that drops the forked version breaks the clone LOUDLY at
+    scan time (the documented Delta-shallow-clone caveat)."""
+    import shutil
+
+    src, _ = _clone_src(spark, tmp_path)
+    broken = LakeTable.clone(spark, src.path, str(tmp_path / "b"))
+    c = LakeTable.clone(spark, src.path, str(tmp_path / "c"))
+    c.compact(max_files_per_bucket=0)
+    snap = c.snapshot()
+    refs = [f for fs in list(snap.buckets.values()) + list(snap.deltas.values()) for f in fs]
+    assert refs and not any(f.startswith(src.path + os.sep) for f in refs)
+    rows = sorted(map(tuple, c.read().collect()))
+    shutil.rmtree(os.path.join(src.path, "data"))
+    assert sorted(map(tuple, c.read().collect())) == rows
+    with pytest.raises(Exception):
+        broken.read().collect()
