@@ -369,6 +369,24 @@ def main() -> None:
             f"WAP: clean retry published; consumers went "
             f"{published} -> {wap.read().count()} rows without ever seeing poison"
         )
+        # --- 11. zero-copy clone: fork the table + its CDC watermarks in
+        # one metadata commit; re-replaying the FULL log on the fork
+        # admits exactly the post-fork suffix (what-if replay at 100 TB
+        # = one commit + the suffix, never a table copy)
+        fork_tbl = LakeTable.clone(
+            spark, os.path.join(work, "repos3"), os.path.join(work, "fork")
+        )
+        assert os.listdir(os.path.join(fork_tbl.path, "data")) == []
+        eng4 = CdcEngine(
+            spark, os.path.join(work, "fork"), n_buckets=4
+        ).ignoring_servers(99)
+        stats = eng4.replay(events, 2)  # full log: prefix fenced out
+        assert stats.rows_in == 0  # everything already applied pre-fork
+        assert eng4.target().read().count() == wap.read().count()
+        print(
+            "== clone: zero-copy fork re-replayed the full log; "
+            f"watermarks admitted {stats.rows_in} rows (all pre-fork) =="
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

