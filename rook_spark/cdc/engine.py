@@ -85,9 +85,14 @@ class CdcEngine:
         vacuum_min_age_s: float = 3600.0,
         audit: Callable[[LakeTable], bool] | None = None,
         row_image: str = "full",
+        store=None,
     ):
         self.spark = spark
         self.target_path = target_path
+        # optional MetadataStore for the target table (e.g. a
+        # LakeCatalog table store for atomic multi-table epochs);
+        # None = the table's default POSIX layout
+        self.store = store
         self.key_cols = tuple(key_cols)
         self.n_buckets = n_buckets
         self.salted = salted
@@ -286,8 +291,9 @@ class CdcEngine:
     # --------------------------------------------------------------- target
 
     def target(self, payload_schema=None) -> LakeTable:
-        if LakeTable.exists(self.target_path):
-            return LakeTable.load(self.spark, self.target_path)
+        t = LakeTable(self.spark, self.target_path, store=self.store)
+        if t.current_version() >= 0:
+            return t
         return LakeTable.create(
             self.spark,
             self.target_path,
@@ -295,6 +301,7 @@ class CdcEngine:
             key_cols=self.key_cols,
             n_buckets=self.n_buckets,
             bloom_cols=self.bloom_cols,
+            store=self.store,
         )
 
     # ---------------------------------------------------------------- apply
@@ -611,13 +618,28 @@ class MultiTableCdcEngine:
         spark: SparkSession,
         base_path: str,
         tables: tuple[str, ...],
+        catalog=None,
         **engine_kwargs,
     ):
+        """``catalog`` (a :class:`~rook_spark.lake.catalog.LakeCatalog`
+        or its in-memory twin): commit every epoch ATOMICALLY across
+        the demuxed tables — each table's store hangs off the shared
+        pointer map and :meth:`replay` / :meth:`stream` wrap the
+        fan-out in one ``catalog.group()``, so a crash mid-epoch leaves
+        NO table at the new epoch (the write-side elimination of the
+        torn window :meth:`consistent_read` masks read-side). Composes
+        with WAP/compaction inside the epoch (staged commits chain);
+        retention (``vacuum_every``) stays OUTSIDE groups — the catalog
+        store refuses physical deletes mid-group, so pair ``catalog``
+        with manual vacuum between epochs."""
         self.spark = spark
+        self.catalog = catalog
         self.engines: dict[str, CdcEngine] = {}
         for t in tables:
+            name = t.replace(".", "__")
+            store = catalog.store(name) if catalog is not None else None
             self.engines[t] = CdcEngine(
-                spark, os.path.join(base_path, t.replace(".", "__")), **engine_kwargs
+                spark, os.path.join(base_path, name), store=store, **engine_kwargs
             ).tracking(t)
 
     def ignoring_servers(self, *server_ids: int) -> "MultiTableCdcEngine":
@@ -652,9 +674,17 @@ class MultiTableCdcEngine:
         self, events: DataFrame, start_batch_id: int | None = None
     ) -> dict[str, ApplyStats]:
         """Apply one epoch to every tracked table — one materialization
-        of the batch, N filtered MERGEs."""
+        of the batch, N filtered MERGEs; with a ``catalog``, all N
+        commits publish in ONE atomic pointer flip (any failure
+        discards the whole epoch everywhere)."""
         events.persist()
         try:
+            if self.catalog is not None:
+                with self.catalog.group():
+                    return {
+                        t: e.replay(events, start_batch_id)
+                        for t, e in self.engines.items()
+                    }
             return {
                 t: e.replay(events, start_batch_id) for t, e in self.engines.items()
             }
@@ -683,8 +713,13 @@ class MultiTableCdcEngine:
         def apply_all(df: DataFrame, bid: int) -> None:
             df.persist()
             try:
-                for e in self.engines.values():
-                    e._apply(df, bid, run_id=run_id)
+                if self.catalog is not None:
+                    with self.catalog.group():
+                        for e in self.engines.values():
+                            e._apply(df, bid, run_id=run_id)
+                else:
+                    for e in self.engines.values():
+                        e._apply(df, bid, run_id=run_id)
             finally:
                 df.unpersist()
 

@@ -178,6 +178,23 @@ class PosixMetadataStore(MetadataStore):
         finally:
             os.close(fd)
 
+    def _write_payload(self, version: int, payload: str) -> None:
+        """Durably place the snapshot payload file WITHOUT moving the
+        pointer — invisible to readers until a pointer flip references
+        it (the staging half of commit, shared with the catalog's
+        group commit). Ends with a directory fsync: a filesystem may
+        otherwise persist a later pointer flip but not this rename
+        across power loss (POSIX gives no directory-op ordering),
+        leaving ``read_pointer() -> N`` with ``read(N)`` missing."""
+        snap_path = self._snap_path(version)
+        tmp = snap_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, snap_path)
+        self._fsync_dir()
+
     def commit(self, version: int, payload: str, expected_parent: int) -> None:
         import fcntl
 
@@ -189,18 +206,7 @@ class PosixMetadataStore(MetadataStore):
             actual = self.read_pointer()
             if actual != expected_parent:
                 raise CommitConflict(expected_parent, actual)
-            snap_path = self._snap_path(version)
-            tmp = snap_path + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(payload)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, snap_path)
-            # barrier between the two renames: without it a filesystem may
-            # persist the pointer flip but not the payload rename across
-            # power loss (POSIX gives no directory-op ordering), leaving
-            # read_pointer() -> N with read(N) -> FileNotFoundError
-            self._fsync_dir()
+            self._write_payload(version, payload)
             ptr_tmp = os.path.join(self.meta_dir, f".latest.tmp.{uuid.uuid4().hex}")
             with open(ptr_tmp, "w") as f:
                 f.write(str(version))

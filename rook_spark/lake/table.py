@@ -1415,6 +1415,18 @@ class LakeTable:
         behavior)."""
         import glob
 
+        # vacuum PHYSICALLY deletes (data files first): inside an open
+        # catalog group the staged head is not durable, so a later
+        # group abort would leave the durable snapshot referencing
+        # deleted bytes — refuse up front, before any os.remove (the
+        # store's own delete/delete_blob guards fire too late to
+        # protect the data files)
+        probe = getattr(self._store, "in_active_group", None)
+        if probe is not None and probe():
+            raise RuntimeError(
+                "vacuum inside an open catalog group is not atomic — "
+                "run retention outside the group"
+            )
         now = time.time()
         current = self.current_version()
         window_start = max(0, current - keep_last + 1)
