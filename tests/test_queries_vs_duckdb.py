@@ -121,7 +121,7 @@ def test_registry_count_matches_readme():
     import re
 
     n = len(q.queries())
-    assert n == 84, f"registry changed size to {n}: update this pin AND README.md"
+    assert n == 85, f"registry changed size to {n}: update this pin AND README.md"
     readme = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
     ).read()
@@ -158,7 +158,7 @@ def test_driver_window_rotation_r5():
         os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_r04.json")))
     # registered mid-round-5, pytest-oracled; takes its driver row in r6
     # (the doc_contamination precedent from r4)
-    new_this_round = {"cdc_clone_fork",
+    new_this_round = {"cdc_clone_fork", "cdc_atomic_multi_commit",
                       "cdc_dedup_index", "cdc_incremental_scan", "ann_pq_topk",
                       "cdc_commit_point_lookup", "cdc_tagged_time_travel",
                       "cdc_type_widening", "doc_hash_split", "doc_weighted_mixture", "doc_pack_sequences", "cdc_wap_audit_publish",
