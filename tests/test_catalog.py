@@ -281,3 +281,75 @@ def test_streaming_fanout_commits_atomically(spark, tmp_path):
         sorted(map(tuple, ref.target().read().collect()))
     assert sorted(map(tuple, b.read().collect())) == \
         sorted(map(tuple, ref.target().read().collect()))
+
+
+# ------------------------------------------------ atomicity property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+class _Boom(Exception):
+    pass
+
+
+_EPOCH = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.one_of(st.none(), st.integers(0, 99))),
+        min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+    ),
+    st.sampled_from(["ok", "fail_before_any", "fail_after_first", "redeliver"]),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(epochs=st.lists(_EPOCH, min_size=1, max_size=6))
+def test_catalog_group_atomicity_property(spark, tmp_path_factory, epochs):
+    """Any sequence of two-table epochs with failures injected at any
+    point inside the group (before either table, or between the two —
+    the torn instant) followed by clean re-delivery matches a dict
+    model on BOTH tables, with the tables' batch fences aligned after
+    every epoch; re-delivering an already-committed epoch is a no-op
+    (the batch fence rides the group)."""
+    tmp = tmp_path_factory.mktemp("cat_prop")
+    cat = LakeCatalog(str(tmp / "cat"))
+    cat.init()
+    ta = LakeTable.create(spark, str(tmp / "a"), SCHEMA, ["repo", "path"],
+                          n_buckets=2, store=cat.store("a"))
+    tb = LakeTable.create(spark, str(tmp / "b"), SCHEMA, ["repo", "path"],
+                          n_buckets=2, store=cat.store("b"))
+    model: dict[str, str] = {}
+
+    def state(t: LakeTable) -> dict[str, str]:
+        return {r["path"]: r["content"] for r in t.read().collect()}
+
+    for bid, (rows, mode) in enumerate(epochs):
+        df = _changes(spark, [
+            ("r", f"p{k}", f"v{bid}_{k}" if v is not None else None,
+             "U" if v is not None else "D")
+            for k, v in rows
+        ])
+        if mode in ("fail_before_any", "fail_after_first"):
+            with pytest.raises(_Boom):
+                with cat.group():
+                    if mode == "fail_before_any":
+                        raise _Boom()
+                    ta.merge(df, bid)
+                    raise _Boom()
+            # the aborted group published NOTHING anywhere
+            assert state(ta) == model and state(tb) == model
+        # (re-)deliver the epoch cleanly — exactly-once
+        with cat.group():
+            ta.merge(df, bid)
+            tb.merge(df, bid)
+        if mode == "redeliver":  # duplicate of a COMMITTED epoch: no-op
+            with cat.group():
+                ta.merge(df, bid)
+                tb.merge(df, bid)
+        for k, v in rows:
+            if v is None:
+                model.pop(f"p{k}", None)
+            else:
+                model[f"p{k}"] = f"v{bid}_{k}"
+        assert state(ta) == model and state(tb) == model, (bid, mode)
+        assert ta.last_committed_batch() == tb.last_committed_batch() == bid

@@ -176,11 +176,16 @@ _OP = st.one_of(
 )
 
 
-@pytest.mark.parametrize("bucket_cols", [None, ["repo"]],
-                         ids=["full-key", "prefix-routed"])
+@pytest.mark.parametrize(
+    "bucket_cols,store_kind",
+    [(None, "posix"), (["repo"], "posix"), (None, "catalog")],
+    ids=["full-key", "prefix-routed", "catalog-store"],
+)
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
-def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, ops):
+def test_lake_ops_algebra_matches_model(
+    spark, tmp_path_factory, bucket_cols, store_kind, ops
+):
     """Any interleaving of MERGE / rebucket / rollback / compact / vacuum
     / cluster (z-order rewrite) / tag / drop_tag / stage / publish /
     abort matches a dict model, at the final version AND at every
@@ -197,6 +202,17 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
     from rook_spark.lake.table import LakeTable
 
     tmp = tmp_path_factory.mktemp("lake_alg")
+    store = None
+    if store_kind == "catalog":
+        # the shared-pointer catalog store must be algebra-identical to
+        # the plain POSIX layout under every interleaving (no group is
+        # open here, so each commit is a one-entry group — including
+        # vacuum's physical deletes)
+        from rook_spark.lake.catalog import LakeCatalog
+
+        cat = LakeCatalog(str(tmp / "cat"))
+        cat.init()
+        store = cat.store("t")
     table = LakeTable.create(
         spark, str(tmp / "t"),
         T.StructType([
@@ -205,7 +221,7 @@ def test_lake_ops_algebra_matches_model(spark, tmp_path_factory, bucket_cols, op
             T.StructField("content", T.StringType()),
             T.StructField("n", T.LongType()),
         ]),
-        ["repo", "path"], n_buckets=4, bucket_cols=bucket_cols,
+        ["repo", "path"], n_buckets=4, bucket_cols=bucket_cols, store=store,
     )
     model: dict[str, str] = {}
     history: dict[int, dict[str, str]] = {table.current_version(): dict(model)}
