@@ -387,6 +387,46 @@ def main() -> None:
             "== clone: zero-copy fork re-replayed the full log; "
             f"watermarks admitted {stats.rows_in} rows (all pre-fork) =="
         )
+        # --- 12. atomic multi-table epochs: one shared-pointer catalog,
+        # a failure between two tables' applies publishes NOTHING (the
+        # torn-epoch window is unrepresentable, not just masked)
+        from rook_spark.cdc.engine import MultiTableCdcEngine
+        from rook_spark.lake.catalog import LakeCatalog
+
+        cat = LakeCatalog(os.path.join(work, "catalog"))
+        cat.init()
+        demux = events.unionByName(events.withColumn(
+            "table_name",
+            F.when(F.col("table_name") == "repos", "meta")
+            .otherwise(F.col("table_name")),
+        ))
+        multi = MultiTableCdcEngine(
+            spark, os.path.join(work, "multi"), ("rook.repos", "rook.meta"),
+            catalog=cat, n_buckets=4,
+        ).ignoring_servers(99)
+        multi.replay(demux.where(F.col("offset") < 16_000))
+        v_before = multi.target("rook.repos").current_version()
+        orig = multi.engines["rook.meta"].replay
+
+        def die(*a, **k):
+            raise RuntimeError("crash between the two tables' applies")
+
+        multi.engines["rook.meta"].replay = die
+        try:
+            multi.replay(demux.where(F.col("offset") >= 16_000))
+        except RuntimeError:
+            pass
+        assert multi.target("rook.repos").current_version() == v_before
+        multi.engines["rook.meta"].replay = orig
+        multi.replay(demux.where(F.col("offset") >= 16_000))
+        ra = multi.target("rook.repos")
+        rb = multi.target("rook.meta")
+        assert ra.last_committed_batch() == rb.last_committed_batch()
+        print(
+            "== catalog: epoch torn mid-group published NOTHING; after "
+            f"re-delivery both tables sit at batch {ra.last_committed_batch()} "
+            f"with {ra.read().count()} == {rb.read().count()} rows =="
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
