@@ -93,6 +93,8 @@ _DRIVER_TAIL = (
     "cdc_lake_source_read",
     "cdc_column_rename",
     "cdc_join_view",
+    # final-session registrations (pytest-oracled; driver rows in r6):
+    # the zero-copy what-if fork and the atomic multi-table epoch
     "cdc_clone_fork",
     "cdc_atomic_multi_commit",
 )
