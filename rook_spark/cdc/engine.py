@@ -135,6 +135,10 @@ class CdcEngine:
         self.vacuum_keep_last = vacuum_keep_last
         self.vacuum_min_age_s = vacuum_min_age_s
         self._epochs_since_vacuum = 0
+        # cadence vacuum that came due INSIDE a catalog group (deferred
+        # there because physical deletes cannot be staged); drained by
+        # run_due_vacuum() after the group flips
+        self._vacuum_due = False
         # known static source-partition count (Kafka topic partitions /
         # binlog shard count) unlocks the single-job MOR epoch
         self.n_source_partitions = n_source_partitions
@@ -388,10 +392,21 @@ class CdcEngine:
             if self.vacuum_every:
                 self._epochs_since_vacuum += 1
                 if self._epochs_since_vacuum >= self.vacuum_every:
-                    self.target().vacuum(
-                        keep_last=self.vacuum_keep_last,
-                        min_age_s=self.vacuum_min_age_s,
-                    )
+                    probe = getattr(self.store, "in_active_group", None)
+                    if probe is not None and probe():
+                        # vacuum physically deletes, which cannot join an
+                        # atomic catalog group (a later abort could not
+                        # un-delete bytes the durable snapshot needs) —
+                        # DEFER it past the group flip instead of failing
+                        # the epoch; MultiTableCdcEngine drains the flag
+                        # right after its group, other group owners call
+                        # run_due_vacuum() themselves
+                        self._vacuum_due = True
+                    else:
+                        self.target().vacuum(
+                            keep_last=self.vacuum_keep_last,
+                            min_age_s=self.vacuum_min_age_s,
+                        )
                     self._epochs_since_vacuum = 0
             if flat_fresh is not None:
                 self._fan_out(flat_fresh, batch_id, phase="after", run_id=run_id)
@@ -400,6 +415,22 @@ class CdcEngine:
                 ev.unpersist()
         self.stats.append(stats)
         return stats
+
+    def run_due_vacuum(self) -> bool:
+        """Drain a cadence vacuum that came due inside an atomic catalog
+        group (``_apply`` defers it there — physical deletes cannot be
+        staged, because a later group abort could not un-delete bytes
+        the still-durable snapshot needs). Call AFTER the group flips;
+        :class:`MultiTableCdcEngine` does so automatically. Idempotent;
+        returns True iff a deferred vacuum ran."""
+        if not self._vacuum_due:
+            return False
+        self._vacuum_due = False
+        self.target().vacuum(
+            keep_last=self.vacuum_keep_last,
+            min_age_s=self.vacuum_min_age_s,
+        )
+        return True
 
     def _fan_out(self, flat: DataFrame, batch_id: int, phase: str = "after",
                  run_id: str = "") -> None:
@@ -629,9 +660,10 @@ class MultiTableCdcEngine:
         NO table at the new epoch (the write-side elimination of the
         torn window :meth:`consistent_read` masks read-side). Composes
         with WAP/compaction inside the epoch (staged commits chain);
-        retention (``vacuum_every``) stays OUTSIDE groups — the catalog
-        store refuses physical deletes mid-group, so pair ``catalog``
-        with manual vacuum between epochs."""
+        retention (``vacuum_every``) composes too — a cadence vacuum
+        that comes due mid-group is deferred (the catalog store refuses
+        physical deletes mid-group) and drained via
+        :meth:`CdcEngine.run_due_vacuum` right after the flip."""
         self.spark = spark
         self.catalog = catalog
         self.engines: dict[str, CdcEngine] = {}
@@ -681,10 +713,13 @@ class MultiTableCdcEngine:
         try:
             if self.catalog is not None:
                 with self.catalog.group():
-                    return {
+                    out = {
                         t: e.replay(events, start_batch_id)
                         for t, e in self.engines.items()
                     }
+                for e in self.engines.values():
+                    e.run_due_vacuum()
+                return out
             return {
                 t: e.replay(events, start_batch_id) for t, e in self.engines.items()
             }
@@ -717,6 +752,8 @@ class MultiTableCdcEngine:
                     with self.catalog.group():
                         for e in self.engines.values():
                             e._apply(df, bid, run_id=run_id)
+                    for e in self.engines.values():
+                        e.run_due_vacuum()
                 else:
                     for e in self.engines.values():
                         e._apply(df, bid, run_id=run_id)
