@@ -392,3 +392,56 @@ def test_vacuum_cadence_defers_past_the_group(spark, tmp_path):
         plain.replay(events.where((F.col("offset") >= lo) & (F.col("offset") < hi)), i)
     got = sorted(map(tuple, t.read().collect()))
     assert got == sorted(map(tuple, plain.target().read().collect()))
+
+
+def test_deferred_vacuum_survives_a_group_abort(spark, tmp_path):
+    """The deferral flag set inside a group that later ABORTS is not
+    lost (the drain loop never runs on the failing epoch) and not
+    spuriously executed either — it drains after the next SUCCESSFUL
+    group, where vacuum is safe because it only reclaims expired
+    versions of durable state."""
+    from rook_spark.cdc.fixtures import generate_events
+
+    ev = generate_events(spark, 2000, seed=43).cache()
+    tables = ("rook.repos", "rook.meta")
+    ev2 = ev.withColumn(
+        "table_name",
+        F.when(F.col("table_name") == "repos", "meta").otherwise(F.col("table_name")),
+    )
+    both = ev.unionByName(ev2)
+    cat = LakeCatalog(str(tmp_path / "cat"))
+    cat.init()
+    eng = MultiTableCdcEngine(
+        spark, str(tmp_path / "at"), tables, catalog=cat, n_buckets=4,
+        vacuum_every=1, vacuum_keep_last=2, vacuum_min_age_s=0,
+    ).ignoring_servers(99)
+    eng.replay(both.where("offset < 1000"))
+    a = eng.engines["rook.repos"]
+    assert not a._vacuum_due  # epoch 0's deferral drained
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected failure on the second table")
+
+    orig = eng.engines["rook.meta"].replay
+    eng.engines["rook.meta"].replay = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.replay(both.where("offset >= 1000"))
+    # A's apply ran inside the aborted group: its cadence vacuum came
+    # due, was deferred, and the abort skipped the drain — flag survives
+    assert a._vacuum_due
+    eng.engines["rook.meta"].replay = orig
+    eng.replay(both.where("offset >= 1000"))  # clean re-delivery drains
+    assert not a._vacuum_due
+    for t in tables:
+        assert len(eng.target(t)._store.versions()) <= 2, t
+    # state parity with a catalog-free cadence engine on the same stream
+    plain = MultiTableCdcEngine(
+        spark, str(tmp_path / "plain"), tables, n_buckets=4,
+        vacuum_every=1, vacuum_keep_last=2, vacuum_min_age_s=0,
+    ).ignoring_servers(99)
+    plain.replay(both.where("offset < 1000"))
+    plain.replay(both.where("offset >= 1000"))
+    for t in tables:
+        got = sorted(map(tuple, eng.target(t).read().collect()))
+        assert got == sorted(map(tuple, plain.target(t).read().collect())), t
+    ev.unpersist()
