@@ -626,7 +626,12 @@ class MultiTableCdcEngine:
     materialized ONCE per epoch (``persist``) and each table's engine
     filters its slice (P2 — a codegen'd predicate, no extra source
     scan) and MERGEs into its own bucketed ``LakeTable`` with its own
-    offset-watermark lineage. Exactly-once therefore holds PER TABLE
+    offset-watermark lineage. The per-table MERGEs run SERIALLY by
+    design: each MERGE is one Spark job that already parallelizes
+    across the whole cluster, so submitting them concurrently would
+    only fragment executor capacity among jobs (and race the
+    batch-id-named lineage Observations) — the cached batch keeps the
+    serial fan-out one-scan. Exactly-once therefore holds PER TABLE
     independently — the same per-listener independence rook gives; a
     cross-table transactional epoch would need a shared catalog commit
     (Iceberg multi-table transactions in production — the per-table
