@@ -73,6 +73,10 @@ def main() -> None:
         table.history().orderBy("version").show(truncate=False)
         print("== per-partition watermarks (lineage) ==")
         table.lineage().orderBy("partition_id").show(5)
+        print("== live-file inventory (files; Iceberg tbl.files analog) ==")
+        (table.files().groupBy("bucket", "kind")
+         .agg(F.count("*").alias("n_files"), F.sum("size_bytes").alias("bytes"))
+         .orderBy("bucket", "kind").show(8))
 
         # --- 3. bad batch → rollback + re-replay. The corrupted epoch
         # carries FRESH offsets (16k-24k, above every watermark), so it

@@ -882,6 +882,48 @@ class LakeTable:
             "total_rows_applied long, total_bytes long",
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Live-file inventory as a DataFrame (Iceberg ``tbl.files``
+        metadata-table analog): one row per data file referenced by the
+        given snapshot (default: current) — bucket, kind (``base`` or
+        ``delta``), position in the bucket's delta chain (``seq``, -1
+        for base files), path relative to the table root, on-disk size,
+        and which pruning axes the file carries (footer min/max stat
+        columns, bloom columns). Ops surface: diagnose bucket skew
+        (bytes per bucket), verify stats/bloom coverage before relying
+        on ``read(ranges=/points=)`` pruning, and size compaction work
+        (delta-chain depth per bucket). Driver-side metadata only —
+        sizes come from the filesystem listing the snapshot already
+        names, never from scanning file contents. Complements
+        :meth:`history` (one row per snapshot) at file granularity."""
+        snap = self.snapshot(version)
+        rows = []
+
+        def _row(bucket: str, kind: str, seq: int, rel: str):
+            full = os.path.join(self.path, rel)
+            try:
+                size = int(os.path.getsize(full))
+            except OSError:
+                size = -1  # listed by the snapshot but missing on disk
+            st = snap.stats.get(rel, {})
+            bl = snap.blooms.get(rel, {})
+            rows.append((
+                snap.version, int(bucket), kind, seq, rel, size,
+                sorted(st.keys()), sorted(bl.keys()),
+            ))
+
+        for bucket, fs in snap.buckets.items():
+            for rel in fs:
+                _row(bucket, "base", -1, rel)
+        for bucket, fs in snap.deltas.items():
+            for seq, rel in enumerate(fs):
+                _row(bucket, "delta", seq, rel)
+        return self.spark.createDataFrame(
+            rows,
+            "version int, bucket int, kind string, seq int, path string, "
+            "size_bytes long, stat_cols array<string>, bloom_cols array<string>",
+        )
+
     def changes(
         self,
         from_version: int,

@@ -1665,3 +1665,55 @@ def test_clone_compact_localizes_then_survives_source_vacuum(spark, tmp_path):
     assert sorted(map(tuple, c.read().collect())) == rows
     with pytest.raises(Exception):
         broken.read().collect()
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """files() = Iceberg tbl.files analog: one row per live file at a
+    snapshot, with bucket/kind/delta-seq, on-disk size, and the pruning
+    axes (stat/bloom columns) each file carries; time travel via
+    version=; MOR deltas appear with their chain position and vanish
+    after compact; sizes agree with the filesystem."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4,
+        bloom_cols=["repo"],
+    )
+    def _ord(df, start):
+        return df.withColumn("__ordinal", F.lit(start) + F.monotonically_increasing_id()) \
+                 .withColumn("__offset", F.col("__ordinal"))
+
+    t.merge(_ord(_changes(spark, [("r1", "a", "v1", "I"), ("r2", "b", "v1", "I")]), 0), 0)
+    v0 = t.current_version()
+    t.merge_mor(_ord(_changes(spark, [("r1", "a", "v2", "U"), ("r3", "c", "v1", "I")]), 10), 1)
+
+    f = t.files().collect()
+    snap = t.snapshot()
+    n_base = sum(len(fs) for fs in snap.buckets.values())
+    n_delta = sum(len(fs) for fs in snap.deltas.values())
+    assert len(f) == n_base + n_delta
+    kinds = {r["kind"] for r in f}
+    assert kinds == {"base", "delta"}  # MOR second epoch wrote deltas
+    for r in f:
+        full = os.path.join(t.path, r["path"])
+        assert os.path.exists(full), r["path"]
+        assert r["size_bytes"] == os.path.getsize(full)
+        assert 0 <= r["bucket"] < 4
+        assert (r["seq"] == -1) == (r["kind"] == "base")
+    # the reported pruning axes are exactly the snapshot's stat/bloom
+    # maps (stats are numeric-only by design — this schema is strings,
+    # so stat_cols is whatever numeric internals each footer carried)
+    base = [r for r in f if r["kind"] == "base"]
+    for r in f:
+        assert set(r["stat_cols"]) == set(snap.stats.get(r["path"], {})), r["path"]
+        assert set(r["bloom_cols"]) == set(snap.blooms.get(r["path"], {})), r["path"]
+    # the configured bloom column is present on every base file
+    assert base and all("repo" in r["bloom_cols"] for r in base)
+    # time travel: the v0 inventory has no deltas and fewer files
+    f0 = t.files(version=v0).collect()
+    assert {r["kind"] for r in f0} == {"base"}
+    assert all(r["version"] == v0 for r in f0)
+    # compact folds the chains: delta rows disappear, state unchanged
+    before = sorted(map(tuple, t.read().collect()))
+    t.compact()
+    f2 = t.files().collect()
+    assert {r["kind"] for r in f2} == {"base"}
+    assert sorted(map(tuple, t.read().collect())) == before
