@@ -657,6 +657,7 @@ class LakeTable:
         tag: str | None = None,
         ref: str | None = None,
         as_of=None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a past version / a subset of buckets).
 
@@ -675,6 +676,13 @@ class LakeTable:
         the ``"main"`` ref when it exists: consumers of a staging table
         only ever see audited state (see :meth:`begin_staging`); the
         engine's own write/maintenance paths read ``ref="head"``.
+
+        ``columns`` — projection pushdown through the merge-on-read
+        fold: the LWW resolution aggregates a struct of every payload
+        column, which blocks Catalyst's column pruning — on a wide
+        table a 2-column query would still scan every column chunk of
+        every delta-bearing file. Passing ``columns`` narrows the
+        parquet read schema itself; key columns are always included.
 
         File-level pruning: when ``buckets`` is given only those buckets'
         files are even listed — stronger than predicate pushdown, and the
@@ -746,6 +754,30 @@ class LakeTable:
         if snap is None:
             snap = self.snapshot(version)
         schema = snap.schema()
+        if columns is not None:
+            # PROJECTION PUSHDOWN THROUGH THE MOR FOLD. The delta
+            # resolution below aggregates max_by(struct(<every payload
+            # column>)), and Catalyst cannot prune columns through an
+            # aggregate that references all of them — so a downstream
+            # .select() on a wide table still scans every column chunk
+            # of every delta-bearing file. Declaring the projection HERE
+            # narrows the parquet read schema itself (columnar skip at
+            # the source, the Iceberg scan-with-projection analog). Key
+            # columns always ride along (the fold groups on them), and
+            # ``__``-prefixed internals stay for winner ordering — then
+            # drop at the end as usual. COW-only reads get pruning from
+            # Catalyst anyway; ``columns`` just makes it explicit.
+            have = {f.name for f in schema.fields}
+            missing = [c for c in columns if c not in have]
+            if missing:
+                raise ValueError(
+                    f"unknown columns {missing}; table has {sorted(have)}"
+                )
+            wanted = set(snap.key_cols) | set(columns)
+            schema = T.StructType([
+                f for f in schema.fields
+                if f.name in wanted or f.name.startswith("__")
+            ])
         # footer stats / bloom keys are PHYSICAL names (they describe
         # file bytes); callers speak logical — translate the hint keys
         if ranges:

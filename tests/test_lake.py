@@ -1717,3 +1717,54 @@ def test_files_metadata_table(spark, tmp_path):
     f2 = t.files().collect()
     assert {r["kind"] for r in f2} == {"base"}
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_read_columns_projection_through_mor_fold(spark, tmp_path):
+    """read(columns=...) pushes projection through the merge-on-read
+    fold. The LWW resolution aggregates max_by(struct(<all payload>)),
+    which blocks Catalyst column pruning — without the parameter a
+    2-column query scans EVERY column chunk of every delta-bearing
+    file. With it, the parquet ReadSchema itself is narrow, and the
+    result is value-identical to selecting from the full read."""
+    wide = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("stars", T.LongType()),
+    ])
+
+    def _rows(spark, rows, start):
+        df = spark.createDataFrame(
+            rows, "repo string, path string, content string, lang string, "
+                  "stars long, op string")
+        return df.withColumn(
+            "__ordinal", F.lit(start) + F.monotonically_increasing_id()
+        ).withColumn("__offset", F.col("__ordinal"))
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), wide, ["repo", "path"], n_buckets=4)
+    t.merge(_rows(spark, [
+        ("r1", "a", "v1", "py", 10, "I"), ("r2", "b", "v1", "md", 20, "I"),
+    ], 0), 0)
+    t.merge_mor(_rows(spark, [
+        ("r1", "a", "v2", "py", 11, "U"), ("r3", "c", "v1", "rs", 5, "I"),
+        ("r2", "b", None, None, None, "D"),
+    ], 10), 1)
+
+    full = t.read().select("repo", "path", "lang").orderBy("repo", "path")
+    narrow = t.read(columns=["lang"]).orderBy("repo", "path")
+    assert sorted(narrow.columns) == ["lang", "path", "repo"]  # keys ride along
+    assert [tuple(r) for r in narrow.collect()] == [tuple(r) for r in full.collect()]
+
+    # the parquet scan itself is narrow: heavy columns never read
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert read_schemas, "no parquet scan in plan"
+    for rs in read_schemas:
+        assert "content" not in rs and "stars" not in rs, rs
+        assert "lang" in rs or "__op" in rs, rs
+
+    # unknown column fails loudly; key column request is idempotent
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(columns=["nope"])
+    assert sorted(t.read(columns=["repo"]).columns) == ["path", "repo"]
