@@ -32,9 +32,14 @@ states. Bucket layout makes this embarrassingly parallel: one input
 partition per bucket, each folding only its own files.
 
 Scope: snapshot reads (``version`` option for time travel; default =
-current, resolving the published WAP ref like ``read()``). POSIX
-metadata layout. Writes still go through the engine/MERGE — this is
-the consumer-side read surface.
+current, resolving the published WAP ref like ``read()``). The
+``columns`` option (comma-separated) is projection pushdown — the
+Python Data Source API has no prune interface, so without it Spark
+prunes only AFTER workers decode every column chunk; with it the
+worker-side parquet reads themselves narrow (key columns always ride
+along), the format-level twin of ``LakeTable.read(columns=...)``.
+POSIX metadata layout. Writes still go through the engine/MERGE — this
+is the consumer-side read surface.
 """
 
 from __future__ import annotations
@@ -71,6 +76,33 @@ def _read_snapshot(table_path: str, version: int | None):
     return snap
 
 
+def _parse_columns(options: dict) -> list[str] | None:
+    """The ``columns`` reader option (comma-separated logical names):
+    projection pushdown for the format. The Python Data Source API has
+    no column-pruning interface (only ``pushFilters``), so Spark prunes
+    AFTER the source yields full rows — on a wide table every worker
+    still decodes every column chunk. This option narrows the
+    worker-side parquet reads themselves (key columns always ride
+    along; the fold's internals stay) — the format-level twin of
+    ``LakeTable.read(columns=...)``."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+def _narrow_stored(stored: T.StructType, key_cols: list[str],
+                   columns: list[str]) -> T.StructType:
+    have = {f.name for f in stored.fields if not f.name.startswith("__")}
+    missing = [c for c in columns if c not in have]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; table has {sorted(have)}")
+    wanted = set(key_cols) | set(columns)
+    return T.StructType([
+        f for f in stored.fields if f.name in wanted or f.name.startswith("__")
+    ])
+
+
 def _merge_range(ranges: dict, col: str, lo, hi) -> None:
     plo, phi = ranges.get(col, (None, None))
     if lo is not None:
@@ -100,6 +132,7 @@ class LakeTableReader(DataSourceReader):
         self.user_schema = schema
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.columns = _parse_columns(options)
         self.ranges: dict[str, tuple] = {}
         self.points: dict[str, object] = {}
 
@@ -138,6 +171,8 @@ class LakeTableReader(DataSourceReader):
         # fold needs the internals even though the declared schema hides
         # them
         stored = T.StructType.fromJson(json.loads(snap.schema_json))
+        if self.columns is not None:
+            stored = _narrow_stored(stored, list(snap.key_cols), self.columns)
         sj = stored.json()
         parts = []
         # pushed predicates carry LOGICAL names; footer stats and bloom
@@ -184,7 +219,14 @@ class LakeTableReader(DataSourceReader):
         phys = partition.phys_map
 
         def conform(path: str, implicit_upsert: bool):
-            t = pq.read_table(path)
+            # read ONLY the chunks the (possibly narrowed) schema needs:
+            # with the ``columns`` option this is where the IO is saved
+            pf = pq.ParquetFile(path)
+            present = set(pf.schema_arrow.names)
+            want = list(dict.fromkeys(
+                phys.get(f.name, f.name) for f in full
+            ))
+            t = pf.read(columns=[c for c in want if c in present])
             cols = []
             for field in full:
                 src = phys.get(field.name, field.name)
@@ -236,9 +278,12 @@ class LakeTableDataSource(DataSource):
             raise ValueError("rook_lake requires .option('path', ...) / load(path)")
         v = self.options.get("version")
         snap = _read_snapshot(path, int(v) if v is not None else None)
+        stored = T.StructType.fromJson(json.loads(snap.schema_json))
+        columns = _parse_columns(dict(self.options))
+        if columns is not None:
+            stored = _narrow_stored(stored, list(snap.key_cols), columns)
         return T.StructType([
-            f for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
-            if not f.name.startswith("__")
+            f for f in stored.fields if not f.name.startswith("__")
         ])
 
     def reader(self, schema: T.StructType) -> LakeTableReader:

@@ -122,3 +122,30 @@ def test_delta_carrying_buckets_never_pruned(registered, tmp_path):
     by_first = {tuple(p.deltas): len(p.base) for p in full.partitions() if p.deltas}
     for p in snap_deltas:
         assert len(p.base) == by_first[tuple(p.deltas)]
+
+
+def test_columns_option_projects_at_the_source(registered, tmp_path):
+    """The ``columns`` reader option narrows the worker-side parquet
+    reads (the Python DS API has no prune interface, so Spark alone
+    prunes only after full decode): schema + values match read(columns=)
+    exactly, with unfolded MOR deltas in the mix; key columns always
+    ride along; unknown columns fail loudly at planning."""
+    spark = registered
+    ev = generate_events(spark, 2500, seed=124)
+    eng = _mor_engine(spark, str(tmp_path / "t"), ev)
+    got = (spark.read.format("rook_lake").option("columns", "lang")
+           .load(str(tmp_path / "t")))
+    want = eng.target().read(columns=["lang"])
+    assert sorted(got.columns) == sorted(want.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the reader's per-bucket partitions carry the narrowed schema, so
+    # workers never even request the heavy column chunks
+    r = LakeTableReader(None, {"path": str(tmp_path / "t"), "columns": "lang"})
+    import json as _json
+    for p in r.partitions():
+        names = [f["name"] for f in _json.loads(p.schema_json)["fields"]]
+        assert "content" not in names and "lang" in names
+    from pyspark.errors.exceptions.captured import AnalysisException
+    with pytest.raises(AnalysisException, match="unknown columns"):
+        (spark.read.format("rook_lake").option("columns", "nope")
+         .load(str(tmp_path / "t")).collect())
