@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from rook_spark.cdc.normalize import flatten_events
 from rook_spark.cdc.patch import UPDATED_COL, patch_reduce
 from rook_spark.cdc.reduce import lww_reduce, salted_lww_reduce
-from rook_spark.lake.table import LakeTable, bucket_expr
+from rook_spark.lake.table import LakeTable, bucket_expr, constraint_split_cols
 
 # test hook: number of times an Observation failed to deliver and the
 # byte metric had to be recomputed with an extra aggregate pass. Stays 0
@@ -106,6 +106,10 @@ class ApplyStats:
     rows_applied: int
     touched_buckets: int
     version: int
+    # events routed to the dead-letter path by a CHECK-constraint split
+    # (constraint_mode='dead_letter'); their offsets are CONSUMED — the
+    # watermark advances over them, so re-delivery never re-judges them
+    dead_lettered: int = 0
 
 
 def watermark_filter(df: DataFrame, lineage: dict[str, dict[str, int]]) -> DataFrame:
@@ -185,6 +189,8 @@ def apply_batch(
     run_id: str = "",
     policy: Column | None = None,
     row_image: str = "full",
+    constraint_mode: str = "fail",
+    dead_letter_path: str | None = None,
 ) -> ApplyStats:
     """Apply one FILTERED micro-batch (output of
     :func:`rook_spark.cdc.normalize.filter_events` — still in raw
@@ -202,7 +208,14 @@ def apply_batch(
             "row_image='minimal' requires write_mode='cow' (patch events "
             "are not self-contained; see rook_spark.cdc.patch)"
         )
+    if constraint_mode not in ("fail", "dead_letter"):
+        raise ValueError(f"constraint_mode must be 'fail' or 'dead_letter', "
+                         f"got {constraint_mode!r}")
     snap = table.snapshot()
+    # dead-letter splitting needs its own pass over the batch, so the
+    # single-job MOR shortcut below is skipped for it; 'fail' mode rides
+    # merge_mor's internal pre-write gate unchanged
+    split_constraints = bool(snap.constraints) and constraint_mode == "dead_letter"
     # foreachBatch re-delivery fence — only valid WITHIN one checkpoint
     # lineage (run_id): batch ids restart at 0 on a fresh checkpoint, so
     # a mismatched run falls through to the watermark filter (which alone
@@ -212,7 +225,7 @@ def apply_batch(
 
     fresh_raw = watermark_filter(events, snap.lineage)
 
-    if write_mode == "mor" and observe_bytes and n_source_partitions:
+    if write_mode == "mor" and observe_bytes and n_source_partitions and not split_constraints:
         return _apply_mor_single_job(
             table, fresh_raw, batch_id, key_cols, ordinal_col, offset_col,
             salted, n_salts, content_col, n_source_partitions, run_id, policy,
@@ -284,6 +297,35 @@ def apply_batch(
 
     drop = [c for c in ("source_partition", "tx_id") if c in flat.columns]
     reducible = apply_policy(flat, policy).drop(*drop)
+    dl_cache = None
+    dead_lettered = 0
+    if split_constraints:
+        # CHECK-constraint dead-letter split (engine constraint_mode=
+        # 'dead_letter'): violating upsert EVENTS leave the batch BEFORE
+        # the LWW reduce — exactly as if they never arrived, so an
+        # earlier clean version of the same key in the same batch still
+        # wins, and the state equals an LWW replay of the constraint-
+        # filtered log (the oracle-matchable semantics). Their offsets
+        # are consumed (watermark advances); the rows land in
+        # <dead_letter_path>/constraints with the violated names.
+        # Both actions here are FULL scans, so the byte Observation
+        # attached upstream delivers complete metrics whichever action
+        # fires it first.
+        chk, violates, names = constraint_split_cols(
+            reducible, snap.constraints, snap.schema())
+        is_bad = (F.col("op") != F.lit("D")) & violates
+        dl_cache = chk.persist()
+        bad = dl_cache.where(is_bad)
+        dead_lettered = int(bad.count())
+        if dead_lettered:
+            if dead_letter_path is None:
+                raise ValueError(
+                    "constraint_mode='dead_letter' requires dead_letter_path")
+            (bad.withColumn("__violated", names)
+                .withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(dead_letter_path, "constraints")))
+        reducible = dl_cache.where(~is_bad)
     if row_image == "minimal":
         # per-column patch fold (cdc/patch.py): same partial+final hash
         # aggregate shape as the LWW reduce (all plain maxes), so the
@@ -342,20 +384,26 @@ def apply_batch(
             lin[p]["bytes"] = int(got.get(f"b_{p}") or 0)
         return lin
 
-    if write_mode == "mor":
-        result = table.merge_mor(
-            changes, batch_id, op_col="op", lineage_update=lineage_update,
-            touched_buckets=touched_buckets,
-            post_write_lineage=finalize_lineage if touched_buckets else None,
-            run_id=run_id,
-        )
-    else:
-        result = table.merge(
-            changes, batch_id, op_col="op", lineage_update=lineage_update,
-            validate_cardinality=False, touched_buckets=touched_buckets,
-            post_write_lineage=finalize_lineage if touched_buckets else None,
-            run_id=run_id,
-        )
+    try:
+        if write_mode == "mor":
+            result = table.merge_mor(
+                changes, batch_id, op_col="op", lineage_update=lineage_update,
+                touched_buckets=touched_buckets,
+                post_write_lineage=finalize_lineage if touched_buckets else None,
+                run_id=run_id,
+                enforce_constraints=not split_constraints,
+            )
+        else:
+            result = table.merge(
+                changes, batch_id, op_col="op", lineage_update=lineage_update,
+                validate_cardinality=False, touched_buckets=touched_buckets,
+                post_write_lineage=finalize_lineage if touched_buckets else None,
+                run_id=run_id,
+                enforce_constraints=not split_constraints,
+            )
+    finally:
+        if dl_cache is not None:
+            dl_cache.unpersist()
     return ApplyStats(
         batch_id=batch_id,
         skipped=bool(result.get("skipped")),
@@ -363,6 +411,7 @@ def apply_batch(
         rows_applied=rows_in,
         touched_buckets=int(result.get("touched_buckets", 0)),
         version=int(result.get("version", -1)),
+        dead_lettered=dead_lettered,
     )
 
 

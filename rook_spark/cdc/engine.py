@@ -86,6 +86,8 @@ class CdcEngine:
         audit: Callable[[LakeTable], bool] | None = None,
         row_image: str = "full",
         store=None,
+        constraints: dict[str, str] | None = None,
+        constraint_mode: str = "fail",
     ):
         self.spark = spark
         self.target_path = target_path
@@ -142,6 +144,21 @@ class CdcEngine:
         # known static source-partition count (Kafka topic partitions /
         # binlog shard count) unlocks the single-job MOR epoch
         self.n_source_partitions = n_source_partitions
+        # table CHECK constraints (forwarded to LakeTable.create on first
+        # target materialization) + enforcement mode: 'fail' poisons the
+        # epoch loudly (ConstraintViolation, nothing written — the Delta
+        # invariant behavior), 'dead_letter' routes violating EVENTS to
+        # <dead_letter_path>/constraints and applies the clean remainder
+        # — the data-contract stance for a replication stream that must
+        # not stall on one bad upstream row (same philosophy as the
+        # per-sink dead-letter, rook's listener error isolation,
+        # MySQLReplicationStream.java:161-179).
+        if constraint_mode not in ("fail", "dead_letter"):
+            raise ValueError(
+                f"constraint_mode must be 'fail' or 'dead_letter', "
+                f"got {constraint_mode!r}")
+        self.constraints = dict(constraints) if constraints else None
+        self.constraint_mode = constraint_mode
         self._epochs_since_compact = 0
         # caching the normalized batch trades a full in-memory
         # materialization (~row-size × batch, bandwidth-heavy) against
@@ -306,6 +323,7 @@ class CdcEngine:
             n_buckets=self.n_buckets,
             bloom_cols=self.bloom_cols,
             store=self.store,
+            constraints=self.constraints,
         )
 
     # ---------------------------------------------------------------- apply
@@ -355,6 +373,8 @@ class CdcEngine:
                 run_id=run_id,
                 policy=self.policy,
                 row_image=self.row_image,
+                constraint_mode=self.constraint_mode,
+                dead_letter_path=self.dead_letter_path,
             )
             if self.audit is not None:
                 ok = False

@@ -4,11 +4,12 @@ from rook_spark.lake.metastore import (
     MetadataStore,
     PosixMetadataStore,
 )
-from rook_spark.lake.table import LakeTable, Snapshot
+from rook_spark.lake.table import ConstraintViolation, LakeTable, Snapshot
 
 __all__ = [
     "LakeTable",
     "Snapshot",
+    "ConstraintViolation",
     "MetadataStore",
     "PosixMetadataStore",
     "InMemoryMetadataStore",

@@ -283,6 +283,73 @@ def _alloc_phys(snap, target_schema: T.StructType) -> dict[str, str]:
     return new_map
 
 
+class ConstraintViolation(ValueError):
+    """An ingest write carried rows that violate a table CHECK
+    constraint (Delta ``InvariantViolationException`` analog). Raised
+    BEFORE any file is written or snapshot committed — the epoch fails
+    atomically and the table is unchanged. ``CdcEngine(
+    constraint_mode='dead_letter')`` converts this into per-row routing
+    instead: violating events go to the dead-letter path and the clean
+    remainder applies."""
+
+
+def _constraint_cols(constraints: dict[str, str]):
+    """(violates, violated_names) columns for a row under ANSI CHECK
+    semantics: a row violates a constraint iff its expression evaluates
+    to FALSE — NULL (unknown) passes, exactly like SQL CHECK, so
+    NOT-NULL intent must be written explicitly (``col IS NOT NULL``).
+    ``violated_names`` lists which constraints failed (dead-letter
+    forensics)."""
+    flags = [
+        (name, ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        for name, expr in sorted(constraints.items())
+    ]
+    violates = flags[0][1]
+    for _, f in flags[1:]:
+        violates = violates | f
+    names = F.array_compact(F.array(*[F.when(f, F.lit(n)) for n, f in flags]))
+    return violates, names
+
+
+def constraint_split_cols(df: "DataFrame", constraints: dict[str, str],
+                          schema: T.StructType):
+    """(check_frame, violates, violated_names) for evaluating table
+    constraints against a change set: table columns the batch does not
+    carry are null-filled first — that is the value the merged row will
+    store under additive evolution, so it is the value the CHECK must
+    judge (NULL passes, per ANSI). Shared by the merge-path gate and
+    the engine's dead-letter split so both judge identically."""
+    chk = df
+    for f in schema.fields:
+        # internal __ columns are unreferencable by constraints and may
+        # exist under a DIFFERENT pre-rename name in a raw change set
+        # (commit_ordinal -> __ordinal) — adding a null twin would make
+        # the later rename ambiguous
+        if f.name not in chk.columns and not f.name.startswith("__"):
+            chk = chk.withColumn(f.name, F.lit(None).cast(f.dataType))
+    violates, names = _constraint_cols(constraints)
+    return chk, violates, names
+
+
+def _validate_constraints(spark, schema: T.StructType, constraints: dict[str, str],
+                          context: str) -> None:
+    """Every constraint expression must ANALYZE against the given
+    logical schema (plan analysis only — no job). This is both the
+    create/add-time sanity gate and the rename/drop refusal check: a
+    DDL that would leave a stored constraint unresolvable must not
+    commit (the next ingest would die with an AnalysisException instead
+    of a actionable message)."""
+    probe = spark.createDataFrame([], schema)
+    for name, expr in sorted(constraints.items()):
+        try:
+            probe.where(F.expr(expr).cast("boolean"))
+        except Exception as e:  # AnalysisException / ParseException
+            raise ValueError(
+                f"constraint {name!r} ({expr!r}) does not resolve against "
+                f"{context}: {type(e).__name__}: {e}"
+            ) from None
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -358,6 +425,16 @@ class Snapshot:
     # keeping them forever is a few bytes and removes a whole class of
     # resurrection races.
     retired_phys: list[str] = field(default_factory=list)
+    # table-level CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT`
+    # analog): name -> SQL expression over LOGICAL column names. ANSI
+    # CHECK semantics — a row violates iff the expression evaluates to
+    # FALSE (NULL passes; write `col IS NOT NULL` for NOT NULL).
+    # Enforced on every INGEST write (merge/merge_mor/overwrite) against
+    # the incoming change set's upsert images — O(batch), never
+    # O(table); rewrites (compact/cluster/rebucket) are exempt so a
+    # constraint added with validate=False can never wedge maintenance.
+    # State, not refs: rollback reverts them, clone carries them.
+    constraints: dict[str, str] = field(default_factory=dict)
 
     def bucket_key(self) -> list[str]:
         return self.bucket_cols or self.key_cols
@@ -392,6 +469,7 @@ class Snapshot:
                 "bucket_cols": self.bucket_cols,
                 "phys_map": self.phys_map,
                 "retired_phys": self.retired_phys,
+                "constraints": self.constraints,
             }
         )
 
@@ -433,6 +511,7 @@ class LakeTable:
         store=None,
         bloom_cols: list[str] | tuple[str, ...] | None = None,
         bucket_cols: list[str] | tuple[str, ...] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "LakeTable":
         """``bloom_cols``: columns to harvest per-file bloom filters for
         at every commit (drives ``read(points=...)`` equality skipping —
@@ -454,6 +533,8 @@ class LakeTable:
                     f"bucket_cols must be a non-empty subset of key_cols "
                     f"{list(key_cols)}, got {list(bucket_cols)}"
                 )
+        if constraints:
+            _validate_constraints(spark, schema, constraints, "the table schema")
         t = cls(spark, path, store=store)
         t._store.init()
         if t.current_version() >= 0:
@@ -467,6 +548,7 @@ class LakeTable:
             committed_at=time.time(),
             bloom_cols=list(bloom_cols or []),
             bucket_cols=list(bucket_cols) if bucket_cols else None,
+            constraints=dict(constraints or {}),
         )
         t._write_snapshot(snap)
         return t
@@ -541,6 +623,7 @@ class LakeTable:
             bucket_cols=snap.bucket_cols,
             phys_map=dict(snap.phys_map),
             retired_phys=list(snap.retired_phys),
+            constraints=dict(snap.constraints),
         )
         t = cls(spark, dst_path, store=store)
         t._store.init()
@@ -1085,8 +1168,13 @@ class LakeTable:
         touched_buckets: list[int] | None = None,
         post_write_lineage: Any = None,
         run_id: str = "",
+        enforce_constraints: bool = True,
     ) -> dict[str, Any]:
         """Apply a deduplicated change set in one atomic snapshot commit.
+
+        ``enforce_constraints=False`` skips the CHECK-constraint gate —
+        ONLY for callers that already split violations out of the batch
+        (the engine's dead-letter mode); every other ingest leaves it on.
 
         ``post_write_lineage``: optional callable invoked with
         ``lineage_update`` AFTER the data files are written but BEFORE
@@ -1158,10 +1246,13 @@ class LakeTable:
         # touched-bucket listing besides the COW write); on the engine
         # fast path (cardinality guaranteed by LWW, buckets piggybacked
         # on the lineage job) the single write needs no materialization
-        do_persist = validate_cardinality or touched_buckets is None
+        do_persist = (validate_cardinality or touched_buckets is None
+                      or (enforce_constraints and bool(snap.constraints)))
         if do_persist:
             changes.persist()
         try:
+            if enforce_constraints:
+                self._enforce_constraints(changes, snap, target_schema, op_col)
             return self._merge_inner(
                 changes, snap, batch_id, op_col, lineage_update,
                 validate_cardinality, ordinal_col, tiebreak_col,
@@ -1369,6 +1460,7 @@ class LakeTable:
         touched_buckets: list[int] | None = None,
         post_write_lineage: Any = None,
         run_id: str = "",
+        enforce_constraints: bool = True,
     ) -> dict[str, Any]:
         """Merge-on-read apply: write the (LWW-reduced) change rows as
         DELTA files — including 'D' tombstones — and defer resolution to
@@ -1415,6 +1507,10 @@ class LakeTable:
                 src = src.withColumn(f.name, F.col(f.name).cast(f.dataType))
         src = src.select(*[f.name for f in target_schema.fields], "__op")
         src = src.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
+        if enforce_constraints:
+            # pre-write gate: a violating epoch writes NO delta file (a
+            # delta would defer the violation into every read)
+            self._enforce_constraints(src, snap, target_schema, "__op")
 
         new_version = snap.version + 1
         # Same O(touched) task-width rule as the COW path. The engine
@@ -1449,6 +1545,7 @@ class LakeTable:
         """Replace the whole table content (bulk load / test setup)."""
         snap = self.snapshot()
         schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
+        self._enforce_constraints(df, snap, schema, None)
         new_version = snap.version + 1
         with_bucket = df.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
         buckets = self._write_bucket_files(
@@ -1657,6 +1754,10 @@ class LakeTable:
             # by the rolled-back versions still exist until vacuum)
             phys_map=dict(target.phys_map),
             retired_phys=sorted(set(cur.retired_phys) | set(target.retired_phys)),
+            # constraints are schema-adjacent STATE (like schema_json):
+            # a rollback past an add_constraint removes the check, past
+            # a drop_constraint restores it
+            constraints=dict(target.constraints),
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -1709,6 +1810,99 @@ class LakeTable:
         del new.tags[name]
         self._write_snapshot(new)
         return {"dropped": name, "version": new.version}
+
+    # ------------------------------------------------------------ constraints
+
+    def add_constraint(self, name: str, expr: str, validate: bool = True) -> dict:
+        """Add a table CHECK constraint (Delta ``ALTER TABLE ADD
+        CONSTRAINT`` analog): ``expr`` is a SQL boolean expression over
+        LOGICAL column names, enforced against every subsequent ingest
+        write's upsert images (``merge``/``merge_mor``/``overwrite`` —
+        O(batch) per epoch, never O(table); see
+        :class:`ConstraintViolation`). ANSI CHECK semantics: FALSE
+        violates, NULL passes.
+
+        ``validate=True`` (the Delta default) scans CURRENT state first
+        and refuses if any existing row violates — one filtered read of
+        the table, the deliberately-O(table) part, exactly once at add
+        time. ``validate=False`` skips the scan (known-clean migration /
+        forward-only contract); maintenance rewrites never re-check, so
+        pre-existing violations can't wedge compaction — they surface
+        only if an ingest re-delivers them. Metadata-only commit."""
+        cur = self.snapshot()
+        if name in cur.constraints:
+            raise ValueError(
+                f"constraint {name!r} already exists "
+                f"({cur.constraints[name]!r}); drop_constraint first")
+        _validate_constraints(self.spark, cur.schema(), {name: expr},
+                              "the table schema")
+        if validate:
+            violates, _ = _constraint_cols({name: expr})
+            bad = self.read(ref="head").where(violates).limit(3).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r} ({expr!r}): existing "
+                    f"rows violate it (sample: {[r.asDict() for r in bad]}); "
+                    "clean the data first or pass validate=False")
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new.constraints[name] = expr
+        self._write_snapshot(new)
+        return {"constraint": name, "expr": expr, "version": new.version,
+                "validated": validate}
+
+    def drop_constraint(self, name: str) -> dict:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        cur = self.snapshot()
+        if name not in cur.constraints:
+            raise ValueError(
+                f"no constraint {name!r} (have: {sorted(cur.constraints)})")
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        del new.constraints[name]
+        self._write_snapshot(new)
+        return {"dropped": name, "version": new.version}
+
+    def _enforce_constraints(
+        self, changes: DataFrame, snap: Snapshot,
+        target_schema: T.StructType, op_col: str | None,
+    ) -> None:
+        """Pre-write gate for ingest paths: raise
+        :class:`ConstraintViolation` if any upsert image in ``changes``
+        violates a stored constraint. Runs BEFORE any file lands, so a
+        violating epoch leaves the table byte-unchanged. One bounded
+        action over the batch (``limit(3)``) — O(batch) scan, collects
+        at most 3 forensic rows. Delete rows (``op='D'``) are exempt
+        (their payload may be a partial/null before-image; the row is
+        leaving the table). Partial row images (``__setmask``) refuse:
+        an unset column is NULL in the batch but inherits the stored
+        value at apply time, so a multi-column constraint evaluated
+        against the batch alone could silently pass a violating
+        completed row — complete images are the evaluable unit."""
+        if not snap.constraints:
+            return
+        if "__setmask" in changes.columns:
+            raise ValueError(
+                "CHECK constraints require complete row images: this "
+                "change set carries partial-row-image masks (__setmask); "
+                "run the engine with row_image='full' or drop the "
+                "constraints")
+        chk, violates, names = constraint_split_cols(
+            changes, snap.constraints, target_schema)
+        if op_col is not None and op_col in chk.columns:
+            violates = (F.col(op_col) != F.lit("D")) & violates
+        bad = (
+            chk.where(violates)
+            .select(names.alias("__violated"), *[f.name for f in target_schema.fields
+                                                 if not f.name.startswith("__")])
+            .limit(3)
+            .collect()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"{len(bad)}+ rows violate table constraints "
+                f"{sorted(snap.constraints)} (sample: "
+                f"{[r.asDict() for r in bad]}); nothing was written — fix "
+                "the feed, drop the constraint, or run the engine with "
+                "constraint_mode='dead_letter'")
 
     def resolve_tag(self, name: str) -> int:
         tags = self.snapshot().tags
@@ -1811,6 +2005,15 @@ class LakeTable:
             T.StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields
         ])
+        if cur.constraints:
+            # a stored CHECK expression referencing the old name would
+            # stop analyzing — refuse now with an actionable message
+            # instead of failing the next ingest (expressions are opaque
+            # SQL strings; we don't rewrite them)
+            _validate_constraints(
+                self.spark, new_schema, cur.constraints,
+                f"the schema after renaming {old!r} -> {new!r} "
+                "(drop_constraint first, re-add under the new name)")
         snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
         phys = dict(cur.phys_map)
         phys[new] = phys.pop(old, old)
@@ -1850,6 +2053,11 @@ class LakeTable:
                 f"column {name!r} is a key/bucket column — dropping it "
                 "would re-route every row; recreate the table instead")
         new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        if cur.constraints:
+            _validate_constraints(
+                self.spark, new_schema, cur.constraints,
+                f"the schema after dropping {name!r} "
+                "(drop_constraint first)")
         snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
         phys = dict(cur.phys_map)
         released = phys.pop(name, name)
@@ -2594,4 +2802,5 @@ class LakeTable:
             # SAME map)
             phys_map=_alloc_phys(parent, schema),
             retired_phys=list(parent.retired_phys),
+            constraints=dict(parent.constraints),
         )
