@@ -1044,6 +1044,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         buckets: list[int] | None = None,
+        images: str = "winner",
     ) -> DataFrame:
         """Incremental changelog read — CDC *out* of the lake (the
         Iceberg-changelog / Delta-CDF analog, and the table-level
@@ -1079,7 +1080,26 @@ class LakeTable:
         DISJOINT key sets, so a pruned diff would emit phantom
         deletes/upserts — refused loudly (full unpruned diffs stay
         correct: the key join never uses bucket ids).
+
+        ``images``: ``"winner"`` (default — the historical single-row
+        shape above) or ``"pair"``, the Delta Change Data Feed shape: an
+        updated key emits TWO rows — ``op='update_preimage'`` carrying
+        the ``from_version`` image and ``op='update_postimage'`` carrying
+        the new one — while pure arrivals emit ``op='insert'`` and
+        departures ``op='delete'`` (old image). Pre-images are what
+        signed-fold consumers (incremental aggregates à la
+        ``DeltaAggView``, downstream reconciliation, audit diffs) need:
+        the negative contribution is IN the feed instead of requiring a
+        join back to the old version. Same net-effect window semantics —
+        the pre-image is the ``from_version`` row even if the key
+        changed many times inside the window. Each row's
+        ``__ordinal``/``__offset`` are its OWN image's winners, so the
+        pair also says which event versions the window replaced. One
+        extra plan branch (an explode over the same single join), zero
+        extra shuffles or scans vs ``"winner"``.
         """
+        if images not in ("winner", "pair"):
+            raise ValueError(f"images must be 'winner' or 'pair', got {images!r}")
         snap_to = self.snapshot(to_version)
         if buckets is not None:
             n_from = self.snapshot(from_version).n_buckets
@@ -1145,10 +1165,32 @@ class LakeTable:
                     same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         is_delete = o_present & ~n_present
         is_upsert = n_present & (~o_present | ~same)
-        side = F.when(is_delete, F.lit("o")).otherwise(F.lit("n"))
-        out_cols = [
+        key_cols_out = [
             F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
-        ] + [
+        ]
+        pay = [c for c in payload if c != "__p"]
+        if images == "pair":
+            def _img(side: str, tag: str):
+                return F.struct(
+                    F.lit(tag).alias("op"),
+                    *[F.col(f"{side}.{c}").alias(c) for c in pay],
+                )
+
+            is_insert = n_present & ~o_present
+            is_update = o_present & n_present & ~same
+            emits = (
+                F.when(is_insert, F.array(_img("n", "insert")))
+                .when(is_delete, F.array(_img("o", "delete")))
+                .when(is_update, F.array(_img("o", "update_preimage"),
+                                         _img("n", "update_postimage")))
+            )
+            return (
+                j.where(is_delete | is_upsert)
+                .select(*key_cols_out, F.explode(emits).alias("__e"))
+                .select(*keys, "__e.op", *[F.col(f"__e.{c}").alias(c) for c in pay])
+            )
+        side = F.when(is_delete, F.lit("o")).otherwise(F.lit("n"))
+        out_cols = key_cols_out + [
             F.when(side == "o", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
             for c in payload
         ] + [F.when(is_delete, "D").otherwise("U").alias("op")]

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 86 queries, so the 36
+# order got CORRECTNESS rows). The registry holds 87 queries, so the 37
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -99,6 +99,8 @@ _DRIVER_TAIL = (
     "cdc_atomic_multi_commit",
     # CHECK constraints + dead-letter routing (session 5)
     "cdc_check_constraints",
+    # Delta-CDF pre/post update image pairs (session 5)
+    "cdc_change_feed_images",
 )
 
 
@@ -3891,4 +3893,95 @@ def cdc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "lang",
         F.sha2("content", 256).alias("content_sha"),
         F.lit(n_dead).cast("long").alias("n_dead"),
+    )
+
+
+_CHANGE_FEED_IMAGES_SQL = """
+    WITH mapped AS (
+      SELECT event_id AS off,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'repo-' || lpad(CAST(user_id % 25 AS VARCHAR), 4, '0') AS repo,
+             'src/f' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '.txt' AS path,
+             event_type AS lang,
+             'v1|' || event_type || '|' || props || '|'
+               || CAST(event_id AS VARCHAR) AS content,
+             event_id AS commit_ordinal
+      FROM events
+      WHERE user_id % 10 <> 7     -- ignored-server decoys (P1)
+        AND event_id % 97 <> 13   -- decoy-table events (P2)
+    ),
+    cutv AS (SELECT (max(off) + 1) // 2 AS cut FROM mapped),
+    pre_state AS (
+      SELECT repo, path, lang, content, commit_ordinal, off FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+        FROM mapped WHERE off < (SELECT cut FROM cutv)
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    post_state AS (
+      SELECT repo, path, lang, content, commit_ordinal, off FROM (
+        SELECT *, row_number() OVER (PARTITION BY repo, path
+                   ORDER BY commit_ordinal DESC, off DESC) AS rn
+        FROM mapped
+      ) WHERE rn = 1 AND op <> 'D'
+    ),
+    j AS (
+      SELECT coalesce(n.repo, o.repo) AS repo,
+             coalesce(n.path, o.path) AS path,
+             o.repo IS NOT NULL AS o_p, n.repo IS NOT NULL AS n_p,
+             (o.commit_ordinal = n.commit_ordinal AND o.off = n.off) AS same,
+             o.lang AS o_lang, o.content AS o_content, o.commit_ordinal AS o_ord,
+             n.lang AS n_lang, n.content AS n_content, n.commit_ordinal AS n_ord
+      FROM pre_state o FULL OUTER JOIN post_state n
+        ON o.repo = n.repo AND o.path = n.path
+    )
+    SELECT repo, path, 'insert' AS op, n_lang AS lang,
+           sha256(n_content) AS content_sha, n_ord AS win_ord
+    FROM j WHERE n_p AND NOT o_p
+    UNION ALL
+    SELECT repo, path, 'delete', o_lang, sha256(o_content), o_ord
+    FROM j WHERE o_p AND NOT n_p
+    UNION ALL
+    SELECT repo, path, 'update_preimage', o_lang, sha256(o_content), o_ord
+    FROM j WHERE o_p AND n_p AND NOT same
+    UNION ALL
+    SELECT repo, path, 'update_postimage', n_lang, sha256(n_content), n_ord
+    FROM j WHERE o_p AND n_p AND NOT same
+    """
+
+
+@register("cdc_change_feed_images", _CHANGE_FEED_IMAGES_SQL)
+def cdc_change_feed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post update image pairs in the table changelog —
+    ``changes(images='pair')``, the Delta Change Data Feed shape
+    (update_preimage / update_postimage / insert / delete): the driver
+    log replays in two epochs, then the diff between the mid-replay
+    version and head must emit, per net-updated key, BOTH the exact
+    mid-replay image (with ITS winning ordinal) and the final one. The
+    oracle computes two independent LWW replays (prefix and full log),
+    full-outer-joins them, and re-derives all four row kinds — a wrong
+    pre-image (e.g. reading head state instead of from_version), a lost
+    delete, a phantom pair for an untouched key, or a winner-ordinal
+    mix-up between the two images all hash-mismatch. Pre-images are what
+    signed-fold consumers need: the negative contribution rides the
+    feed instead of a join back to the old version (the join-free diet
+    of rook's before-image listener delivery,
+    ``ReplicationListener.java:24-27``, lifted to table versions).
+    Plan shape: ONE storage-co-partitioned full-outer join (same as
+    winner mode) + an explode — no second scan, no extra shuffle."""
+    from rook_spark.cdc.engine import CdcEngine
+    from rook_spark.cdc.fixtures import map_driver_events
+
+    ev = map_driver_events(_t(spark, sf_dir, "events"))
+    n = ev.agg(F.max("offset")).first()[0] + 1
+    cut = n // 2
+    d = _scratch_dir("change_feed_images")
+    engine = CdcEngine(spark, f"{d}/repos", n_buckets=16).ignoring_servers(99)
+    engine.replay(ev.where(F.col("offset") < cut), 0)
+    v_mid = engine.target().current_version()
+    engine.replay(ev.where(F.col("offset") >= cut), 1)
+    return engine.target().changes(v_mid, images="pair").select(
+        "repo", "path", "op", "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        F.col("__ordinal").alias("win_ord"),
     )

@@ -155,6 +155,37 @@ def test_changelog_read_reproduces_target_version(spark, tmp_path):
     # to their v_from state are absent; same-version diff is empty
     assert table.changes(v_to, v_to).count() == 0
 
+    # ---- images='pair' (Delta CDF shape) over the same window --------
+    pairs = table.changes(v_from, v_to, images="pair")
+    ops = set(pairs.select("op").distinct().toPandas()["op"])
+    assert ops <= {"insert", "delete", "update_preimage", "update_postimage"}
+    pd_pairs = pairs.toPandas()
+    pre = pd_pairs[pd_pairs["op"] == "update_preimage"]
+    post = pd_pairs[pd_pairs["op"] == "update_postimage"]
+    # every updated key has exactly one pre and one post
+    assert sorted(map(tuple, pre[["repo", "path"]].values.tolist())) == \
+        sorted(map(tuple, post[["repo", "path"]].values.tolist()))
+    assert len(pre) > 0
+    # pre-images ARE the from_version rows for exactly those keys
+    old_pdf = table.read(version=v_from).toPandas().set_index(["repo", "path"])
+    for _, r in pre.iterrows():
+        assert old_pdf.loc[(r["repo"], r["path"]), "content"] == r["content"]
+    # applying (inserts + postimages as 'U', deletes as 'D') reproduces
+    # v_to — i.e. the pair shape carries the full winner change set
+    old = table.read(version=v_from)
+    ups2 = pairs.where(F.col("op").isin("insert", "update_postimage")).select(*old.columns)
+    keys2 = pairs.where(F.col("op") != "update_preimage").select("repo", "path")
+    expected2 = old.join(keys2, ["repo", "path"], "left_anti").unionByName(ups2)
+    got2 = expected2.orderBy("repo", "path").toPandas()
+    assert got2["content"].tolist() == want["content"].tolist()
+    # row accounting: pair mode adds exactly one pre-image per update
+    assert len(pd_pairs) == log.count() + len(pre)
+    # insert keys are absent from v_from
+    ins = pd_pairs[pd_pairs["op"] == "insert"]
+    assert not any((r["repo"], r["path"]) in old_pdf.index for _, r in ins.iterrows())
+    with pytest.raises(ValueError, match="images"):
+        table.changes(v_from, v_to, images="both")
+
 
 def test_history_and_metrics_surfaces(spark, tmp_path):
     """Ops surfaces: history() = one row per retained version with
