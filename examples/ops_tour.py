@@ -431,6 +431,29 @@ def main() -> None:
             f"re-delivery both tables sit at batch {ra.last_committed_batch()} "
             f"with {ra.read().count()} == {rb.read().count()} rows =="
         )
+        # --- 13. CHECK constraints: the data contract in the data plane.
+        # Violating events dead-letter BEFORE the LWW reduce; clean rows
+        # apply; offsets are consumed so re-delivery never re-judges.
+        eng5 = CdcEngine(
+            spark, os.path.join(work, "guarded"), n_buckets=4,
+            constraints={"no_md": "lang <> 'md'"},
+            constraint_mode="dead_letter",
+        ).ignoring_servers(99)
+        s = eng5.replay(events, 0)
+        guarded = eng5.target()
+        assert guarded.read().where("lang = 'md'").count() == 0
+        dl = spark.read.parquet(
+            os.path.join(work, "guarded", "_dead_letter", "constraints"))
+        assert dl.count() == s.dead_lettered > 0
+        # exact count(*) straight from the manifest (no deltas pending)
+        assert guarded.row_count() == guarded.read().count()
+        print(
+            f"== constraints: {s.dead_lettered} violating events "
+            f"dead-lettered (names: "
+            f"{dl.select('__violated').first()[0]}); guarded table holds "
+            f"{guarded.row_count()} rows (row_count answered from "
+            "footer metadata) =="
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()

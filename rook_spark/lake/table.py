@@ -1022,9 +1022,11 @@ class LakeTable:
                 size = -1  # listed by the snapshot but missing on disk
             st = snap.stats.get(rel, {})
             bl = snap.blooms.get(rel, {})
+            n_rows = int(st["__rows"][0]) if "__rows" in st else -1
             rows.append((
-                snap.version, int(bucket), kind, seq, rel, size,
-                sorted(st.keys()), sorted(bl.keys()),
+                snap.version, int(bucket), kind, seq, rel, size, n_rows,
+                sorted(k for k in st if not k.startswith("__")),
+                sorted(bl.keys()),
             ))
 
         for bucket, fs in snap.buckets.items():
@@ -1036,8 +1038,48 @@ class LakeTable:
         return self.spark.createDataFrame(
             rows,
             "version int, bucket int, kind string, seq int, path string, "
-            "size_bytes long, stat_cols array<string>, bloom_cols array<string>",
+            "size_bytes long, rows long, stat_cols array<string>, "
+            "bloom_cols array<string>",
         )
+
+    def row_count(self, version: int | None = None) -> int:
+        """EXACT table row count, O(metadata) where the snapshot allows
+        it (the Iceberg snapshot-summary ``total-records`` analog): a
+        delta-free bucket's count is the sum of its base files' parquet
+        footer row counts, recorded in the snapshot at commit time —
+        zero file IO, zero Spark jobs. Buckets that cannot be answered
+        from metadata — they carry unfolded MOR deltas (the fold dedups
+        and drops tombstoned keys, so base rows ≠ table rows) or were
+        written before row counts were recorded — fall back to ONE
+        bucket-pruned Spark count over exactly those buckets. On a
+        steadily compacted 100 TB table this answers ``count(*)`` from
+        the manifest alone; right after a MOR burst it degrades
+        gracefully to counting only the delta-carrying slice. Default
+        resolves what consumers read (the published WAP ref while
+        staging, like :meth:`read`)."""
+        snap = self.snapshot(version)
+        if version is None and "main" in snap.refs:
+            snap = self.snapshot(snap.refs["main"])
+        total = 0
+        fold_buckets: list[int] = []
+        for b, fs in snap.buckets.items():
+            if snap.deltas.get(b):
+                fold_buckets.append(int(b))
+                continue
+            counts = [snap.stats.get(f, {}).get("__rows") for f in fs]
+            if any(c is None for c in counts):
+                fold_buckets.append(int(b))  # pre-feature files
+                continue
+            total += sum(int(c[0]) for c in counts)
+        # delta-only buckets (no base yet) still need the fold
+        fold_buckets += [
+            int(b) for b, fs in snap.deltas.items()
+            if fs and b not in snap.buckets
+        ]
+        if fold_buckets:
+            total += self.read(version=snap.version,
+                               buckets=sorted(set(fold_buckets))).count()
+        return total
 
     def changes(
         self,
@@ -1711,13 +1753,25 @@ class LakeTable:
                 "removed_manifests": removed_blobs,
                 "kept_versions": len(keep_versions)}
 
-    def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None) -> dict[str, int]:
+    def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None,
+                target_files_per_bucket: int = 1) -> dict[str, int]:
         """Rewrite buckets whose base-file count exceeds the threshold —
-        or that carry ANY merge-on-read deltas — into one resolved file
-        each (bin-packing compaction + delta fold). The rewrite is a new
-        snapshot — readers are never blocked; vacuum reclaims the old
-        files. This is the MOR read-amplification bound: run it on a
-        cadence (or delta-count trigger) and reads stay O(base)."""
+        or that carry ANY merge-on-read deltas — into ``target_files_per_
+        bucket`` resolved files each (bin-packing compaction + delta
+        fold). The rewrite is a new snapshot — readers are never blocked;
+        vacuum reclaims the old files. This is the MOR read-amplification
+        bound: run it on a cadence (or delta-count trigger) and reads
+        stay O(base).
+
+        ``target_files_per_bucket`` is the OUTPUT sizing knob (the
+        ``cluster()`` twin without the sort): the default 1 maximizes
+        fold density, but a 100 TB table at a few thousand buckets would
+        fold each bucket into one multi-GB file — one task writes it,
+        one task reads it, and a single straggler owns the bucket. >1
+        splits each rewritten bucket across that many tasks/files by a
+        key hash, so file size — not bucket count — bounds parallelism.
+        Per-file stats/blooms are re-harvested per OUTPUT file either
+        way, so pruning granularity improves with the split."""
         snap = self.snapshot()
         fat = sorted(
             {int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket}
@@ -1729,7 +1783,19 @@ class LakeTable:
             "__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets)
         )
         new_version = snap.version + 1
-        written = self._write_bucket_files(df, new_version, len(fat), snap.phys_map)
+        if target_files_per_bucket > 1:
+            # pre-split each bucket across ~target tasks by full-key hash
+            # (finer than the bucket key, so the split is even);
+            # partitionBy still routes rows to per-bucket files, so a
+            # task holding two buckets' rows writes two files, never a
+            # mixed one
+            df = df.repartition(
+                len(fat) * target_files_per_bucket, "__bucket",
+                F.xxhash64(*[F.col(c) for c in snap.key_cols]),
+            )
+            written = self._write_bucket_files(df, new_version, None, snap.phys_map)
+        else:
+            written = self._write_bucket_files(df, new_version, len(fat), snap.phys_map)
         applied, skipped, version = self._commit_rewrite(snap, fat, written, batch_id)
         return {"compacted_buckets": len(applied), "version": version,
                 "skipped_buckets": len(skipped)}
@@ -2728,7 +2794,9 @@ class LakeTable:
                     md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
                 except Exception:  # unreadable footer -> no stats, no pruning
                     continue
-                col_mm: dict[str, list] = {}
+                # footer row count (free with the same read): the
+                # O(metadata) counting axis — see row_count()
+                col_mm: dict[str, list] = {"__rows": [md.num_rows, md.num_rows]}
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
                     for ci in range(row_group.num_columns):
@@ -2745,8 +2813,7 @@ class LakeTable:
                             col_mm[name] = [mn, mx]
                         else:
                             col_mm[name] = [min(cur[0], mn), max(cur[1], mx)]
-                if col_mm:
-                    out[rel] = col_mm
+                out[rel] = col_mm
         return out
 
     def _file_blooms(self, files: dict[str, list[str]], snap: Snapshot) -> dict[str, dict[str, str]]:

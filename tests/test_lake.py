@@ -1734,8 +1734,16 @@ def test_files_metadata_table(spark, tmp_path):
     # so stat_cols is whatever numeric internals each footer carried)
     base = [r for r in f if r["kind"] == "base"]
     for r in f:
-        assert set(r["stat_cols"]) == set(snap.stats.get(r["path"], {})), r["path"]
+        # stat_cols surfaces only PRUNING axes — the __rows bookkeeping
+        # entry shows up in the dedicated rows column instead
+        assert set(r["stat_cols"]) == {
+            k for k in snap.stats.get(r["path"], {}) if not k.startswith("__")
+        }, r["path"]
         assert set(r["bloom_cols"]) == set(snap.blooms.get(r["path"], {})), r["path"]
+    # per-file footer row counts ride the inventory (base files only;
+    # delta rows are unresolved until folded)
+    assert all(r["rows"] >= 1 for r in base)
+    assert all(r["rows"] == -1 for r in f if r["kind"] == "delta")
     # the configured bloom column is present on every base file
     assert base and all("repo" in r["bloom_cols"] for r in base)
     # time travel: the v0 inventory has no deltas and fewer files
@@ -1748,6 +1756,46 @@ def test_files_metadata_table(spark, tmp_path):
     f2 = t.files().collect()
     assert {r["kind"] for r in f2} == {"base"}
     assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_row_count_metadata_and_fold_paths(spark, tmp_path):
+    """row_count(): exact from footer metadata on delta-free buckets,
+    exact through the LWW fold where deltas are pending, correct across
+    compaction, deletes, and time travel."""
+    t = LakeTable.create(spark, str(tmp_path / "rc"), SCHEMA, ["repo", "path"],
+                         n_buckets=4)
+
+    def _ord(df, start):
+        return df.withColumn("__ordinal", F.lit(start) + F.monotonically_increasing_id()) \
+                 .withColumn("__offset", F.col("__ordinal"))
+
+    rows = [(f"r{i}", f"p{i}", "v1", "I") for i in range(30)]
+    t.merge(_ord(_changes(spark, rows), 0), 0)
+    v0 = t.current_version()
+    assert t.row_count() == 30 == t.read().count()
+    # MOR deltas: 5 updates (no net change) + 3 deletes + 2 inserts
+    ups = [(f"r{i}", f"p{i}", "v2", "U") for i in range(5)]
+    dels = [(f"r{i}", f"p{i}", None, "D") for i in range(5, 8)]
+    ins = [(f"n{i}", f"q{i}", "v1", "I") for i in range(2)]
+    t.merge_mor(_ord(_changes(spark, ups + dels + ins), 100), 1)
+    assert t.row_count() == 29 == t.read().count()  # fold path exact
+    # compaction folds the deltas -> back to pure metadata; the output
+    # sizing knob splits each rewritten bucket across multiple files
+    # (file size bounds task parallelism at scale, not bucket count)
+    t.compact(target_files_per_bucket=3)
+    snap = t.snapshot()
+    assert not any(fs for fs in snap.deltas.values())
+    assert any(len(fs) > 1 for fs in snap.buckets.values())
+    assert t.row_count() == 29 == t.read().count()
+    # per-output-file stats were re-harvested (row counts included)
+    live = {f for fs in snap.buckets.values() for f in fs}
+    assert {f for f in snap.stats if "__rows" in snap.stats[f]} == live
+    # a plain follow-up compact repacks to one file per bucket
+    t.compact(max_files_per_bucket=1)
+    assert all(len(fs) <= 1 for fs in t.snapshot().buckets.values())
+    assert t.row_count() == 29
+    # time travel counts the old snapshot
+    assert t.row_count(version=v0) == 30
 
 
 def test_read_columns_projection_through_mor_fold(spark, tmp_path):
