@@ -435,6 +435,15 @@ class Snapshot:
     # constraint added with validate=False can never wedge maintenance.
     # State, not refs: rollback reverts them, clone carries them.
     constraints: dict[str, str] = field(default_factory=dict)
+    # schema-evolution policy (the column-level data contract next to
+    # `constraints`' row-level one): "auto" (historical behavior —
+    # additive columns append, types promote along the Iceberg lattice)
+    # or "locked" (Delta mergeSchema=false analog: a batch whose shape
+    # would CHANGE the stored schema refuses loudly — an upstream typo
+    # must not silently add a junk column to a 100 TB table). Batches
+    # missing columns still apply (null-fill is not evolution). State:
+    # rollback reverts it, clone carries it.
+    evolution: str = "auto"
 
     def bucket_key(self) -> list[str]:
         return self.bucket_cols or self.key_cols
@@ -470,6 +479,7 @@ class Snapshot:
                 "phys_map": self.phys_map,
                 "retired_phys": self.retired_phys,
                 "constraints": self.constraints,
+                "evolution": self.evolution,
             }
         )
 
@@ -512,6 +522,7 @@ class LakeTable:
         bloom_cols: list[str] | tuple[str, ...] | None = None,
         bucket_cols: list[str] | tuple[str, ...] | None = None,
         constraints: dict[str, str] | None = None,
+        schema_evolution: str = "auto",
     ) -> "LakeTable":
         """``bloom_cols``: columns to harvest per-file bloom filters for
         at every commit (drives ``read(points=...)`` equality skipping —
@@ -535,6 +546,10 @@ class LakeTable:
                 )
         if constraints:
             _validate_constraints(spark, schema, constraints, "the table schema")
+        if schema_evolution not in ("auto", "locked"):
+            raise ValueError(
+                f"schema_evolution must be 'auto' or 'locked', "
+                f"got {schema_evolution!r}")
         t = cls(spark, path, store=store)
         t._store.init()
         if t.current_version() >= 0:
@@ -549,6 +564,7 @@ class LakeTable:
             bloom_cols=list(bloom_cols or []),
             bucket_cols=list(bucket_cols) if bucket_cols else None,
             constraints=dict(constraints or {}),
+            evolution=schema_evolution,
         )
         t._write_snapshot(snap)
         return t
@@ -624,6 +640,7 @@ class LakeTable:
             phys_map=dict(snap.phys_map),
             retired_phys=list(snap.retired_phys),
             constraints=dict(snap.constraints),
+            evolution=snap.evolution,
         )
         t = cls(spark, dst_path, store=store)
         t._store.init()
@@ -1316,6 +1333,7 @@ class LakeTable:
         internal = (op_col, "__bucket", "__setmask", "__inherit")
         payload_cols = [f for f in changes.schema.fields if f.name not in internal]
         target_schema = _widen_schema(cur_schema, payload_cols, key_cols)
+        self._enforce_evolution_lock(snap, cur_schema, target_schema)
         target_cols = [f.name for f in target_schema.fields]
 
         # Cast incoming columns to the target types BEFORE bucket
@@ -1580,6 +1598,7 @@ class LakeTable:
         # (metadata-only; narrow base/delta files upcast at read).
         payload_cols = [f for f in changes.schema.fields if f.name not in (op_col, "__bucket")]
         target_schema = _widen_schema(cur_schema, payload_cols, key_cols)
+        self._enforce_evolution_lock(snap, cur_schema, target_schema)
 
         src = changes.withColumnRenamed(op_col, "__op")
         for f in target_schema.fields:
@@ -1629,6 +1648,7 @@ class LakeTable:
         """Replace the whole table content (bulk load / test setup)."""
         snap = self.snapshot()
         schema = T.StructType([f for f in df.schema.fields if f.name != "__bucket"])
+        self._enforce_evolution_lock(snap, snap.schema(), schema)
         self._enforce_constraints(df, snap, schema, None)
         new_version = snap.version + 1
         with_bucket = df.withColumn("__bucket", bucket_expr(snap.bucket_key(), snap.n_buckets))
@@ -1866,6 +1886,7 @@ class LakeTable:
             # a rollback past an add_constraint removes the check, past
             # a drop_constraint restores it
             constraints=dict(target.constraints),
+            evolution=target.evolution,
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -1957,6 +1978,45 @@ class LakeTable:
         self._write_snapshot(new)
         return {"constraint": name, "expr": expr, "version": new.version,
                 "validated": validate}
+
+    def set_schema_evolution(self, mode: str) -> dict:
+        """Switch the evolution policy (metadata-only commit):
+        ``"locked"`` (Delta ``mergeSchema=false`` analog) makes any
+        ingest whose shape would CHANGE the stored schema — a new
+        column, a type promotion — refuse loudly instead of silently
+        evolving; the column-level data contract next to CHECK
+        constraints' row-level one. ``"auto"`` restores the historical
+        append/promote behavior. Explicit DDL (``rename_column`` /
+        ``drop_column``) stays available either way — locked guards
+        against ACCIDENTAL evolution riding a data batch, not against
+        operators. Unlock → migrate → re-lock is the planned-evolution
+        path."""
+        if mode not in ("auto", "locked"):
+            raise ValueError(f"mode must be 'auto' or 'locked', got {mode!r}")
+        cur = self.snapshot()
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new.evolution = mode
+        self._write_snapshot(new)
+        return {"schema_evolution": mode, "version": new.version}
+
+    def _enforce_evolution_lock(self, snap: Snapshot, cur_schema: T.StructType,
+                                target_schema: T.StructType) -> None:
+        """Refuse an ingest whose widened schema differs from the stored
+        one while evolution is locked. Shape compare is (name, type) —
+        nullability is not evolution."""
+        if snap.evolution != "locked":
+            return
+        cur_shape = [(f.name, f.dataType) for f in cur_schema.fields]
+        new_shape = [(f.name, f.dataType) for f in target_schema.fields]
+        if cur_shape != new_shape:
+            added = [n for n, _ in new_shape if n not in dict(cur_shape)]
+            changed = [n for n, t in new_shape
+                       if n in dict(cur_shape) and dict(cur_shape)[n] != t]
+            raise ValueError(
+                f"schema evolution is LOCKED on this table: the batch "
+                f"would add {added or 'nothing'} / promote {changed or 'nothing'}"
+                " — fix the feed, or set_schema_evolution('auto'), "
+                "migrate deliberately, and re-lock")
 
     def drop_constraint(self, name: str) -> dict:
         """Remove a CHECK constraint (metadata-only commit)."""
@@ -2912,4 +2972,5 @@ class LakeTable:
             phys_map=_alloc_phys(parent, schema),
             retired_phys=list(parent.retired_phys),
             constraints=dict(parent.constraints),
+            evolution=parent.evolution,
         )
