@@ -444,6 +444,11 @@ class Snapshot:
     # missing columns still apply (null-fill is not evolution). State:
     # rollback reverts it, clone carries it.
     evolution: str = "auto"
+    # what produced this snapshot (Delta DESCRIBE HISTORY `operation` /
+    # Iceberg snapshot-summary `operation` analog): "merge",
+    # "merge-mor", "compact", "rollback", ... — surfaced by history().
+    # "" = written before the label existed (old snapshots load fine).
+    op: str = ""
 
     def bucket_key(self) -> list[str]:
         return self.bucket_cols or self.key_cols
@@ -480,6 +485,7 @@ class Snapshot:
                 "retired_phys": self.retired_phys,
                 "constraints": self.constraints,
                 "evolution": self.evolution,
+                "op": self.op,
             }
         )
 
@@ -565,6 +571,7 @@ class LakeTable:
             bucket_cols=list(bucket_cols) if bucket_cols else None,
             constraints=dict(constraints or {}),
             evolution=schema_evolution,
+            op="create",
         )
         t._write_snapshot(snap)
         return t
@@ -641,6 +648,7 @@ class LakeTable:
             retired_phys=list(snap.retired_phys),
             constraints=dict(snap.constraints),
             evolution=snap.evolution,
+            op="clone",
         )
         t = cls(spark, dst_path, store=store)
         t._store.init()
@@ -915,26 +923,51 @@ class LakeTable:
             # winner per key is the max-(ordinal, offset) row; a winning
             # tombstone drops the key. Same semantics the COW MERGE bakes
             # into files at write time, applied lazily here.
-            deltas = _read_files_logical(
-                spark, snap, delta_files, schema=schema,
-                extra_fields=[T.StructField("__op", T.StringType())],
-            )
-            base = df.withColumn("__op", F.lit("U"))
-            merged = base.unionByName(deltas)
+            have = {f.name for f in schema.fields}
+            ord_cols = [c for c in ("__ordinal", "__offset") if c in have]
+            if ord_cols:
+                # the engine path: events carry their own total order
+                deltas = _read_files_logical(
+                    spark, snap, delta_files, schema=schema,
+                    extra_fields=[T.StructField("__op", T.StringType())],
+                )
+                base = df.withColumn("__op", F.lit("U"))
+                merged = base.unionByName(deltas)
+                rank = F.struct(*[
+                    F.coalesce(F.col(c), F.lit(-1)) for c in ord_cols])
+                drop_after = ["__op"]
+            else:
+                # ordinal-less table (direct merge_mor callers): rank by
+                # position in the bucket's delta chain instead — seq is
+                # commit order, so later epochs win; base files rank -1.
+                # Within ONE delta file ties are unordered: pre-reduce
+                # each batch to one row per key (the engine's LWW reduce
+                # does; merge_mor batches are epochs, not raw logs).
+                by_seq: dict[int, list[str]] = {}
+                for b, fs in snap.deltas.items():
+                    if keys is not None and b not in keys:
+                        continue
+                    for seq, rel in enumerate(fs):
+                        by_seq.setdefault(seq, []).append(
+                            os.path.join(self.path, rel))
+                merged = df.withColumn("__op", F.lit("U")).withColumn(
+                    "__seq", F.lit(-1))
+                for seq in sorted(by_seq):
+                    d = _read_files_logical(
+                        spark, snap, by_seq[seq], schema=schema,
+                        extra_fields=[T.StructField("__op", T.StringType())],
+                    ).withColumn("__seq", F.lit(seq))
+                    merged = merged.unionByName(d)
+                rank = F.col("__seq")
+                drop_after = ["__op", "__seq"]
             payload = [c for c in merged.columns if c not in snap.key_cols]
-            winner = F.max_by(
-                F.struct(*payload),
-                F.struct(
-                    F.coalesce(F.col("__ordinal"), F.lit(-1)),
-                    F.coalesce(F.col("__offset"), F.lit(-1)),
-                ),
-            ).alias("w")
+            winner = F.max_by(F.struct(*payload), rank).alias("w")
             df = (
                 merged.groupBy(*snap.key_cols)
                 .agg(winner)
                 .select(*snap.key_cols, *[F.col(f"w.{c}").alias(c) for c in payload])
                 .where(F.col("__op") != "D")
-                .drop("__op")
+                .drop(*drop_after)
             )
         if not include_internal:
             df = df.drop(*[c for c in df.columns if c.startswith("__")])
@@ -986,9 +1019,17 @@ class LakeTable:
     def history(self) -> DataFrame:
         """Version history as a DataFrame (Iceberg `snapshots` / Delta
         `DESCRIBE HISTORY` analog): one row per retained snapshot —
-        version, batch id, run id, commit time, parent, file/delta
-        counts, and the total applied rows/bytes recorded in that
-        version's lineage. Ops surface: monitor delta backlog
+        version, the OPERATION that produced it (``merge``,
+        ``merge-mor``, ``compact``, ``cluster``, ``rebucket``,
+        ``rollback``, ``delete``, ``overwrite``, ``tag``/``drop-tag``,
+        ``add-constraint``/``drop-constraint``, ``set-evolution``,
+        ``rename-column``/``drop-column``, WAP ``begin-staging``/
+        ``publish``/``abort-staging``, ``create``, ``clone``; null for
+        snapshots written before the label existed), batch id, run id,
+        commit time, parent, file/delta counts, and the total applied
+        rows/bytes recorded in that version's lineage. Ops surface:
+        answer "what changed this table and when" (the incident-review
+        question) from metadata alone, monitor delta backlog
         (``n_delta_files`` growth → compaction cadence too slow), audit
         the epoch cadence, and pick time-travel targets. Vacuumed
         versions are absent (their snapshot json is retained metadata's
@@ -1001,7 +1042,8 @@ class LakeTable:
             except FileNotFoundError:  # vacuumed
                 continue
             rows.append((
-                s.version, s.batch_id, s.run_id, float(s.committed_at), s.parent,
+                s.version, s.op or None, s.batch_id, s.run_id,
+                float(s.committed_at), s.parent,
                 sum(len(f) for f in s.buckets.values()),
                 sum(len(f) for f in s.deltas.values()),
                 sum(int(m.get("rows_applied", 0)) for m in s.lineage.values()),
@@ -1009,7 +1051,8 @@ class LakeTable:
             ))
         return self.spark.createDataFrame(
             rows,
-            "version int, batch_id long, run_id string, committed_at double, "
+            "version int, op string, batch_id long, run_id string, "
+            "committed_at double, "
             "parent int, n_data_files long, n_delta_files long, "
             "total_rows_applied long, total_bytes long",
         )
@@ -1406,7 +1449,7 @@ class LakeTable:
                 r["__bucket"] for r in changes.select("__bucket").distinct().collect()
             )
         if not touched:
-            new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
+            new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id, op="merge")
             self._write_snapshot(new_snap)
             return {"skipped": False, "version": new_snap.version, "touched_buckets": 0,
                     "buckets_rewritten": 0}
@@ -1542,7 +1585,7 @@ class LakeTable:
 
         if post_write_lineage is not None:
             lineage_update = post_write_lineage(lineage_update)
-        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id, op="merge")
         new_snap.buckets = new_buckets
         # touched buckets' deltas were folded into the rewrite above
         for b in touched:
@@ -1638,7 +1681,7 @@ class LakeTable:
             written += 1
         if post_write_lineage is not None:
             lineage_update = post_write_lineage(lineage_update or {})
-        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id)
+        new_snap = self._child_snapshot(snap, batch_id, target_schema, lineage_update, run_id, op="merge-mor")
         new_snap.deltas = new_deltas
         self._write_snapshot(new_snap)
         return {"skipped": False, "version": new_snap.version,
@@ -1655,7 +1698,8 @@ class LakeTable:
         buckets = self._write_bucket_files(
             with_bucket, new_version, None, _alloc_phys(snap, schema))
         new_snap = self._child_snapshot(
-            snap, snap.batch_id if batch_id is None else batch_id, schema, None
+            snap, snap.batch_id if batch_id is None else batch_id, schema, None,
+            op="overwrite",
         )
         new_snap.buckets = buckets
         self._carry_stats(new_snap, snap, self._file_stats(buckets),
@@ -1816,7 +1860,8 @@ class LakeTable:
             written = self._write_bucket_files(df, new_version, None, snap.phys_map)
         else:
             written = self._write_bucket_files(df, new_version, len(fat), snap.phys_map)
-        applied, skipped, version = self._commit_rewrite(snap, fat, written, batch_id)
+        applied, skipped, version = self._commit_rewrite(snap, fat, written, batch_id,
+                                                         op="compact")
         return {"compacted_buckets": len(applied), "version": version,
                 "skipped_buckets": len(skipped)}
 
@@ -1887,6 +1932,7 @@ class LakeTable:
             # a drop_constraint restores it
             constraints=dict(target.constraints),
             evolution=target.evolution,
+            op="rollback",
         )
         self._write_snapshot(new)
         return {"rolled_back_to": version, "version": new.version}
@@ -1923,7 +1969,7 @@ class LakeTable:
                 f"cannot tag version {v}: {len(missing)} of its data files "
                 f"were vacuumed (first: {missing[0]})"
             )
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="tag")
         new.tags[name] = v
         self._write_snapshot(new)
         return {"tag": name, "tagged_version": v, "version": new.version}
@@ -1935,7 +1981,7 @@ class LakeTable:
         cur = self.snapshot()
         if name not in cur.tags:
             raise ValueError(f"no tag {name!r} (have: {sorted(cur.tags)})")
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="drop-tag")
         del new.tags[name]
         self._write_snapshot(new)
         return {"dropped": name, "version": new.version}
@@ -1973,7 +2019,7 @@ class LakeTable:
                     f"cannot add constraint {name!r} ({expr!r}): existing "
                     f"rows violate it (sample: {[r.asDict() for r in bad]}); "
                     "clean the data first or pass validate=False")
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="add-constraint")
         new.constraints[name] = expr
         self._write_snapshot(new)
         return {"constraint": name, "expr": expr, "version": new.version,
@@ -1994,7 +2040,7 @@ class LakeTable:
         if mode not in ("auto", "locked"):
             raise ValueError(f"mode must be 'auto' or 'locked', got {mode!r}")
         cur = self.snapshot()
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="set-evolution")
         new.evolution = mode
         self._write_snapshot(new)
         return {"schema_evolution": mode, "version": new.version}
@@ -2024,7 +2070,7 @@ class LakeTable:
         if name not in cur.constraints:
             raise ValueError(
                 f"no constraint {name!r} (have: {sorted(cur.constraints)})")
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="drop-constraint")
         del new.constraints[name]
         self._write_snapshot(new)
         return {"dropped": name, "version": new.version}
@@ -2099,7 +2145,7 @@ class LakeTable:
             raise ValueError(
                 f"staging already active (published = v{cur.refs['main']})"
             )
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="begin-staging")
         new.refs["main"] = cur.version
         self._write_snapshot(new)
         return {"published": cur.version, "version": new.version}
@@ -2116,7 +2162,7 @@ class LakeTable:
         if "main" not in cur.refs:
             raise ValueError("no staging session active (begin_staging first)")
         prev = cur.refs["main"]
-        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None)
+        new = self._child_snapshot(cur, cur.batch_id, cur.schema(), None, op="publish")
         if keep_staging:
             new.refs["main"] = new.version
         else:
@@ -2138,7 +2184,7 @@ class LakeTable:
         pub = cur.refs["main"]
         self.rollback(pub)
         cur2 = self.snapshot()
-        new = self._child_snapshot(cur2, cur2.batch_id, cur2.schema(), None)
+        new = self._child_snapshot(cur2, cur2.batch_id, cur2.schema(), None, op="abort-staging")
         new.refs.pop("main", None)
         self._write_snapshot(new)
         return {"aborted_to": pub, "version": new.version}
@@ -2182,7 +2228,7 @@ class LakeTable:
                 self.spark, new_schema, cur.constraints,
                 f"the schema after renaming {old!r} -> {new!r} "
                 "(drop_constraint first, re-add under the new name)")
-        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
+        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None, op="rename-column")
         phys = dict(cur.phys_map)
         phys[new] = phys.pop(old, old)
         if phys[new] == new:  # renaming BACK to the physical name
@@ -2226,7 +2272,7 @@ class LakeTable:
                 self.spark, new_schema, cur.constraints,
                 f"the schema after dropping {name!r} "
                 "(drop_constraint first)")
-        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None)
+        snap = self._child_snapshot(cur, cur.batch_id, new_schema, None, op="drop-column")
         phys = dict(cur.phys_map)
         released = phys.pop(name, name)
         snap.phys_map = phys
@@ -2283,7 +2329,8 @@ class LakeTable:
         new_version = snap.version + 1
         new_buckets = self._write_bucket_files(df, new_version, n_buckets, snap.phys_map)
         new_snap = self._child_snapshot(
-            snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None
+            snap, snap.batch_id if batch_id is None else batch_id, snap.schema(), None,
+            op="rebucket",
         )
         new_snap.n_buckets = n_buckets
         new_snap.buckets = new_buckets
@@ -2393,7 +2440,8 @@ class LakeTable:
         )
         new_version = snap.version + 1
         written = self._write_bucket_files(out, new_version, None, snap.phys_map)
-        applied, skipped, version = self._commit_rewrite(snap, target, written, batch_id)
+        applied, skipped, version = self._commit_rewrite(snap, target, written, batch_id,
+                                                         op="cluster")
         return {
             "clustered_buckets": len(applied),
             "files": sum(len(written.get(str(b), [])) for b in applied),
@@ -2562,7 +2610,8 @@ class LakeTable:
             deleted = int(df_raw.where(F.coalesce(cond, F.lit(False))).count())
 
         new_snap = self._child_snapshot(snap, batch_id if batch_id is not None
-                                        else snap.batch_id, schema, None)
+                                        else snap.batch_id, schema, None,
+                                        op="delete")
         for b in list(rewrite) + [str(x) for x in fold_buckets]:
             fs = carried.get(b, []) + written.get(b, [])
             if fs:
@@ -2686,7 +2735,7 @@ class LakeTable:
 
         new_snap = self._child_snapshot(
             snap, batch_id if batch_id is not None else snap.batch_id,
-            schema, None)
+            schema, None, op="delete")
         for b, fs in delta_files.items():
             new_snap.deltas.setdefault(b, []).extend(fs)
         self._write_snapshot(new_snap)
@@ -2703,6 +2752,7 @@ class LakeTable:
         written: dict[str, list[str]],
         batch_id: int | None,
         max_retries: int = 5,
+        op: str = "rewrite",
     ) -> tuple[list[int], list[int], int]:
         """Publish a maintenance rewrite (compact / cluster) built at
         ``parent``, REBASING across concurrent ingest commits instead of
@@ -2738,7 +2788,7 @@ class LakeTable:
             skipped: list[int] = []
             new_snap = self._child_snapshot(
                 base, base.batch_id if batch_id is None else batch_id,
-                base.schema(), None,
+                base.schema(), None, op=op,
             )
             for b in rewritten:
                 key = str(b)
@@ -2929,6 +2979,7 @@ class LakeTable:
         schema: T.StructType,
         lineage_update: dict[int, dict[str, int]] | None,
         run_id: str | None = None,
+        op: str = "",
     ) -> Snapshot:
         lineage = {k: dict(v) for k, v in parent.lineage.items()}
         for p, m in (lineage_update or {}).items():
@@ -2973,4 +3024,5 @@ class LakeTable:
             retired_phys=list(parent.retired_phys),
             constraints=dict(parent.constraints),
             evolution=parent.evolution,
+            op=op,
         )

@@ -204,6 +204,9 @@ def test_history_and_metrics_surfaces(spark, tmp_path):
 
     h = eng.target().history().orderBy("version").collect()
     assert [r["version"] for r in h] == list(range(len(h)))
+    # op labels (DESCRIBE HISTORY `operation` analog): create, the two
+    # applied MOR epochs (the fenced duplicate never commits), compact
+    assert [r["op"] for r in h] == ["create", "merge-mor", "merge-mor", "compact"]
     assert h[0]["n_data_files"] == 0                      # empty create
     assert any(r["n_delta_files"] > 0 for r in h)         # MOR epochs
     assert h[-1]["n_delta_files"] == 0                    # compacted
@@ -215,6 +218,45 @@ def test_history_and_metrics_surfaces(spark, tmp_path):
     assert m[0]["rows_in"] > 0 and not m[0]["skipped"]
     assert m[1]["skipped"]  # the fenced re-delivery shows up as a skip
     assert m[1]["version"] >= 0
+
+
+def test_history_op_labels_full_lifecycle(spark, tmp_path):
+    """Every commit kind carries its operation label into history() —
+    the incident-review surface ("what changed this table and when")
+    answered from metadata alone."""
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size_val", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], n_buckets=4)
+    t.merge(spark.createDataFrame(
+        [("r1", "a", 1, "I"), ("r1", "b", 2, "I")],
+        "repo string, path string, size_val long, op string"), 0)
+    t.merge_mor(spark.createDataFrame(
+        [("r1", "c", 3, "I")],
+        "repo string, path string, size_val long, op string"), 1)
+    t.compact()
+    t.tag("audit")
+    t.add_constraint("pos", "size_val >= 0", validate=False)
+    t.set_schema_evolution("locked")
+    t.set_schema_evolution("auto")
+    t.drop_constraint("pos")  # rename refuses while a constraint holds the col
+    t.rename_column("size_val", "nbytes")
+    t.delete_where("nbytes = 2")
+    v_before = t.current_version()
+    t.rollback(v_before - 1)
+    ops = [r["op"] for r in t.history().orderBy("version").collect()]
+    assert ops == [
+        "create", "merge", "merge-mor", "compact", "tag",
+        "add-constraint", "set-evolution", "set-evolution",
+        "drop-constraint", "rename-column", "delete", "rollback",
+    ]
+    # the label is a fact about each snapshot, not derived state: time
+    # travel metadata survives rollback (history keeps the full chain)
+    c = LakeTable.clone(spark, t.path, str(tmp_path / "c"))
+    assert c.history().orderBy("version").collect()[0]["op"] == "clone"
 
 
 def test_changelog_composes_across_versions(spark, tmp_path):

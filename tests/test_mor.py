@@ -252,3 +252,39 @@ def test_mor_cluster_zorder_maintenance(spark, tmp_path):
     assert scan.select(F.input_file_name()).distinct().count() < full
     assert (scan.where(F.col("__ordinal") >= hi).count()
             == t.read(include_internal=True).where(F.col("__ordinal") >= hi).count())
+
+
+def test_mor_ordinal_less_table_seq_fallback(spark, tmp_path):
+    """A bare LakeTable whose schema has NO __ordinal/__offset columns
+    must still resolve MOR deltas (regression: the fold used to
+    hard-reference the engine's ordinal columns and blow up at read).
+    Fallback order = position in the bucket's delta chain: later epochs
+    win, a winning tombstone drops the key, a later upsert resurrects
+    it, and compact() folds the same answer into base files."""
+    from rook_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, v long, op string")
+
+    t.merge_mor(batch([("a", 1, "I"), ("b", 1, "I"), ("c", 1, "I")]), 0)
+    t.merge_mor(batch([("a", 2, "U"), ("b", None, "D")]), 1)   # update + delete
+    t.merge_mor(batch([("b", 3, "I")]), 2)                     # resurrect b
+
+    expect = {("a", 2), ("b", 3), ("c", 1)}
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == expect
+    # bucket-pruned reads take the same fallback path
+    per_bucket = set()
+    for b in range(2):
+        per_bucket |= {(r["k"], r["v"]) for r in t.read(buckets=[b]).collect()}
+    assert per_bucket == expect
+    # compact folds deltas with identical semantics
+    t.compact()
+    assert not any(t.snapshot().deltas.values())
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == expect
