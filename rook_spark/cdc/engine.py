@@ -77,6 +77,7 @@ class CdcEngine:
         cache_batches: bool = False,
         write_mode: str = "cow",
         compact_every: int | None = None,
+        compact_depth: int | None = None,
         n_source_partitions: int | None = None,
         cluster_zorder: list[str] | tuple[str, ...] | None = None,
         bloom_cols: list[str] | tuple[str, ...] | None = None,
@@ -113,6 +114,18 @@ class CdcEngine:
         # `compact_every` epochs (None = manual compact()).
         self.write_mode = write_mode
         self.compact_every = compact_every
+        # depth-TRIGGERED maintenance (vs compact_every's cadence): after
+        # each epoch, compact exactly the buckets whose delta chain
+        # reached `compact_depth` files — an O(buckets) metadata probe,
+        # no Spark job when nothing qualifies. Work is proportional to
+        # the BACKLOG, not the cadence: a skewed stream that hammers two
+        # buckets folds those two and leaves the other 4094 alone, while
+        # a cadence pass would rewrite every delta-carrying bucket each
+        # period. Composes with compact_every (cadence as the floor for
+        # cold buckets, depth as the cap for hot ones).
+        if compact_depth is not None and compact_depth < 1:
+            raise ValueError(f"compact_depth must be >= 1, got {compact_depth}")
+        self.compact_depth = compact_depth
         # with cluster_zorder set (e.g. ["__ordinal"]), the periodic
         # maintenance pass z-orders the buckets it compacts instead of
         # bin-packing them flat — the same rewrite cost buys tight
@@ -409,6 +422,21 @@ class CdcEngine:
                     else:
                         t.compact()
                     self._epochs_since_compact = 0
+            if self.write_mode == "mor" and self.compact_depth:
+                t = self.target()
+                snap = t.snapshot()
+                deep = sorted(
+                    int(b) for b, fs in snap.deltas.items()
+                    if len(fs) >= self.compact_depth
+                )
+                if deep:
+                    # same zorder upgrade as the cadence pass: the
+                    # rewrite IO is identical, clustered output buys
+                    # tight per-file stats on exactly the hot buckets
+                    if self.cluster_zorder:
+                        t.cluster(self.cluster_zorder, buckets=deep)
+                    else:
+                        t.compact(buckets=deep)
             if self.vacuum_every:
                 self._epochs_since_vacuum += 1
                 if self._epochs_since_vacuum >= self.vacuum_every:

@@ -1818,7 +1818,8 @@ class LakeTable:
                 "kept_versions": len(keep_versions)}
 
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None,
-                target_files_per_bucket: int = 1) -> dict[str, int]:
+                target_files_per_bucket: int = 1,
+                buckets: list[int] | None = None) -> dict[str, int]:
         """Rewrite buckets whose base-file count exceeds the threshold —
         or that carry ANY merge-on-read deltas — into ``target_files_per_
         bucket`` resolved files each (bin-packing compaction + delta
@@ -1826,6 +1827,14 @@ class LakeTable:
         vacuum reclaims the old files. This is the MOR read-amplification
         bound: run it on a cadence (or delta-count trigger) and reads
         stay O(base).
+
+        ``buckets`` restricts the rewrite to an explicit bucket set
+        (targeted compaction): the thresholds are ignored and exactly
+        the named buckets that hold any files or deltas are rewritten.
+        This is the primitive depth-triggered maintenance builds on
+        (``CdcEngine(compact_depth=N)``) — at 100 TB, compaction work
+        should be proportional to the BACKLOG (the few hot buckets a
+        skewed key pushed deep), not to the table or the cadence.
 
         ``target_files_per_bucket`` is the OUTPUT sizing knob (the
         ``cluster()`` twin without the sort): the default 1 maximizes
@@ -1837,10 +1846,16 @@ class LakeTable:
         Per-file stats/blooms are re-harvested per OUTPUT file either
         way, so pruning granularity improves with the split."""
         snap = self.snapshot()
-        fat = sorted(
-            {int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket}
-            | {int(b) for b, fs in snap.deltas.items() if fs}
-        )
+        if buckets is not None:
+            fat = sorted(
+                int(b) for b in {str(x) for x in buckets}
+                if snap.buckets.get(b) or snap.deltas.get(b)
+            )
+        else:
+            fat = sorted(
+                {int(b) for b, fs in snap.buckets.items() if len(fs) > max_files_per_bucket}
+                | {int(b) for b, fs in snap.deltas.items() if fs}
+            )
         if not fat:
             return {"compacted_buckets": 0}
         df = self.read(buckets=fat, include_internal=True, ref="head").withColumn(

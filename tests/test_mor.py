@@ -288,3 +288,87 @@ def test_mor_ordinal_less_table_seq_fallback(spark, tmp_path):
     t.compact()
     assert not any(t.snapshot().deltas.values())
     assert {(r["k"], r["v"]) for r in t.read().collect()} == expect
+
+
+def test_compact_buckets_targeted(spark, tmp_path):
+    """compact(buckets=[...]) rewrites exactly the named buckets: their
+    deltas fold, every other bucket's chain is untouched, and the read
+    answer never changes."""
+    from rook_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], n_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, v long, op string")
+
+    # keys 0..15 spread across all 4 buckets, one delta per bucket
+    t.merge_mor(batch([(k, k, "I") for k in range(16)]), 0)
+    snap = t.snapshot()
+    assert sum(1 for fs in snap.deltas.values() if fs) == 4
+    target = int(next(iter(sorted(snap.deltas))))
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    res = t.compact(buckets=[target])
+    assert res["compacted_buckets"] == 1
+    snap2 = t.snapshot()
+    assert not snap2.deltas.get(str(target))          # folded
+    assert sum(1 for fs in snap2.deltas.values() if fs) == 3  # rest untouched
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    # empty target set is a metadata no-op (no commit)
+    v = t.current_version()
+    assert t.compact(buckets=[])["compacted_buckets"] == 0
+    assert t.current_version() == v
+
+
+def test_compact_depth_triggered_maintenance(spark, tmp_path):
+    """CdcEngine(compact_depth=N): after each epoch, ONLY buckets whose
+    delta chain reached N are folded — maintenance work proportional to
+    the backlog, not the table (the hot-bucket policy a skewed stream
+    needs at scale). Cold buckets keep their shallow chains; the final
+    state still matches the DuckDB replay oracle."""
+    ev = generate_events(spark, 6000, seed=51)
+    keyf = F.coalesce(F.col("after.repo"), F.col("before.repo"))
+    lo = ev.where("offset < 2000")                       # epoch 0: wide spread
+    pathf = F.coalesce(F.col("after.path"), F.col("before.path"))
+    hk = (ev.where("offset >= 2000").where("server_id != 99")
+            .groupBy(keyf.alias("__r"), pathf.alias("__p")).count()
+            .orderBy(F.desc("count"), "__r", "__p").first())
+    hot = (ev.where("offset >= 2000")
+             .where((keyf == hk["__r"]) & (pathf == hk["__p"])))
+    e1 = hot.where("offset < 4000")
+    e2 = hot.where("offset >= 4000")
+    assert e1.count() > 0 and e2.count() > 0
+
+    log = str(tmp_path / "log")
+    write_events(lo.unionByName(e1).unionByName(e2), log, n_files=3)
+
+    eng = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8,
+                    write_mode="mor", compact_depth=2).ignoring_servers(99)
+    eng.replay(lo, 0)
+    d0 = {b: len(fs) for b, fs in eng.target().snapshot().deltas.items() if fs}
+    assert d0 and max(d0.values()) == 1                  # no trigger yet
+
+    eng.replay(e1, 1)
+    snap = eng.target().snapshot()
+    d1 = {b: len(fs) for b, fs in snap.deltas.items() if fs}
+    # hot buckets hit depth 2 and were folded back to 0; cold buckets
+    # still carry exactly their epoch-0 delta
+    assert d1 and max(d1.values()) == 1
+    folded = set(d0) - set(d1)
+    assert folded                                        # something was folded
+    ops = [r["op"] for r in eng.target().history().orderBy("version").collect()]
+    assert ops.count("compact") == 1
+
+    eng.replay(e2, 2)
+    t = eng.target()
+    assert all(len(fs) < 2 for fs in t.snapshot().deltas.values())
+
+    con = duckdb.connect()
+    ora = con.execute(oracle_final_state_sql(f"{log}/*.parquet")).fetchall()
+    got = _canon(t.read())
+    assert got == sorted(tuple(r) for r in ora)
