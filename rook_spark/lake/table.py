@@ -223,10 +223,34 @@ def _bloom_may_contain(b64: str | None, value) -> bool:
     return True
 
 
+_STR_STAT_LEN = 16  # Iceberg write.metadata.metrics truncate(16) analog
+
+
+def _truncate_upper(s: str, n: int = _STR_STAT_LEN) -> str | None:
+    """A value ``u`` with ``u >= s`` and ``len(u) <= n`` (the Iceberg
+    ``truncate-and-increment`` upper bound): a plain prefix of an upper
+    bound is NOT an upper bound, so the last incrementable code point of
+    the prefix is bumped and the tail dropped. None when no such string
+    exists (prefix is all U+10FFFF) — the caller stores a missing upper
+    bound, which can never prune, so soundness is preserved."""
+    if len(s) <= n:
+        return s
+    p = s[:n]
+    for i in range(n - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            return p[:i] + chr(cp + 1)
+    return None
+
+
 def _stats_may_match(stats: dict | None, ranges: dict[str, tuple]) -> bool:
     """True unless the file's footer stats PROVE no row can fall in every
     requested range (missing stats for a column ⇒ cannot prove ⇒ keep —
-    skipping is only ever an optimization, never a filter)."""
+    skipping is only ever an optimization, never a filter). Bounds are
+    checked per side: a file whose upper bound was untruncatable keeps a
+    lower bound and still prunes on it. A hint whose type cannot compare
+    against the stored bounds (int range on a string column) proves
+    nothing and keeps the file."""
     if not stats:
         return True
     for col, (lo, hi) in ranges.items():
@@ -234,10 +258,13 @@ def _stats_may_match(stats: dict | None, ranges: dict[str, tuple]) -> bool:
         if not mm:
             continue
         mn, mx = mm
-        if mn is None or mx is None:
+        try:
+            if hi is not None and mn is not None and mn > hi:
+                return False
+            if lo is not None and mx is not None and mx < lo:
+                return False
+        except TypeError:
             continue
-        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
-            return False
     return True
 
 
@@ -2902,14 +2929,21 @@ class LakeTable:
         return files
 
     def _file_stats(self, files: dict[str, list[str]]) -> dict[str, dict[str, list]]:
-        """Harvest per-file [min, max] for NUMERIC columns from the
-        parquet footers of freshly written base files (the Iceberg
-        writer collects the same stats into manifests at commit time).
-        Driver-local footer reads, O(files written this commit) — the
-        same order of work as the existing write-then-list step; strings
-        are skipped (lower/upper-bound truncation semantics are not
-        worth their subtlety here), so stats-missing columns simply
-        never prune."""
+        """Harvest per-file [min, max] for NUMERIC and STRING columns
+        from the parquet footers of freshly written base files (the
+        Iceberg writer collects the same stats into manifests at commit
+        time). Driver-local footer reads, O(files written this commit) —
+        the same order of work as the existing write-then-list step.
+
+        String bounds are truncated snapshot-side to ``_STR_STAT_LEN``
+        code points (Iceberg ``truncate(16)``): the lower bound is a
+        plain prefix (a prefix of a lower bound is still ≤ every value),
+        the upper bound is the incremented prefix (``_truncate_upper``) —
+        a multi-KB ``content`` column must not turn the snapshot JSON
+        into a copy of the data. An unincrementable upper stores None
+        (prunes on the lower side only). Binary columns are skipped
+        (bytes don't serialize to the JSON snapshot and have no single
+        honest text ordering)."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, list]] = {}
@@ -2930,14 +2964,21 @@ class LakeTable:
                         if st is None or not st.has_min_max:
                             continue
                         mn, mx = st.min, st.max
-                        if not isinstance(mn, (int, float)) or isinstance(mn, bool):
+                        if isinstance(mn, str) and isinstance(mx, str):
+                            mn = mn[:_STR_STAT_LEN]
+                            mx = _truncate_upper(mx)
+                        elif not isinstance(mn, (int, float)) or isinstance(mn, bool):
                             continue
                         name = col.path_in_schema
                         cur = col_mm.get(name)
                         if cur is None:
                             col_mm[name] = [mn, mx]
                         else:
-                            col_mm[name] = [min(cur[0], mn), max(cur[1], mx)]
+                            col_mm[name] = [
+                                min(cur[0], mn),
+                                None if cur[1] is None or mx is None
+                                else max(cur[1], mx),
+                            ]
                 out[rel] = col_mm
         return out
 

@@ -1889,3 +1889,66 @@ def test_read_columns_projection_through_mor_fold(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown columns"):
         t.read(columns=["nope"])
     assert sorted(t.read(columns=["repo"]).columns) == ["path", "repo"]
+
+
+def test_string_stats_truncated_bounds_and_pruning(spark, tmp_path):
+    """String columns now carry footer min/max into the snapshot with
+    Iceberg-style truncate(16) bounds — prefix lower bound, incremented-
+    prefix upper bound — so read(ranges=...) prunes files on string
+    predicates (repo prefixes, ISO dates) without the snapshot storing
+    whole document values."""
+    from rook_spark.lake.table import _STR_STAT_LEN, _truncate_upper
+
+    # bound function: exact when short; strictly-greater 16-char bound
+    # when long; bump skips unincrementable tail; all-max -> no bound
+    assert _truncate_upper("short") == "short"
+    long = "m" * 40
+    u = _truncate_upper(long)
+    assert len(u) == _STR_STAT_LEN and u > long
+    bumped = _truncate_upper("a" * 15 + chr(0x10FFFF) * 25)
+    assert bumped == "a" * 14 + "b" and bumped > "a" * 15 + chr(0x10FFFF) * 25
+    assert _truncate_upper(chr(0x10FFFF) * 20) is None
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], n_buckets=8)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, content string, op string")
+
+    t.merge(batch([("r", f"p{i:03d}", f"aaa-document-{i:03d}-" + "x" * 40, "I")
+                   for i in range(64)]), 0)
+    t.merge(batch([("r", f"q{i}", f"zzz-document-{i}-" + "y" * 40, "I")
+                   for i in range(3)]), 1)
+
+    # bounds in the snapshot are truncated, and the upper REALLY bounds
+    snap = t.snapshot()
+    content_bounds = [mm["content"] for mm in snap.stats.values()
+                      if "content" in mm]
+    assert content_bounds
+    for lo, hi in content_bounds:
+        assert len(lo) <= _STR_STAT_LEN
+        assert hi is None or len(hi) <= _STR_STAT_LEN
+    # epoch-1-only files bound below "z" (prunable); the buckets epoch 2
+    # rewrote hold both bands, so their upper covers the z rows (kept)
+    assert any(hi is not None and hi < "z" for _, hi in content_bounds)
+    assert any(hi is None or hi >= "zzz-document-0" for _, hi in content_bounds)
+
+    # pruning: the z-band scan skips the 5+ buckets epoch 2 never touched
+    full = t.read()
+    n_full = full.select(F.input_file_name()).distinct().count()
+    pruned = t.read(ranges={"content": ("z", None)})
+    assert pruned.select(F.input_file_name()).distinct().count() < n_full
+    got = {r["path"] for r in pruned.where("content >= 'z'").collect()}
+    assert got == {"q0", "q1", "q2"}
+    # superset contract: exact filter over pruned scan == full-scan filter
+    a = sorted(r["path"] for r in pruned.where("content like 'zzz%'").collect())
+    b = sorted(r["path"] for r in full.where("content like 'zzz%'").collect())
+    assert a == b
+    # mixed-type hint proves nothing and keeps every file (no crash)
+    assert t.read(ranges={"content": (0, 5)}).count() == full.count()

@@ -149,3 +149,35 @@ def test_columns_option_projects_at_the_source(registered, tmp_path):
     with pytest.raises(AnalysisException, match="unknown columns"):
         (spark.read.format("rook_lake").option("columns", "nope")
          .load(str(tmp_path / "t")).collect())
+
+
+def test_string_predicate_pushdown_prunes_and_loses_nothing(registered, tmp_path):
+    """String filters now prune through the snapshot's truncated string
+    bounds (Iceberg truncate(16) analog): a repo-prefix scan over a
+    compacted table reads fewer files than the full scan and still
+    returns exactly LakeTable.read()'s answer."""
+    from rook_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    spark = registered
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], n_buckets=8)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "repo string, path string, content string, op string")
+
+    t.merge(batch([("alpha", f"p{i:03d}", "c" * 30, "I") for i in range(48)]), 0)
+    t.merge(batch([("zulu", f"q{i}", "d" * 30, "I") for i in range(3)]), 1)
+
+    base = spark.read.format("rook_lake").load(t.path)
+    want = {(r["repo"], r["path"]) for r in
+            t.read().where("repo >= 'z'").collect()}
+    got = base.where("repo >= 'z'")
+    assert {(r["repo"], r["path"]) for r in got.collect()} == want
+    assert want == {("zulu", f"q{i}") for i in range(3)}
