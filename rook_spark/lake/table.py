@@ -1735,9 +1735,17 @@ class LakeTable:
 
     # ----------------------------------------------------------- maintenance
 
-    def vacuum(self, keep_last: int = 2, min_age_s: float = 0.0) -> dict[str, int]:
+    def vacuum(self, keep_last: int = 2, min_age_s: float = 0.0,
+               dry_run: bool = False) -> dict:
         """Delete data files unreferenced by the last ``keep_last``
-        snapshots (and drop older snapshot metadata). COW writes one new
+        snapshots (and drop older snapshot metadata).
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN`` analog) computes
+        the exact reclamation — same liveness walk, same grace checks —
+        and returns it WITHOUT deleting anything, plus the candidate
+        file list under ``"files"``: size a retention change before
+        committing to it. A dry run mutates nothing, so it is also
+        allowed inside an open catalog group (a real vacuum refuses). COW writes one new
         file set per touched bucket per epoch, so without vacuum a
         long-running stream accumulates every historical version. Safe
         with concurrent readers of retained versions only — same
@@ -1768,7 +1776,7 @@ class LakeTable:
         # store's own delete/delete_blob guards fire too late to
         # protect the data files)
         probe = getattr(self._store, "in_active_group", None)
-        if probe is not None and probe():
+        if not dry_run and probe is not None and probe():
             raise RuntimeError(
                 "vacuum inside an open catalog group is not atomic — "
                 "run retention outside the group"
@@ -1797,6 +1805,7 @@ class LakeTable:
             for fs in snap.deltas.values():
                 referenced.update(fs)
         removed_files = 0
+        dead_files: list[str] = []
         data_root = os.path.join(self.path, _DATA)
         for f in glob.glob(os.path.join(data_root, "**", "*.parquet"), recursive=True):
             rel = os.path.relpath(f, self.path)
@@ -1807,10 +1816,12 @@ class LakeTable:
                             continue  # possibly an in-flight commit's file
                     except OSError:
                         continue
-                os.remove(f)
+                if not dry_run:
+                    os.remove(f)
                 removed_files += 1
+                dead_files.append(rel)
         # prune now-empty version dirs and expired snapshot json
-        for d in glob.glob(os.path.join(data_root, "v*")):
+        for d in glob.glob(os.path.join(data_root, "v*")) if not dry_run else []:
             for sub in glob.glob(os.path.join(d, "__bucket=*")):
                 if not os.listdir(sub):
                     os.rmdir(sub)
@@ -1819,13 +1830,16 @@ class LakeTable:
         removed_snaps = 0
         for v in self._store.versions():
             if v < window_start and v not in tagged:
-                self._store.delete(v)
+                if not dry_run:
+                    self._store.delete(v)
                 removed_snaps += 1
         # manifest-blob GC: a blob is live iff some RETAINED snapshot's
         # refs name it (content addressing means blobs are shared across
         # snapshots, so liveness is a set union, exactly like data files)
         live_blobs: set[str] = set()
         for v in self._store.versions():
+            if dry_run and v < window_start and v not in tagged:
+                continue  # a real run would have deleted this snapshot
             try:
                 live_blobs.update(
                     json.loads(self._store.read(v)).get("manifest_refs", {}).values()
@@ -1837,12 +1851,17 @@ class LakeTable:
             if key not in live_blobs:
                 if min_age_s > 0 and now - self._store.blob_mtime(key) < min_age_s:
                     continue  # possibly an in-flight commit's manifest
-                self._store.delete_blob(key)
-                self._manifest_cache.pop(key, None)
+                if not dry_run:
+                    self._store.delete_blob(key)
+                    self._manifest_cache.pop(key, None)
                 removed_blobs += 1
-        return {"removed_files": removed_files, "removed_snapshots": removed_snaps,
-                "removed_manifests": removed_blobs,
-                "kept_versions": len(keep_versions)}
+        out = {"removed_files": removed_files, "removed_snapshots": removed_snaps,
+               "removed_manifests": removed_blobs,
+               "kept_versions": len(keep_versions)}
+        if dry_run:
+            out["dry_run"] = True
+            out["files"] = sorted(dead_files)
+        return out
 
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None,
                 target_files_per_bucket: int = 1,

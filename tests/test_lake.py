@@ -1952,3 +1952,48 @@ def test_string_stats_truncated_bounds_and_pruning(spark, tmp_path):
     assert a == b
     # mixed-type hint proves nothing and keeps every file (no crash)
     assert t.read(ranges={"content": (0, 5)}).count() == full.count()
+
+
+def test_vacuum_dry_run_predicts_real_run(spark, tmp_path):
+    """vacuum(dry_run=True) (Delta VACUUM DRY RUN analog) computes the
+    exact reclamation — counts AND the candidate file list — while
+    deleting nothing; the subsequent real run removes precisely what
+    the dry run predicted. Mutating nothing also makes it legal inside
+    an open catalog group, where a real vacuum refuses."""
+    import glob as _glob
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ["k"], n_buckets=2)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, v long, op string")
+
+    for e in range(4):  # 4 COW epochs over the same keys -> 3 dead file sets
+        t.merge(batch([(k, e * 10 + k, "I") for k in range(6)]), e)
+
+    on_disk = lambda: {os.path.relpath(f, t.path) for f in _glob.glob(
+        os.path.join(t.path, "data", "**", "*.parquet"), recursive=True)}
+    before = on_disk()
+    v = t.current_version()
+
+    dry = t.vacuum(keep_last=2, dry_run=True)
+    assert dry["dry_run"] and dry["removed_files"] == len(dry["files"]) > 0
+    assert on_disk() == before                     # nothing deleted
+    assert t.current_version() == v
+    t.read(version=v - 3).collect()                # old versions still read
+
+    # dry run is allowed mid-group; a real vacuum refuses
+    t._store.in_active_group = lambda: True
+    assert t.vacuum(keep_last=2, dry_run=True)["files"] == dry["files"]
+    with pytest.raises(RuntimeError, match="catalog group"):
+        t.vacuum(keep_last=2)
+    del t._store.in_active_group
+
+    real = t.vacuum(keep_last=2)
+    assert real["removed_files"] == dry["removed_files"]
+    assert real["removed_snapshots"] == dry["removed_snapshots"]
+    assert real["removed_manifests"] == dry["removed_manifests"]
+    assert before - on_disk() == set(dry["files"])  # exactly as predicted
