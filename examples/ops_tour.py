@@ -10,8 +10,11 @@ is running, in one runnable script.
    one atomic rewrite; subsequent MERGEs route by the new count),
 5. bound read amplification → **compact** (fold MOR deltas),
 6. reclaim storage → **vacuum** (expire old versions; ``min_age_s``
-   grace for in-flight commits when running beside live writers) with
-   a named **tag** pinning an audit snapshot through the GC,
+   grace for in-flight commits when running beside live writers),
+   sized first with **``dry_run=True``** (the exact reclamation,
+   nothing deleted), with a named **tag** pinning an audit snapshot
+   through the GC — and the commit log's **operation labels**
+   (``history().op``) telling the whole story afterwards,
 7. swap the catalog → the same table logic running on an
    ``InMemoryMetadataStore`` (the catalog seam a JDBC/REST
    catalog would implement), and what happens when a SECOND writer
@@ -135,7 +138,15 @@ def main() -> None:
         tagged_v = table.current_version()
         print(f"tag     -> {table.tag('pre-maint')}")
         print(f"compact -> {table.compact()}")
-        print(f"vacuum  -> {table.vacuum(keep_last=2, min_age_s=0)}")
+        # size the reclamation BEFORE committing to it: dry_run computes
+        # the exact file set a real vacuum would delete (and deletes
+        # nothing — legal even inside an open catalog group)
+        dry = table.vacuum(keep_last=2, min_age_s=0, dry_run=True)
+        print(f"vacuum dry-run -> would remove {dry['removed_files']} files, "
+              f"{dry['removed_snapshots']} snapshots")
+        real = table.vacuum(keep_last=2, min_age_s=0)
+        assert real["removed_files"] == dry["removed_files"]
+        print(f"vacuum  -> {real}  (exactly as the dry run predicted)")
         assert table.read(tag="pre-maint").count() > 0
         print(f"tagged v{tagged_v} still reads through the tag after vacuum")
         print("history after maintenance (expired untagged versions gone):")
