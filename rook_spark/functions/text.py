@@ -262,3 +262,61 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
         "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0))),
         "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))),
     }
+
+
+def gopher_quality(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    min_distinct_frac: float = 0.2, max_top_bigram_frac: float = 0.2,
+) -> "DataFrame":
+    """Gopher-rule quality signals per document (the repetition/shape
+    filters every public-corpus pipeline applies — Gopher §A1.1, Dolma):
+    word count, mean word length, distinct-word fraction, and the
+    fraction of all bigrams taken by the single most frequent bigram
+    (the repetition smell), plus a combined keep/drop flag.
+
+    Plan shape (the part that matters at 10^10 docs): the per-doc scalar
+    stats are pure codegen expressions on the scan — no lambda HOFs
+    (``aggregate``/``transform`` execute interpreted per row; the IVF
+    expression path was demoted for exactly that). The bigram frequency
+    needs per-doc grouping, done as posexplode → lead() window →
+    two-level partial-aggregable groupBy, all keyed by the id — ONE
+    shuffle of the tokenized corpus, no joins back to the text.
+    Zero-bigram docs (≤1 token) left-join back as frac 0."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    scal = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(F.length(F.concat_ws("", toks))
+                / F.nullif(n_words, F.lit(0)).cast("double"), 4
+                ).alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.nullif(n_words, F.lit(0)).cast("double"), 4
+                ).alias("distinct_word_frac"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+        .select(id_col, "pos",
+                F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("bg"),
+                F.lead("tok").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+        .groupBy(id_col).agg(
+            F.round((F.max("c") / F.sum("c")).cast("double"), 4)
+            .alias("top_bigram_frac"))
+    )
+    out = scal.join(bg, id_col, "left").na.fill({"top_bigram_frac": 0.0})
+    return out.select(
+        id_col, "n_words", "mean_word_len", "distinct_word_frac",
+        "top_bigram_frac",
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("distinct_word_frac") >= min_distinct_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).alias("keep"),
+    )

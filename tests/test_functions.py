@@ -679,3 +679,28 @@ def test_pq_trained_recall_floor_on_clustered_data(spark):
     r_rr = mean_recall(ann.pq_topk(df, queries, books, k=10, rerank=50))
     assert r_rr >= 0.9, r_rr
     assert r_rr > r_adc
+
+
+def test_gopher_quality_flags_degenerate_docs(spark):
+    """The keep flag must trip on each Gopher signal independently:
+    repetition (one bigram dominates), sub-word tokens (mean word
+    length), copy-paste vocabulary collapse (distinct fraction) — and
+    a zero-bigram doc gets frac 0, not a null that poisons the flag."""
+    from rook_spark.functions.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a genuinely varied sentence "
+                "with plenty distinct tokens appearing once each time"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),   # repetition
+            (3, "a b c d e f g h i j"),                                  # mean len 1
+            (4, "word"),                                                 # 1 token, 0 bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["top_bigram_frac"] == 1.0
+    assert out[2]["distinct_word_frac"] == 0.1
+    assert out[3]["keep"] is False and out[3]["mean_word_len"] == 1.0
+    assert out[4]["top_bigram_frac"] == 0.0 and out[4]["n_words"] == 1
