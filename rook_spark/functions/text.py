@@ -320,3 +320,111 @@ def gopher_quality(
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         ).alias("keep"),
     )
+
+
+# Gopher §A1.1 repetition thresholds (Rae et al., Table A1): a document
+# is dropped when the single most frequent n-gram covers more than this
+# fraction of its characters (n = 2..4) or when characters inside
+# DUPLICATED n-grams exceed this fraction (n = 5..10).
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df, id_col: str = "doc_id", text_col: str = "text",
+    top_ns: tuple = (2, 3, 4), dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    top_max: dict | None = None, dup_max: dict | None = None,
+) -> "DataFrame":
+    """The n-gram half of Gopher's repetition table (§A1.1) —
+    ``gopher_quality`` covers the word-shape rules and the single
+    top-BIGRAM count fraction; this computes the CHARACTER-mass family:
+
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters covered by
+      the most frequent n-gram (count × its non-separator char length)
+      over the doc's total non-whitespace characters. Ties on count
+      break by char mass (max over tied n-grams), so the value is
+      order-insensitive and oracle-reproducible.
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): occurrence-weighted
+      char mass of all n-grams appearing ≥2 times, over total chars,
+      clamped to 1.0 (overlapping occurrences double-count — documented
+      deviation from Gopher's positional coverage, which needs per-char
+      interval logic SQL can't express; the clamp keeps it a fraction).
+    - ``keep``: every fraction at or under its threshold (defaults =
+      Gopher Table A1 via GOPHER_TOP_NGRAM_MAX / GOPHER_DUP_NGRAM_MAX).
+
+    Plan shape at 10^10 docs: ONE posexplode of the token stream, one
+    window (partitioned by id) computing max(n)-1 leads in a single
+    pass, an explode into (n, gram) rows — max(n)-1 × token mass, the
+    honest cost of the operator — then three partial-aggregable
+    groupBys that all hash on the id, so the tokenized corpus shuffles
+    once and the per-(id, n[, gram]) reductions combine map-side. No
+    joins back to the text, no lambda HOFs (the IVF lesson), no UDFs.
+    Docs with fewer than 2 tokens have no n-grams and drop out (same
+    on the DuckDB oracle side — consistent by construction).
+    """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    from pyspark.sql import Window
+
+    top_max = dict(GOPHER_TOP_NGRAM_MAX, **(top_max or {}))
+    dup_max = dict(GOPHER_DUP_NGRAM_MAX, **(dup_max or {}))
+    ns = sorted(set(top_ns) | set(dup_ns))
+    max_n = max(ns)
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        id_col,
+        F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+        .alias("__tc"),
+        F.posexplode(toks).alias("pos", "t0"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = base.select(
+        id_col, "__tc", "t0",
+        *[F.lead("t0", k).over(w).alias(f"t{k}") for k in range(1, max_n)],
+    )
+    # one struct per requested n per position; null where the doc ends
+    arr = F.array(*[
+        F.when(
+            F.col(f"t{n - 1}").isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.col(f"t{k}") for k in range(n)]).alias("g"),
+            ),
+        )
+        for n in ns
+    ])
+    grams = (
+        leads.select(id_col, "__tc", F.explode(arr).alias("ng"))
+        .where(F.col("ng").isNotNull())
+        .select(id_col, "__tc", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    )
+    counts = grams.groupBy(id_col, "__tc", "n", "g").agg(F.count("*").alias("c"))
+    cl = F.col("c") * (F.length("g") - (F.col("n") - 1))
+    pern = counts.groupBy(id_col, "__tc", "n").agg(
+        # struct max orders by count first, then char mass — identical to
+        # the oracle's max(c*L) FILTER (WHERE c = max(c))
+        F.max(F.struct(F.col("c").alias("c"), cl.alias("cl"))).alias("__top"),
+        F.sum(F.when(F.col("c") >= 2, cl).otherwise(F.lit(0))).alias("__dup"),
+    )
+    per_doc = pern.groupBy(id_col, "__tc").agg(
+        *[F.max(F.when(F.col("n") == n, F.col("__top.cl"))).alias(f"__top{n}")
+          for n in top_ns],
+        *[F.max(F.when(F.col("n") == n, F.col("__dup"))).alias(f"__dup{n}")
+          for n in dup_ns],
+    )
+    sel, conds = [F.col(id_col)], []
+    for n in top_ns:
+        frac = F.round(
+            F.coalesce(F.col(f"__top{n}") / F.col("__tc"), F.lit(0.0)), 4)
+        sel.append(frac.alias(f"top_{n}gram_char_frac"))
+        conds.append(frac <= F.lit(top_max[n]))
+    for n in dup_ns:
+        frac = F.round(
+            F.least(F.lit(1.0),
+                    F.coalesce(F.col(f"__dup{n}") / F.col("__tc"), F.lit(0.0))),
+            4)
+        sel.append(frac.alias(f"dup_{n}gram_char_frac"))
+        conds.append(frac <= F.lit(dup_max[n]))
+    return per_doc.select(*sel, _reduce(_and, conds).alias("keep"))

@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 89 queries, so the 39
+# order got CORRECTNESS rows). The registry holds 90 queries, so the 40
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -105,6 +105,8 @@ _DRIVER_TAIL = (
     "doc_pii_redaction",
     # Gopher-rule quality signals (session 5)
     "doc_gopher_quality",
+    # Gopher n-gram repetition char fractions (session 6)
+    "doc_gopher_repetition",
 )
 
 
@@ -4091,3 +4093,70 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, one shuffle keyed by doc_id — at corpus scale the only
     data movement is the tokenized text, once."""
     return text.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_REP_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS tc
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tc, n, array_to_string(t[i:i+n-1], ' ') AS g
+      FROM toks,
+           unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nn(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS gi(i)
+    ),
+    counts AS (
+      SELECT doc_id, tc, n, g, count(*) AS c,
+             length(g) - (n - 1) AS L,
+             max(count(*)) OVER (PARTITION BY doc_id, n) AS max_c
+      FROM grams GROUP BY doc_id, tc, n, g
+    ),
+    pern AS (
+      SELECT doc_id, tc, n,
+             max(c * L) FILTER (WHERE c = max_c) AS top_chars,
+             coalesce(sum(c * L) FILTER (WHERE c >= 2), 0) AS dup_chars
+      FROM counts GROUP BY doc_id, tc, n
+    ),
+    fr AS (
+      SELECT doc_id,
+        round(coalesce(max(CASE WHEN n = 2 THEN top_chars END) / tc, 0), 4) AS top_2gram_char_frac,
+        round(coalesce(max(CASE WHEN n = 3 THEN top_chars END) / tc, 0), 4) AS top_3gram_char_frac,
+        round(coalesce(max(CASE WHEN n = 4 THEN top_chars END) / tc, 0), 4) AS top_4gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 5 THEN dup_chars END) / tc, 0)), 4) AS dup_5gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 6 THEN dup_chars END) / tc, 0)), 4) AS dup_6gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 7 THEN dup_chars END) / tc, 0)), 4) AS dup_7gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 8 THEN dup_chars END) / tc, 0)), 4) AS dup_8gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 9 THEN dup_chars END) / tc, 0)), 4) AS dup_9gram_char_frac,
+        round(least(1.0, coalesce(max(CASE WHEN n = 10 THEN dup_chars END) / tc, 0)), 4) AS dup_10gram_char_frac
+      FROM pern GROUP BY doc_id, tc
+    )
+    SELECT *,
+           (top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+            AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+            AND dup_10gram_char_frac <= 0.10) AS keep
+    FROM fr
+    ORDER BY doc_id
+    """
+
+
+@register("doc_gopher_repetition", _GOPHER_REP_SQL)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram CHARACTER-mass half of Gopher's repetition table
+    (§A1.1, Table A1) — top-{2,3,4}-gram char fraction and duplicated
+    {5..10}-gram char fraction with the canonical thresholds, next to
+    `doc_gopher_quality`'s word-shape rules. The oracle re-derives every
+    n-gram by list slicing (an independent construction from the Spark
+    lead()-free explode), recomputes counts, char masses, the
+    tie-broken top contribution (max(c*L) FILTER c=max_c == Spark's
+    struct max), and both rounding/clamp orders — a tokenization drift,
+    an off-by-one in gram length (separators must not count), a tie
+    broken differently, or an unclamped dup mass all hash-mismatch.
+    Plan shape: one posexplode + one id-keyed window computing all 9
+    leads in a single pass, explode to (n, gram) rows (9× token mass —
+    the operator's honest cost), then three partial-aggregable groupBys
+    hashing on doc_id: the tokenized corpus shuffles once."""
+    return text.gopher_repetition(_t(spark, sf_dir, "documents"))

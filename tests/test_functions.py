@@ -704,3 +704,39 @@ def test_gopher_quality_flags_degenerate_docs(spark):
     assert out[2]["distinct_word_frac"] == 0.1
     assert out[3]["keep"] is False and out[3]["mean_word_len"] == 1.0
     assert out[4]["top_bigram_frac"] == 0.0 and out[4]["n_words"] == 1
+
+
+def test_gopher_repetition_char_fractions(spark):
+    """Hand-verifiable n-gram char-mass fractions: a clean doc keeps, a
+    doc dominated by one repeated bigram trips top_2gram, a doc that is
+    one long verbatim loop trips the duplicated-5gram rule, and the dup
+    mass clamps at 1.0 instead of exceeding it (overlapping occurrences
+    double-count by construction — the documented deviation)."""
+    from rook_spark.functions.text import gopher_repetition
+
+    loop = " ".join(["alpha beta gamma delta epsilon"] * 4)  # 20 toks
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over one genuinely varied "
+                "sentence with plenty distinct tokens appearing once"),
+            (2, "go go go go go go stop"),
+            (3, loop),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_repetition(docs, top_ns=(2,), dup_ns=(5,)).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+
+    # doc 2: tokens [go x6, stop]; tc = 16 chars. 2-grams: "go go" x5,
+    # "go stop" x1 -> top = 5 * 4 = 20 chars -> clamp-free top frac
+    # 20/16 = 1.25 (top frac is NOT clamped: >1 is a valid smell signal)
+    assert out[2]["top_2gram_char_frac"] == 1.25
+    assert out[2]["keep"] is False
+
+    # doc 3: every 5-gram repeats (4x loop of a 5-token phrase), so the
+    # occurrence-weighted dup mass far exceeds tc and must clamp to 1.0
+    assert out[3]["dup_5gram_char_frac"] == 1.0
+    assert out[3]["keep"] is False
