@@ -750,3 +750,63 @@ def _label_propagation_loop(sym, labels, finish, max_iter, _ckpt) -> DataFrame:
         "the graph has a very long path component; use more rounds or a "
         "large-star/small-star variant"
     )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality=None,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the pipeline a production
+    corpus actually runs, composed from the verified pieces:
+    ``minhash_lsh_pairs`` (banded candidate graph, optional hot-bucket
+    cap) → ``connected_components`` (pairs → clusters) → one canonical
+    document kept per cluster. Canonical = max ``quality`` (default:
+    text length — "keep the longest" is the standard near-dup rule),
+    ties broken by MIN id, so the choice is deterministic and
+    order-insensitive. Returns ``(id, cluster, keep)``: filter
+    ``keep`` to materialize the deduplicated corpus, or join ``cluster``
+    back for audit ("which docs did we drop, and for whom").
+
+    Scale shape: the LSH stage is banded equi-joins (never all-pairs;
+    ``max_bucket_size`` caps boilerplate clusters), components are
+    O(log diameter) rounds over the GRAPH (orders of magnitude smaller
+    than the corpus), and the canonical pick is one partial-aggregable
+    ``max_by`` per cluster plus one id-keyed equi-join back — no step
+    touches the corpus more than linearly, nothing collects to the
+    driver."""
+    q = F.length(F.col(text_col)) if quality is None else quality
+    comp = connected_components(
+        minhash_lsh_pairs(
+            df, id_col=id_col, text_col=text_col, n_hashes=n_hashes,
+            n_bands=n_bands, k=k, max_bucket_size=max_bucket_size,
+        ),
+        nodes=df.select(F.col(id_col).alias(id_col)),
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), q.cast("long").alias("__q"))
+        .join(comp, "id")
+    )
+    # max_by over (quality, -id): max quality first, then the SMALLEST
+    # id among ties — mirrors the oracle's ORDER BY q DESC, id ASC
+    canon = scored.groupBy("component").agg(
+        F.max_by("id", F.struct(F.col("__q"), (-F.col("id")).alias("neg")))
+        .alias("__canonical")
+    )
+    return (
+        scored.join(canon, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster"),
+            (F.col("id") == F.col("__canonical")).alias("keep"),
+        )
+    )

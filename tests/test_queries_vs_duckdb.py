@@ -121,7 +121,7 @@ def test_registry_count_matches_readme():
     import re
 
     n = len(q.queries())
-    assert n == 90, f"registry changed size to {n}: update this pin AND README.md"
+    assert n == 91, f"registry changed size to {n}: update this pin AND README.md"
     readme = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
     ).read()
@@ -170,7 +170,8 @@ def test_driver_window_rotation_r5():
                       "cdc_lake_source_read", "cdc_column_rename", "cdc_join_view",
                       "cdc_check_constraints", "cdc_change_feed_images",
                       "doc_pii_redaction", "doc_gopher_quality",
-                      "doc_gopher_repetition"}
+                      "doc_gopher_repetition",
+                      "dedup_keep_canonical"}
     for name in set(q._DRIVER_TAIL) - new_this_round:
         row = r04.get(name)
         assert row and row["hash_match"] and row["err"] is None, (
