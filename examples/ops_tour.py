@@ -149,6 +149,13 @@ def main() -> None:
         print(f"vacuum  -> {real}  (exactly as the dry run predicted)")
         assert table.read(tag="pre-maint").count() > 0
         print(f"tagged v{tagged_v} still reads through the tag after vacuum")
+        # FSCK after maintenance: every retained version's references
+        # must still resolve and every footer row count must match its
+        # stored stat — strict mode is the CI gate shape
+        fsck = table.verify_integrity(all_versions=True, deep=True,
+                                      strict=True)
+        print(f"fsck    -> ok={fsck['ok']} files={fsck['files_checked']} "
+              f"orphans={len(fsck['orphans'])}")
         print("history after maintenance (expired untagged versions gone):")
         table.history().orderBy("version").show(truncate=False)
 

@@ -1863,6 +1863,107 @@ class LakeTable:
             out["files"] = sorted(dead_files)
         return out
 
+    def verify_integrity(self, version: int | None = None,
+                         all_versions: bool = False, deep: bool = False,
+                         strict: bool = False) -> dict:
+        """FSCK for the table — the read-side dual of ``vacuum``'s
+        liveness walk: instead of deleting what no snapshot references,
+        verify that everything the snapshots DO reference is actually
+        there and consistent. Checks, cheapest first:
+
+        - **references**: every data file the checked snapshot(s) name
+          exists on disk with nonzero size (``missing_files`` — a clone
+          whose source was vacuumed, a fat-fingered rm, a partial
+          restore);
+        - **manifests**: every retained snapshot's metadata loads,
+          sharded manifest blobs included (``unreadable_versions`` — a
+          GC'd blob a snapshot still refs would otherwise only surface
+          when a reader happens to time-travel there);
+        - **stats** (``deep=True``): per file carrying a ``__rows``
+          stat, the parquet FOOTER row count equals it
+          (``stat_mismatches`` — a drifted count silently corrupts
+          O(metadata) ``row_count()`` and the pruning-soundness story).
+          Footer-only driver-side reads, O(checked files), no Spark job;
+        - **orphans**: data files on disk referenced by NO retained
+          version (informational — they are exactly what the next
+          ``vacuum`` reclaims, so never an error).
+
+        Default checks the CURRENT snapshot's references;
+        ``all_versions=True`` walks every retained version (time travel
+        and rollback targets must be servable too). ``strict=True``
+        raises ``RuntimeError`` on missing files / unreadable versions /
+        stat drift — the CI-gate mode. At 100 TB this is O(metadata +
+        one stat per file), the same driver-side scale as vacuum's walk;
+        it never reads data pages."""
+        import glob
+
+        current = self.current_version()
+        check = sorted(self._store.versions()) if all_versions else [
+            current if version is None else version
+        ]
+        missing: list[str] = []
+        unreadable: list[tuple[int, str]] = []
+        mismatches: list[dict] = []
+        files_checked = 0
+        seen: set[str] = set()
+        for v in check:
+            try:
+                snap = self.snapshot(v)
+            except Exception as e:  # missing json OR missing manifest blob
+                unreadable.append((v, f"{type(e).__name__}: {e}"))
+                continue
+            refs = [f for fs in snap.buckets.values() for f in fs]
+            refs += [f for fs in snap.deltas.values() for f in fs]
+            for rel in refs:
+                if rel in seen:
+                    continue
+                seen.add(rel)
+                files_checked += 1
+                full = os.path.join(self.path, rel)  # abs rel (clone) wins
+                try:
+                    size = os.path.getsize(full)
+                except OSError:
+                    missing.append(rel)
+                    continue
+                if size == 0:
+                    missing.append(rel)
+                    continue
+                if deep and "__rows" in snap.stats.get(rel, {}):
+                    import pyarrow.parquet as pq
+
+                    stored = int(snap.stats[rel]["__rows"][0])
+                    actual = int(pq.ParquetFile(full).metadata.num_rows)
+                    if stored != actual:
+                        mismatches.append(
+                            {"path": rel, "stored_rows": stored,
+                             "footer_rows": actual})
+        # orphan inventory vs ALL retained versions (not just `check`)
+        live: set[str] = set()
+        for v in self._store.versions():
+            try:
+                s = self.snapshot(v)
+            except Exception:
+                continue
+            for fs in s.buckets.values():
+                live.update(fs)
+            for fs in s.deltas.values():
+                live.update(fs)
+        orphans = sorted(
+            os.path.relpath(f, self.path)
+            for f in glob.glob(
+                os.path.join(self.path, _DATA, "**", "*.parquet"),
+                recursive=True)
+            if os.path.relpath(f, self.path) not in live
+        )
+        ok = not missing and not unreadable and not mismatches
+        out = {"ok": ok, "versions_checked": check,
+               "files_checked": files_checked, "missing_files": sorted(missing),
+               "unreadable_versions": unreadable,
+               "stat_mismatches": mismatches, "orphans": orphans}
+        if strict and not ok:
+            raise RuntimeError(f"integrity check failed: {out}")
+        return out
+
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None,
                 target_files_per_bucket: int = 1,
                 buckets: list[int] | None = None) -> dict[str, int]:

@@ -1997,3 +1997,75 @@ def test_vacuum_dry_run_predicts_real_run(spark, tmp_path):
     assert real["removed_snapshots"] == dry["removed_snapshots"]
     assert real["removed_manifests"] == dry["removed_manifests"]
     assert before - on_disk() == set(dry["files"])  # exactly as predicted
+
+
+def test_verify_integrity_fsck(spark, tmp_path):
+    """FSCK matrix: a healthy multi-version table passes (deep footer
+    check included); a planted unreferenced file is ORPHAN-reported but
+    never an error; a tampered __rows stat in the manifest blob is
+    caught only by deep=True; a hand-deleted manifest blob makes
+    exactly that version unreadable; deleting a referenced data file is
+    a loud miss (strict raises)."""
+    import glob
+    import json
+    import os
+
+    from rook_spark.lake.table import LakeTable as LT
+
+    t = LT.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.merge(_changes(spark, [("r1", "a", "v1", "I"), ("r2", "b", "v1", "I")]), 0)
+    t.merge(_changes(spark, [("r1", "a", "v2", "U"), ("r3", "c", "v1", "I")]), 1)
+
+    rep = t.verify_integrity(all_versions=True, deep=True)
+    assert rep["ok"] and rep["files_checked"] > 0
+    assert rep["missing_files"] == [] and rep["stat_mismatches"] == []
+    assert rep["orphans"] == [] and rep["unreadable_versions"] == []
+
+    # planted junk file -> orphan, not an error
+    junk = tmp_path / "t" / "data" / "planted.parquet"
+    junk.write_bytes(b"not a real parquet")
+    rep = t.verify_integrity()
+    assert rep["ok"] and any("planted" in o for o in rep["orphans"])
+    os.remove(junk)
+
+    # tampered __rows stat inside a manifest blob -> deep catches it
+    # (fresh LakeTable.load each probe: the live object caches blobs)
+    blob_dir = str(tmp_path / "t" / "_meta" / "manifests")
+    cur = json.loads(t._store.read(t.current_version()))
+    key = next(iter(cur["manifest_refs"].values()))
+    bp = os.path.join(blob_dir, f"{key}.json")
+    blob = json.loads(open(bp).read())
+    victim_bucket = next(b for b, e in blob.items() if e.get("stats"))
+    victim = next(f for f, st in blob[victim_bucket]["stats"].items()
+                  if "__rows" in st)
+    blob[victim_bucket]["stats"][victim]["__rows"][0] += 5
+    open(bp, "w").write(json.dumps(blob))
+    assert LT.load(spark, str(tmp_path / "t")).verify_integrity(
+        deep=True)["stat_mismatches"]
+    assert LT.load(spark, str(tmp_path / "t")).verify_integrity(
+        deep=False)["ok"]
+    blob[victim_bucket]["stats"][victim]["__rows"][0] -= 5
+    open(bp, "w").write(json.dumps(blob))
+
+    # a deleted manifest blob referenced ONLY by an old version makes
+    # exactly that version unreadable under all_versions
+    v_old, v_new = t.current_version() - 1, t.current_version()
+    refs_old = set(json.loads(t._store.read(v_old))["manifest_refs"].values())
+    refs_new = set(json.loads(t._store.read(v_new))["manifest_refs"].values())
+    only_old = refs_old - refs_new
+    assert only_old  # content addressing: changed groups get new keys
+    if True:
+        os.remove(os.path.join(blob_dir, f"{next(iter(only_old))}.json"))
+        rep = LT.load(spark, str(tmp_path / "t")).verify_integrity(
+            all_versions=True)
+        assert [v for v, _ in rep["unreadable_versions"]] == [v_old]
+        assert not rep["ok"]
+
+    # deleted referenced data file -> missing + strict raises
+    ref = t.files().where("kind = 'base'").first()["path"]
+    os.remove(os.path.join(str(tmp_path / "t"), ref))
+    rep = t.verify_integrity()
+    assert not rep["ok"] and ref in rep["missing_files"]
+    with pytest.raises(RuntimeError, match="integrity"):
+        t.verify_integrity(strict=True)
