@@ -72,7 +72,9 @@ BENCH_QUERIES = [
     "doc_sha256_pandas_udf",
     "dedup_minhash_lsh_pairs",
     "dedup_duplicate_clusters",
+    "dedup_keep_canonical",
     "doc_contamination",
+    "doc_gopher_repetition",
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",

@@ -1964,6 +1964,82 @@ class LakeTable:
             raise RuntimeError(f"integrity check failed: {out}")
         return out
 
+    def repair(self) -> dict:
+        """The FIX half of :meth:`verify_integrity` (Delta ``FSCK REPAIR
+        TABLE`` analog): one metadata commit dropping every reference to
+        a data file that is MISSING on disk (absent or zero bytes), so
+        the table is readable again after an unrecoverable loss — a
+        vacuumed clone source, a partial restore, a fat-fingered rm.
+
+        This is LOUD, QUANTIFIED data loss, not recovery: a dropped base
+        file loses its un-shadowed rows, a dropped MOR delta loses that
+        epoch's changes to the bucket; the return value lists both and
+        estimates ``rows_lost`` from the stored footer counts
+        (``rows_unknown`` counts dropped files that carried no stat).
+        Watermarks are deliberately NOT reverted — the rows' offsets
+        were consumed, so a re-replay would be fenced; when the source
+        log is still retained, ``rollback`` to a healthy version +
+        re-replay is the LOSSLESS repair and should be preferred. Like
+        every commit, this moves history forward: pre-repair versions
+        keep (and keep failing on) the missing refs until vacuumed.
+        No-op without a commit when nothing is missing."""
+        cur = self.snapshot()
+
+        def _gone(rel: str) -> bool:
+            full = os.path.join(self.path, rel)
+            try:
+                return os.path.getsize(full) == 0
+            except OSError:
+                return True
+
+        dropped_bases = sorted(
+            f for fs in cur.buckets.values() for f in fs if _gone(f))
+        dropped_deltas = sorted(
+            f for fs in cur.deltas.values() for f in fs if _gone(f))
+        gone = set(dropped_bases) | set(dropped_deltas)
+        if not gone:
+            return {"ok": True, "version": cur.version,
+                    "dropped_base_files": [], "dropped_delta_files": [],
+                    "rows_lost": 0, "rows_unknown": 0}
+        rows_lost, rows_unknown = 0, 0
+        for f in gone:
+            st = cur.stats.get(f, {})
+            if "__rows" in st:
+                rows_lost += int(st["__rows"][0])
+            else:
+                rows_unknown += 1
+        new = Snapshot(
+            version=cur.version + 1,
+            batch_id=cur.batch_id,
+            schema_json=cur.schema_json,
+            key_cols=list(cur.key_cols),
+            n_buckets=cur.n_buckets,
+            buckets={b: keep for b, fs in cur.buckets.items()
+                     if (keep := [f for f in fs if f not in gone])},
+            lineage={p: dict(m) for p, m in cur.lineage.items()},
+            committed_at=time.time(),
+            parent=cur.version,
+            deltas={b: keep for b, fs in cur.deltas.items()
+                    if (keep := [f for f in fs if f not in gone])},
+            run_id=cur.run_id,
+            bucket_cols=cur.bucket_cols,
+            stats={f: dict(mm) for f, mm in cur.stats.items() if f not in gone},
+            bloom_cols=list(cur.bloom_cols),
+            blooms={f: dict(bb) for f, bb in cur.blooms.items() if f not in gone},
+            tags=dict(cur.tags),
+            refs=dict(cur.refs),
+            phys_map=dict(cur.phys_map),
+            retired_phys=list(cur.retired_phys),
+            constraints=dict(cur.constraints),
+            evolution=cur.evolution,
+            op="repair",
+        )
+        self._write_snapshot(new)
+        return {"ok": False, "version": new.version,
+                "dropped_base_files": dropped_bases,
+                "dropped_delta_files": dropped_deltas,
+                "rows_lost": rows_lost, "rows_unknown": rows_unknown}
+
     def compact(self, max_files_per_bucket: int = 1, batch_id: int | None = None,
                 target_files_per_bucket: int = 1,
                 buckets: list[int] | None = None) -> dict[str, int]:

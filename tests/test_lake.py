@@ -2069,3 +2069,47 @@ def test_verify_integrity_fsck(spark, tmp_path):
     assert not rep["ok"] and ref in rep["missing_files"]
     with pytest.raises(RuntimeError, match="integrity"):
         t.verify_integrity(strict=True)
+
+
+def test_repair_drops_missing_refs_loudly(spark, tmp_path):
+    """FSCK repair: after an unrecoverable file loss, repair() commits
+    one metadata-only snapshot dropping the dead references — the table
+    reads again, the loss is quantified (footer-count rows_lost),
+    integrity goes green, a second repair is a commit-free no-op, and
+    the PRE-repair version keeps its broken refs for audit."""
+    import os
+
+    from rook_spark.lake.table import LakeTable as LT
+
+    t = LT.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4)
+    t.merge(_changes(spark, [
+        ("r1", "a", "v1", "I"), ("r2", "b", "v1", "I"),
+        ("r3", "c", "v1", "I"), ("r4", "d", "v1", "I")]), 0)
+    before = t.read().count()
+    assert before == 4
+
+    victim = t.files().where("kind = 'base'").first()
+    os.remove(os.path.join(str(tmp_path / "t"), victim["path"]))
+    broken_v = t.current_version()
+
+    rep = t.repair()
+    assert not rep["ok"]
+    assert rep["dropped_base_files"] == [victim["path"]]
+    assert rep["rows_lost"] == victim["rows"] and rep["rows_unknown"] == 0
+    assert t.read().count() == before - victim["rows"]
+    assert t.verify_integrity()["ok"]
+    assert t.history().where("op = 'repair'").count() == 1
+
+    # second repair: nothing missing -> no commit
+    v = t.current_version()
+    again = t.repair()
+    assert again["ok"] and t.current_version() == v
+
+    # pre-repair version keeps the dead ref (audit), listed at size -1
+    f = {r["path"]: r for r in t.files(version=broken_v).collect()}
+    assert f[victim["path"]]["size_bytes"] == -1
+
+    # surviving keys still upsert normally after the repair
+    t.merge(_changes(spark, [("r9", "z", "v1", "I")]), 1)
+    assert t.read().count() == before - victim["rows"] + 1
