@@ -1884,6 +1884,11 @@ class LakeTable:
           (``stat_mismatches`` — a drifted count silently corrupts
           O(metadata) ``row_count()`` and the pruning-soundness story).
           Footer-only driver-side reads, O(checked files), no Spark job;
+        - **blob hashes** (``deep=True``): every checked snapshot's
+          manifest-group blob re-hashes to its content-addressed key
+          (``blob_hash_mismatches`` — bit rot or tampering in the
+          metadata itself, which the reference/stat checks would only
+          catch indirectly);
         - **orphans**: data files on disk referenced by NO retained
           version (informational — they are exactly what the next
           ``vacuum`` reclaims, so never an error).
@@ -1904,6 +1909,8 @@ class LakeTable:
         missing: list[str] = []
         unreadable: list[tuple[int, str]] = []
         mismatches: list[dict] = []
+        blob_bad: list[str] = []
+        blobs_seen: set[str] = set()
         files_checked = 0
         seen: set[str] = set()
         for v in check:
@@ -1912,6 +1919,18 @@ class LakeTable:
             except Exception as e:  # missing json OR missing manifest blob
                 unreadable.append((v, f"{type(e).__name__}: {e}"))
                 continue
+            if deep:
+                import hashlib
+
+                refs_map = json.loads(self._store.read(v)).get(
+                    "manifest_refs", {})
+                for key in refs_map.values():
+                    if key in blobs_seen:
+                        continue
+                    blobs_seen.add(key)
+                    payload = self._store.read_blob(key)
+                    if hashlib.sha256(payload.encode()).hexdigest()[:24] != key:
+                        blob_bad.append(key)
             refs = [f for fs in snap.buckets.values() for f in fs]
             refs += [f for fs in snap.deltas.values() for f in fs]
             for rel in refs:
@@ -1955,11 +1974,13 @@ class LakeTable:
                 recursive=True)
             if os.path.relpath(f, self.path) not in live
         )
-        ok = not missing and not unreadable and not mismatches
+        ok = (not missing and not unreadable and not mismatches
+              and not blob_bad)
         out = {"ok": ok, "versions_checked": check,
                "files_checked": files_checked, "missing_files": sorted(missing),
                "unreadable_versions": unreadable,
-               "stat_mismatches": mismatches, "orphans": orphans}
+               "stat_mismatches": mismatches,
+               "blob_hash_mismatches": sorted(blob_bad), "orphans": orphans}
         if strict and not ok:
             raise RuntimeError(f"integrity check failed: {out}")
         return out

@@ -2021,6 +2021,7 @@ def test_verify_integrity_fsck(spark, tmp_path):
     assert rep["ok"] and rep["files_checked"] > 0
     assert rep["missing_files"] == [] and rep["stat_mismatches"] == []
     assert rep["orphans"] == [] and rep["unreadable_versions"] == []
+    assert rep["blob_hash_mismatches"] == []
 
     # planted junk file -> orphan, not an error
     junk = tmp_path / "t" / "data" / "planted.parquet"
@@ -2040,13 +2041,17 @@ def test_verify_integrity_fsck(spark, tmp_path):
     victim = next(f for f, st in blob[victim_bucket]["stats"].items()
                   if "__rows" in st)
     blob[victim_bucket]["stats"][victim]["__rows"][0] += 5
-    open(bp, "w").write(json.dumps(blob))
-    assert LT.load(spark, str(tmp_path / "t")).verify_integrity(
-        deep=True)["stat_mismatches"]
+    open(bp, "w").write(json.dumps(blob, sort_keys=True))
+    tampered = LT.load(spark, str(tmp_path / "t")).verify_integrity(deep=True)
+    assert tampered["stat_mismatches"]
+    # deep also re-hashes the blob against its content-addressed key
+    assert key in tampered["blob_hash_mismatches"]
     assert LT.load(spark, str(tmp_path / "t")).verify_integrity(
         deep=False)["ok"]
     blob[victim_bucket]["stats"][victim]["__rows"][0] -= 5
-    open(bp, "w").write(json.dumps(blob))
+    open(bp, "w").write(json.dumps(blob, sort_keys=True))
+    assert LT.load(spark, str(tmp_path / "t")).verify_integrity(
+        deep=True)["blob_hash_mismatches"] == []
 
     # a deleted manifest blob referenced ONLY by an old version makes
     # exactly that version unreadable under all_versions
