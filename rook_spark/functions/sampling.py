@@ -42,6 +42,7 @@ __all__ = [
     "weighted_mixture",
     "mixture_plan",
     "pack_sequences",
+    "group_cap",
 ]
 
 _U_BITS = 48  # md5 prefix bits for the uniform grid
@@ -273,3 +274,59 @@ def pack_sequences(
         return pdf
 
     return df.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 10,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Domain throttling: keep the top ``cap`` rows per ``group_col``
+    under a deterministic priority order (ties always broken by
+    ``id_col`` ascending, so the kept set is unique), emitting the
+    surviving rows plus their 1-based ``rank_col``.
+
+    This is the per-domain cap every web-corpus recipe applies (C4,
+    RefinedWeb, Dolma all bound docs-per-registered-domain) so one
+    crawler-friendly CDN cannot dominate the training mixture.
+
+    Scale shape — the naive plan (one ``row_number`` window partitioned
+    by domain) puts EVERY row of the hottest domain in one task; at
+    100 TB a mega-domain with 10^9 docs is a guaranteed straggler/OOM.
+    Instead: two-phase salted top-k. Phase 1 windows over
+    ``(group, salt)`` where salt = hash(id) % n_salts — per-task state
+    is bounded by the salt split — and keeps each salt's local top
+    ``cap``. Phase 2 re-windows over ``group`` alone, but its input is
+    already ≤ ``cap × n_salts`` rows per group, so the hot-domain sort
+    is O(cap·n_salts log ·), not O(group). Correctness: the global
+    top-``cap`` of a group is contained in the union of its per-salt
+    top-``cap``s (removing non-top rows from other salts cannot promote
+    anything), so phase 2 sees every global winner. Both phases ride
+    ordinary hash shuffles; no collect, no join-back — full rows thread
+    through.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    if n_salts <= 0:
+        raise ValueError("n_salts must be positive")
+    order = list(order_by) if order_by else []
+    order.append(F.col(id_col).asc())
+
+    from pyspark.sql.window import Window
+
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+    local = (
+        df.withColumn("__local_rank", F.row_number().over(w1))
+        .where(F.col("__local_rank") <= cap)
+        .drop("__local_rank")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= cap)
+    )

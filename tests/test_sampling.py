@@ -225,3 +225,48 @@ def test_pack_sequences_vs_duckdb_recursive_oracle(spark, docs):
     ).fetchall()
     assert got == sorted(oracle)
     assert max(r[2] for r in got) > 0  # actually packed into many sequences
+
+
+def test_group_cap_matches_naive_window_under_skew(spark):
+    """The salted two-phase top-cap must be exactly order-equivalent to
+    the naive single window — verified on a skewed input where one group
+    holds 90% of the rows (the mega-domain case the salting exists for),
+    including a group smaller than the cap and priority ties resolved by
+    id."""
+    from pyspark.sql.window import Window
+
+    from rook_spark.functions.sampling import group_cap
+
+    rows = [(i, "mega", i % 7) for i in range(900)]          # hot domain, many ties
+    rows += [(1000 + i, f"s{i % 5}", i) for i in range(95)]  # 5 normal domains
+    rows += [(2000, "tiny", 3), (2001, "tiny", 9)]           # group smaller than cap
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, prio bigint")
+
+    got = sorted(
+        (r["source"], r["cap_rank"], r["doc_id"])
+        for r in group_cap(
+            df, group_col="source", cap=5,
+            order_by=[F.col("prio").desc()], id_col="doc_id", n_salts=8,
+        ).collect()
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("prio"), F.asc("doc_id"))
+    want = sorted(
+        (r["source"], r["cap_rank"], r["doc_id"])
+        for r in df.withColumn("cap_rank", F.row_number().over(w))
+        .where(F.col("cap_rank") <= 5)
+        .collect()
+    )
+    assert got == want
+    assert ("tiny", 2, 2000) in got  # undersized group kept whole, ranked
+
+
+def test_group_cap_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from rook_spark.functions.sampling import group_cap
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    with _pytest.raises(ValueError):
+        group_cap(df, cap=0)
+    with _pytest.raises(ValueError):
+        group_cap(df, n_salts=0)
