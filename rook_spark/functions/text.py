@@ -428,3 +428,56 @@ def gopher_repetition(
         sel.append(frac.alias(f"dup_{n}gram_char_frac"))
         conds.append(frac <= F.lit(dup_max[n]))
     return per_doc.select(*sel, _reduce(_and, conds).alias("keep"))
+
+
+def top_ngrams(
+    df,
+    ns: tuple[int, ...] = (1, 2, 3),
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 64,
+):
+    """Corpus-level n-gram frequency table, top ``k`` per gram length —
+    the stop-gram / boilerplate-phrase inventory step of a corpus
+    pipeline (the most frequent n-grams ARE the site chrome, cookie
+    banners, and license boilerplate you then strip or down-weight).
+
+    Scale shape: whitespace tokenization + per-doc gram construction is
+    one narrow ``transform`` over the token array (no window, no
+    self-join); the explode is the operator's honest ``len(ns)`` ×
+    token-mass cost; the count is one partial-aggregable groupBy on
+    (n, gram). The global top-k is the dangerous part at 100 TB — a
+    window partitioned by ``n`` would put EVERY distinct gram of a
+    length (billions, corpus vocab) in one task — so it reuses
+    :func:`rook_spark.functions.sampling.group_cap`'s salted two-phase
+    top-k with the gram string as the salt key: per-salt top-k first
+    (bounded tasks), then a final window over ≤ k×n_salts survivors.
+
+    Returns (n, gram, cnt, gram_rank), rank 1-based per n, ties broken
+    by gram ascending so the table is deterministic.
+    """
+    from rook_spark.functions.sampling import group_cap
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    frames = []
+    for n in ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        frames.append(
+            df.select(F.lit(n).alias("n"), F.explode(grams).alias("gram"))
+        )
+    all_grams = frames[0]
+    for f in frames[1:]:
+        all_grams = all_grams.unionByName(f)
+    counts = all_grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return group_cap(
+        counts, group_col="n", cap=k,
+        order_by=[F.col("cnt").desc()], id_col="gram", n_salts=n_salts,
+        rank_col="gram_rank",
+    ).select("n", "gram", "cnt", "gram_rank")

