@@ -137,6 +137,12 @@ def main() -> None:
         # older_than analog).
         tagged_v = table.current_version()
         print(f"tag     -> {table.tag('pre-maint')}")
+        # health() is the poll that DECIDES to compact: O(metadata),
+        # zero Spark jobs — depth/small-file/skew census with advice
+        h = table.health()
+        print(f"health  -> depth={h['max_delta_depth']} "
+              f"small={h['small_files']}/{h['base_files']} "
+              f"skew={h['bucket_skew']} advice={h['advice']}")
         print(f"compact -> {table.compact()}")
         # size the reclamation BEFORE committing to it: dry_run computes
         # the exact file set a real vacuum would delete (and deletes

@@ -1129,6 +1129,108 @@ class LakeTable:
             "bloom_cols array<string>",
         )
 
+    def health(
+        self,
+        version: int | None = None,
+        small_file_bytes: int = 32 << 20,
+        compact_depth: int = 3,
+        skew_ratio_warn: float = 4.0,
+    ) -> dict:
+        """Table health report, O(metadata) and zero Spark jobs — the
+        day-2 dashboard a 100 TB deployment polls between epochs to
+        decide WHEN to run the maintenance ops this table ships
+        (``compact``, ``rebucket``, ``vacuum``): per-bucket file counts
+        and bytes, MOR delta-chain depth (each unfolded delta is one
+        more frame in every read's fold), the small-file census (files
+        under ``small_file_bytes`` — the death-by-a-thousand-tasks
+        signal), byte skew across buckets (max/median — a hot bucket is
+        a straggler in every epoch), and retained-version count. Pure
+        snapshot walk + filesystem stat of files the snapshot already
+        names; never opens file contents (that is
+        :meth:`verify_integrity`'s job). ``advice`` lists which
+        maintenance op the numbers currently call for — the same
+        thresholds ``compact_every``/``compact_depth`` cadences act on,
+        surfaced for operators running maintenance out-of-band."""
+        snap = self.snapshot(version)
+        per_bucket_bytes: dict[int, int] = {}
+        base_files = delta_files = small = missing = 0
+        max_depth = 0
+        buckets_over_depth = 0
+
+        def _size(rel: str) -> int:
+            try:
+                return int(os.path.getsize(os.path.join(self.path, rel)))
+            except OSError:
+                return -1
+
+        for b, fs in snap.buckets.items():
+            for rel in fs:
+                sz = _size(rel)
+                if sz < 0:
+                    missing += 1
+                    continue
+                base_files += 1
+                if sz < small_file_bytes:
+                    small += 1
+                per_bucket_bytes[int(b)] = per_bucket_bytes.get(int(b), 0) + sz
+        for b, fs in snap.deltas.items():
+            depth = len(fs)
+            max_depth = max(max_depth, depth)
+            if depth >= compact_depth:
+                buckets_over_depth += 1
+            for rel in fs:
+                sz = _size(rel)
+                if sz < 0:
+                    missing += 1
+                    continue
+                delta_files += 1
+                per_bucket_bytes[int(b)] = per_bucket_bytes.get(int(b), 0) + sz
+
+        sizes = sorted(per_bucket_bytes.values())
+        p50 = sizes[len(sizes) // 2] if sizes else 0
+        mx = sizes[-1] if sizes else 0
+        skew = (mx / p50) if p50 else 0.0
+
+        advice: list[str] = []
+        if buckets_over_depth:
+            advice.append(
+                f"compact: {buckets_over_depth} bucket(s) at delta depth >= "
+                f"{compact_depth} (max {max_depth}) — every read folds the chain"
+            )
+        if base_files and small / base_files > 0.5 and base_files > len(sizes):
+            advice.append(
+                f"compact: {small}/{base_files} base files under "
+                f"{small_file_bytes >> 20} MB — task-per-file overhead dominates"
+            )
+        if skew > skew_ratio_warn and len(sizes) > 1:
+            advice.append(
+                f"rebucket: max bucket holds {skew:.1f}x the median bucket's "
+                "bytes — hot-bucket straggler in every epoch"
+            )
+        if missing:
+            advice.append(
+                f"fsck: {missing} referenced file(s) missing on disk — run "
+                "verify_integrity()/repair()"
+            )
+
+        return {
+            "version": snap.version,
+            "n_buckets": snap.n_buckets,
+            "live_buckets": len(sizes),
+            "base_files": base_files,
+            "delta_files": delta_files,
+            "missing_files": missing,
+            "total_bytes": sum(sizes),
+            "max_delta_depth": max_depth,
+            "buckets_over_depth": buckets_over_depth,
+            "small_files": small,
+            "max_bucket_bytes": mx,
+            "p50_bucket_bytes": p50,
+            "bucket_skew": round(skew, 2),
+            "versions_retained": len(self._store.versions()),
+            "advice": advice,
+        }
+
     def row_count(self, version: int | None = None) -> int:
         """EXACT table row count, O(metadata) where the snapshot allows
         it (the Iceberg snapshot-summary ``total-records`` analog): a

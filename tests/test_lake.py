@@ -2118,3 +2118,52 @@ def test_repair_drops_missing_refs_loudly(spark, tmp_path):
     # surviving keys still upsert normally after the repair
     t.merge(_changes(spark, [("r9", "z", "v1", "I")]), 1)
     assert t.read().count() == before - victim["rows"] + 1
+
+
+def test_health_report(spark, tmp_path):
+    """health() = the O(metadata) day-2 dashboard: file/byte census per
+    snapshot, MOR delta-chain depth with compact advice, small-file and
+    skew signals, missing-file fsck advice; zero Spark jobs, agrees
+    with files(); compact clears the depth advice."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"], n_buckets=4,
+    )
+
+    def _ord(df, start):
+        return df.withColumn(
+            "__ordinal", F.lit(start) + F.monotonically_increasing_id()
+        ).withColumn("__offset", F.col("__ordinal"))
+
+    t.merge(_ord(_changes(spark, [("r1", "a", "v1", "I"), ("r2", "b", "v1", "I")]), 0), 0)
+    # three MOR epochs: delta chains deepen past the default threshold
+    t.merge_mor(_ord(_changes(spark, [("r1", "a", "v2", "U")]), 10), 1)
+    t.merge_mor(_ord(_changes(spark, [("r1", "a", "v3", "U")]), 20), 2)
+    t.merge_mor(_ord(_changes(spark, [("r1", "a", "v4", "U")]), 30), 3)
+
+    h = t.health(compact_depth=3)
+    f = t.files().collect()
+    assert h["version"] == t.current_version()
+    assert h["base_files"] == sum(1 for r in f if r["kind"] == "base")
+    assert h["delta_files"] == sum(1 for r in f if r["kind"] == "delta")
+    assert h["total_bytes"] == sum(r["size_bytes"] for r in f)
+    assert h["max_delta_depth"] == 3
+    assert h["buckets_over_depth"] == 1
+    assert h["missing_files"] == 0
+    assert h["n_buckets"] == 4 and 1 <= h["live_buckets"] <= 4
+    assert h["versions_retained"] >= 1
+    # local tiny files: everything is "small", so the census fires
+    assert h["small_files"] == h["base_files"]
+    assert any(a.startswith("compact:") and "delta depth" in a for a in h["advice"])
+
+    # compact folds the chains -> depth advice clears
+    t.compact()
+    h2 = t.health(compact_depth=3)
+    assert h2["max_delta_depth"] == 0 and h2["buckets_over_depth"] == 0
+    assert not any("delta depth" in a for a in h2["advice"])
+
+    # sabotage one referenced file -> fsck advice
+    victim = os.path.join(t.path, [r["path"] for r in t.files().collect()][0])
+    os.remove(victim)
+    h3 = t.health()
+    assert h3["missing_files"] == 1
+    assert any(a.startswith("fsck:") for a in h3["advice"])
