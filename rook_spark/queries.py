@@ -38,7 +38,7 @@ def register(name: str, sql: str | None = None):
 
 # The driver's correctness harness covers the FIRST 50 registry entries
 # (observed in round 2: 55 registered, exactly the first 50 in iteration
-# order got CORRECTNESS rows). The registry holds 93 queries, so the 43
+# order got CORRECTNESS rows). The registry holds 94 queries, so the 44
 # _DRIVER_TAIL entries sit past the window each round. ROTATION POLICY
 # (round-4 verdict item 4, test-pinned): the tail is not a fixed hiding
 # place — it rotates every round so that EVERY registered query gets a
@@ -113,6 +113,8 @@ _DRIVER_TAIL = (
     "doc_source_cap",
     # corpus n-gram frequency top-k (session 7)
     "doc_top_ngrams",
+    # full curation-funnel composition (session 7)
+    "doc_curation_funnel",
 )
 
 
@@ -1150,18 +1152,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_SHINGLE_CTE = """
-    toks AS (
+def _shingle_cte(src: str = "documents", prefix: str = "") -> str:
+    """The word-3-shingle CTE pair, parameterized by SOURCE relation and
+    a name prefix so the funnel oracle can shingle two different doc
+    sets (corpus survivors vs the benchmark split) in one statement."""
+    return f"""
+    {prefix}toks AS (
       SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-      FROM documents
+      FROM {src}
     ),
-    sh AS (
+    {prefix}sh AS (
       SELECT DISTINCT id,
              concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-      FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+      FROM {prefix}toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
       WHERE len(t) >= 3
     )
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 @register(
@@ -1222,14 +1231,14 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql(n_hashes: int) -> str:
+def _minhash_sig_sql(n_hashes: int, src: str = "documents") -> str:
     # same affine min-wise family as dedup.minhash_signatures, constants
     # inlined (one md5 per shingle; sig_i = min((a_i*x + b_i) mod p))
     sigs = ", ".join(
         f"min(({a} * x + {b}) % {dedup.MINHASH_PRIME}) AS sig_{i}"
         for i, (a, b) in enumerate(dedup.minhash_params(n_hashes))
     )
-    return f"""WITH {_SHINGLE_CTE},
+    return f"""WITH {_shingle_cte(src)},
     shx AS (SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh)
     SELECT id, {sigs} FROM shx GROUP BY id"""
 
@@ -1239,7 +1248,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(_t(spark, sf_dir, "documents"), n_hashes=8)
 
 
-def _minhash_lsh_sql(n_hashes: int, n_bands: int) -> str:
+def _minhash_lsh_sql(n_hashes: int, n_bands: int, src: str = "documents") -> str:
     rows = n_hashes // n_bands
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band, md5(concat_ws('|', "
@@ -1248,7 +1257,7 @@ def _minhash_lsh_sql(n_hashes: int, n_bands: int) -> str:
         for b in range(n_bands)
     )
     return f"""
-    WITH sig_base AS ({_minhash_sig_sql(n_hashes)}),
+    WITH sig_base AS ({_minhash_sig_sql(n_hashes, src)}),
     sigs AS (SELECT * FROM sig_base),
     banded AS ({band_selects})
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -2615,6 +2624,119 @@ def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rook_spark.functions.text import top_ngrams
 
     return top_ngrams(_t(spark, sf_dir, "documents"), ns=(1, 2, 3), k=20)
+
+
+def _funnel_sql() -> str:
+    """The full curation-funnel oracle: one CTE chain re-deriving every
+    stage (quality gate -> exact dedup -> LSH+CC near-dup removal ->
+    decontamination -> domain cap -> hash split) from scratch, stage
+    inputs rebased onto the previous stage's survivors exactly as the
+    Spark composition threads DataFrames."""
+    quality = """
+      round(
+        0.4 * least(length(text) / 500.0, 1.0)
+        + 0.3 * CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          * 1.0 / length(text)
+                     ELSE 0 END
+        + 0.3 * CASE WHEN trim(text) <> ''
+                     THEN least(
+                       CAST(length(regexp_extract_all(lower(text),
+                         '\\b({stops})\\b')) AS DOUBLE)
+                       / length(regexp_split_to_array(trim(text), '\\s+')), 1.0)
+                     ELSE 0 END,
+      4)""".format(stops="|".join(text.LANG_STOPWORDS["en"]))
+    return f"""
+    WITH RECURSIVE
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    benchdocs AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    s1 AS (SELECT * FROM corpus WHERE {quality} >= 0.36),
+    fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+           FROM s1),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    pairs AS ({_minhash_lsh_sql(16, 8, "s2")}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    r AS (
+      SELECT doc_id AS id, doc_id AS reach FROM s2
+      UNION
+      SELECT r.id, e.v AS reach FROM r JOIN edges e ON r.reach = e.u
+    ),
+    comp AS (SELECT id, min(reach) AS cluster FROM r GROUP BY id),
+    scored AS (
+      SELECT c.id,
+             row_number() OVER (PARTITION BY c.cluster
+                                ORDER BY length(d.text) DESC, c.id ASC) AS rn
+      FROM comp c JOIN s2 d ON d.doc_id = c.id
+    ),
+    s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT id FROM scored WHERE rn = 1)),
+    {_shingle_cte("benchdocs", "b")},
+    {_shingle_cte("s3", "c")},
+    contaminated AS (
+      SELECT DISTINCT c.id FROM csh c JOIN bsh b ON c.shingle = b.shingle
+    ),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT id FROM contaminated)),
+    capped AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY source
+                       ORDER BY length(text) DESC, doc_id ASC) AS rn
+        FROM s4
+      ) WHERE rn <= 10
+    ),
+    s5 AS (SELECT * FROM s4 WHERE doc_id IN (SELECT doc_id FROM capped)),
+    split AS (
+      SELECT doc_id,
+             CASE
+               WHEN CAST(('0x' || substr(md5('{1}|' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) < {_SPLIT_T[0]} THEN 'kept_train'
+               WHEN CAST(('0x' || substr(md5('{1}|' || CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) < {_SPLIT_T[1]} THEN 'kept_val'
+               ELSE 'kept_test'
+             END AS v
+      FROM s5
+    )
+    SELECT d.doc_id,
+      CASE
+        WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+        WHEN d.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'low_quality'
+        WHEN d.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'exact_dup'
+        WHEN d.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'near_dup'
+        WHEN d.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'contaminated'
+        WHEN d.doc_id NOT IN (SELECT doc_id FROM s5) THEN 'domain_capped'
+        ELSE (SELECT v FROM split WHERE split.doc_id = d.doc_id)
+      END AS verdict
+    FROM documents d ORDER BY d.doc_id
+    """
+
+
+@register("doc_curation_funnel", _funnel_sql())
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-curation funnel (functions/pipeline.py:
+    curation_funnel) over the documents table: quality gate → exact
+    dedup → MinHash-LSH near-dup removal → benchmark decontamination →
+    per-domain cap → train/val/test split, every input doc labeled with
+    the FIRST stage that dropped it (or the split that kept it) — the
+    per-doc audit a corpus rebuild answers "why did doc X disappear"
+    with. Each stage is an already-driver-verified operator; THIS query
+    verifies their sequential composition: the oracle re-derives all
+    six stages as one CTE chain (recursive transitive closure included)
+    with each stage rebased onto the previous stage's survivors, so a
+    stage-order swap, a survivor-set leak between stages, or a
+    tie-break drift anywhere in the chain hash-mismatches. Scale shape:
+    scans + broadcast probes + salted top-k + banded equi-joins +
+    O(log diameter) component rounds — nothing quadratic, nothing
+    driver-side (see the module docstring)."""
+    from rook_spark.functions.pipeline import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs.where(F.col("doc_id") % 97 != 0),
+        bench=docs.where(F.col("doc_id") % 97 == 0),
+    )
 
 
 _WAP_SQL = """

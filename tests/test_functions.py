@@ -795,3 +795,53 @@ def test_top_ngrams_hand_pinned(spark):
     assert got[(3, "a b a")] == (1, 1)  # only doc 1 has trigrams
     assert got[(3, "b a b")] == (1, 2)
     assert len([k for k in got if k[0] == 3]) == 2
+
+
+def test_curation_funnel_verdict_precedence(spark):
+    """Crafted corpus exercising EVERY funnel verdict, including
+    exact_dup (absent from the synthetic table): first-drop-wins
+    ordering, canonical-longest near-dup pick, benchmark labeling,
+    the domain cap, bench=None skipping stage 4, and every input doc
+    receiving exactly one verdict."""
+    from rook_spark.functions.pipeline import curation_funnel
+
+    # three shingle-disjoint stopword-rich bases (cyclic word orders
+    # differ, so their 3-gram sets never overlap)
+    A = ("the and of to in a " * 30).strip()
+    B = ("a in to of and the " * 30).strip()
+    C = ("in the of and to a " * 30).strip()
+    rows = [
+        (1, A + " one", "s1"),
+        (2, A + " two", "s1"),
+        (3, A + " two", "s1"),       # byte-identical to 2 -> exact_dup
+        (4, "zz", "s1"),             # short, no stopwords -> low_quality
+        (5, A + " two extra", "s2"),  # longest in cluster {1,2,5} -> canonical
+        (6, B + " leak marker benchmark answer here yes", "s3"),
+        (7, C + " standalone survivor", "s2"),
+    ]
+    bench_rows = [(100, "leak marker benchmark answer here definitely", "b")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string, source string")
+
+    got = {r["doc_id"]: r["verdict"]
+           for r in curation_funnel(docs, bench=bench, domain_cap=10).collect()}
+    assert len(got) == len(rows) + len(bench_rows)
+    assert got[3] == "exact_dup"     # dropped before the LSH pays for it
+    assert got[4] == "low_quality"
+    assert got[100] == "benchmark"
+    assert got[1] == "near_dup" and got[2] == "near_dup"
+    assert got[5].startswith("kept_")   # canonical of {1,2,5}: longest
+    assert got[6] == "contaminated"     # shares 3-grams with the bench doc
+    assert got[7].startswith("kept_")
+
+    # domain cap: 5 and 7 share source s2; cap=1 keeps exactly one
+    got2 = {r["doc_id"]: r["verdict"]
+            for r in curation_funnel(docs, bench=bench, domain_cap=1).collect()}
+    s2_verdicts = sorted([got2[5], got2[7]])
+    assert s2_verdicts[0] == "domain_capped" and s2_verdicts[1].startswith("kept_")
+
+    # bench=None: stage 4 skipped -> 6 survives; no benchmark rows
+    got3 = {r["doc_id"]: r["verdict"]
+            for r in curation_funnel(docs, bench=None).collect()}
+    assert 100 not in got3
+    assert got3[6].startswith("kept_")

@@ -121,7 +121,7 @@ def test_registry_count_matches_readme():
     import re
 
     n = len(q.queries())
-    assert n == 93, f"registry changed size to {n}: update this pin AND README.md"
+    assert n == 94, f"registry changed size to {n}: update this pin AND README.md"
     readme = open(
         os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
     ).read()
