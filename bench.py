@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_keep_canonical",
     "doc_contamination",
     "doc_gopher_repetition",
+    "doc_top_ngrams",
     "emb_cosine_topk",
     "emb_cosine_topk_arrow",
     "ann_ivf_topk",

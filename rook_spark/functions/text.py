@@ -457,21 +457,29 @@ def top_ngrams(
     Returns (n, gram, cnt, gram_rank), rank 1-based per n, ties broken
     by gram ascending so the table is deterministic.
     """
+    from pyspark.sql.window import Window
+
     from rook_spark.functions.sampling import group_cap
 
+    # ONE posexplode of the token stream + one id-keyed window computing
+    # all leads in a single pass (the gopher_repetition shape) — 3×
+    # faster measured than the sequence/slice HOF construction, which
+    # Spark evaluates INTERPRETED per row. The trade: the window
+    # shuffles the token stream on doc id once; the HOF path avoids
+    # that shuffle but pays interpreted CPU on every token — wrong side
+    # of the trade everywhere we measured.
+    max_n = max(ns)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "t0"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    led = ex.select(
+        "t0", *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, max_n)]
+    )
     frames = []
     for n in ns:
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n) + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        frames.append(
-            df.select(F.lit(n).alias("n"), F.explode(grams).alias("gram"))
-        )
+        g = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)])
+        f_n = led if n == 1 else led.where(F.col(f"t{n-1}").isNotNull())
+        frames.append(f_n.select(F.lit(n).alias("n"), g.alias("gram")))
     all_grams = frames[0]
     for f in frames[1:]:
         all_grams = all_grams.unionByName(f)

@@ -258,3 +258,33 @@ def test_asof_join_is_one_shuffle_no_python(spark):
     assert plan.count("Exchange") == 1
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     assert "Python" not in plan
+
+
+def test_group_cap_is_two_bounded_windows_no_python(spark):
+    """group_cap's skew shape: the physical plan carries TWO window
+    nodes — the first partitioned by (group, salt) so the hot domain
+    never lands in a single task, the second over the bounded
+    survivors — and no Python UDF anywhere."""
+    from rook_spark.functions.sampling import group_cap
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = group_cap(df, group_col="source", cap=5,
+                       order_by=[F.col("n_chars").desc()], n_salts=8)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    # phase-1 partitioning includes the salt term (pmod of the id hash)
+    assert "pmod" in plan and "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_ngrams_topk_avoids_vocab_window(spark):
+    """top_ngrams' global top-k must ride group_cap's salted two-phase
+    shape (the naive per-n window would sort the whole corpus
+    vocabulary in one task) and the count must combine map-side."""
+    from rook_spark.functions.text import top_ngrams
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = top_ngrams(df, ns=(1, 2), k=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2           # salted two-phase, not one window
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
