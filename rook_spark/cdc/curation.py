@@ -406,9 +406,15 @@ class CurationSink:
                 fresh_v = fresh_v.unionByName(v)
 
             # frozen re-deliveries re-land their stored verdict (same
-            # content or not); deletes drop the row
+            # content or not); ADMITTED docs re-land their CURRENT
+            # fingerprint (an update refreshed the fp index below, and
+            # the verdict row's fp must keep naming the row they own so
+            # a later delete frees the right slot); deletes drop the row
             frozen_v = frozen.select(
-                *keys, F.col("__known_fp").alias("fp"),
+                *keys,
+                F.when(F.col("__known").startswith("kept_"),
+                       fingerprint(self.text_col))
+                 .otherwise(F.col("__known_fp")).alias("fp"),
                 F.col("__known").alias("verdict"), *_ARRIVAL)
             del_v = deletes.select(
                 *keys, F.lit(None).cast("string").alias("fp"),
@@ -434,7 +440,8 @@ class CurationSink:
             # UPDATE to an admitted doc refreshes its fingerprint.
             fp_new = qpass.where("__exact_ok").select(
                 "fp", *keys, *_ARRIVAL).withColumn("op", F.lit("U"))
-            fp_changes = fp_new.unionByName(old_known["fp_drop"])
+            fp_changes = fp_new.unionByName(old_known["fp_drop"]) \
+                               .unionByName(old_known["fp_add"])
             if fp_changes.limit(1).count() > 0:
                 self._fp_table(reference=reduced).merge(
                     fp_changes, batch_id, op_col="op",
@@ -486,9 +493,14 @@ class CurationSink:
     def _old_state_changes(self, deletes: DataFrame, frozen: DataFrame) -> dict:
         """Per-epoch maintenance rows derived from KNOWN docs: deleted
         docs free their fingerprint/signature/count slots; updated
-        ADMITTED docs refresh their signature (and get their new
-        fingerprint via the main path) while dropping the stale
-        fingerprint row."""
+        ADMITTED docs refresh their signature and fingerprint rows
+        (drop the stale fp, land the new one via ``fp_add``).
+
+        Corner, stated honestly: the fp table is keyed by fingerprint,
+        so if an update makes an admitted doc byte-identical to ANOTHER
+        admitted doc, both map to one fp row and the last writer is the
+        recorded owner — deleting either doc frees the shared slot. A
+        batch rebuild is the repair for drift this can accumulate."""
         keys = self.key_cols
         vt_exists = LakeTable.exists(f"{self.root}/verdicts")
         if vt_exists:
@@ -502,7 +514,8 @@ class CurationSink:
         kept_deleted = del_known.where(kept).select(*keys, "__dom")
         # fingerprint rows to drop: deleted exact-stage survivors (their
         # __ofp is non-null and they own it), plus updated admitted docs
-        # whose content (fingerprint) changed — new row rides fp_new
+        # whose content (fingerprint) changed — whose NEW fingerprint
+        # lands via fp_add (frozen docs never reach the fresh fp_new path)
         surv = F.col("__v").isin("near_dup", "contaminated", "domain_capped") | kept
         fp_drop_del = del_known.where(surv & F.col("__ofp").isNotNull()).select(
             F.col("__ofp").alias("fp"), *keys, *_ARRIVAL)
@@ -516,6 +529,11 @@ class CurationSink:
         ).select(F.col("__known_fp").alias("fp"), *keys, *_ARRIVAL)
         fp_drop = fp_drop_del.unionByName(fp_drop_upd).withColumn(
             "op", F.lit("D"))
+        fp_add = upd_adm.where(
+            F.col("__known_fp").isNotNull()
+            & (F.col("__nfp") != F.col("__known_fp"))
+        ).select(F.col("__nfp").alias("fp"), *keys, *_ARRIVAL).withColumn(
+            "op", F.lit("U"))
         # signature index: drop deleted near-stage survivors; refresh
         # updated admitted docs with their current content
         near_surv = F.col("__v").isin("contaminated", "domain_capped") | kept
@@ -531,6 +549,7 @@ class CurationSink:
         return {
             "kept_deleted": kept_deleted,
             "fp_drop": fp_drop,
+            "fp_add": fp_add,
             "sig_drop": sig_drop,
             "sig_refresh": refreshed,
         }

@@ -178,3 +178,92 @@ def test_engine_fed_invariants(spark, tmp_path):
     }
     for d, n in live_kept.items():
         assert stored.get(d, 0) >= n  # stored counts admissions incl. later-deleted
+
+
+def test_streaming_tail_assigns_verdicts(spark, tmp_path):
+    """The curation sink under a REAL Structured Streaming tail (S1 →
+    foreachBatch): micro-batched delivery must keep every invariant the
+    batch-replay e2e pins — the production deployment shape. (Verdicts
+    are first-arrival so the exact kept/dropped SET depends on epoch
+    boundaries; the INVARIANTS are what's delivery-shape-independent.)"""
+    from rook_spark.cdc.fixtures import write_events
+
+    src = str(tmp_path / "log")
+    write_events(generate_events(spark, 1500, seed=31), src, n_files=4)
+    engine = CdcEngine(spark, str(tmp_path / "repos"), n_buckets=8).ignoring_servers(99)
+    cs = CurationSink(
+        spark, str(tmp_path / "cur"), domain_cap=50, n_buckets=8,
+        quality_threshold=0.0,
+    )
+    engine.with_sink("curation", cs.sink(), when="before")
+    q = engine.stream(src, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    assert len(engine.stats) >= 3  # genuinely micro-batched
+
+    v = _verdicts(cs)
+    live = {(r["repo"], r["path"]) for r in engine.target().read().collect()}
+    assert live <= set(v)
+    pref = ("kept_", "low_quality", "exact_dup", "near_dup",
+            "contaminated", "domain_capped")
+    assert all(any(x.startswith(p) for p in pref) for x in v.values())
+    kept_by_dom: dict[str, int] = {}
+    for (repo, _p), x in v.items():
+        if x.startswith("kept_"):
+            kept_by_dom[repo] = kept_by_dom.get(repo, 0) + 1
+    assert kept_by_dom and all(n <= 50 for n in kept_by_dom.values())
+
+
+def test_fresh_checkpoint_restart_admits_new_batches(spark, tmp_path):
+    """A restart from a FRESH checkpoint restarts batch ids at 0 under a
+    new run_id: the run_id-scoped fence must fall through (new docs land)
+    while frozen verdicts make any overlapping re-delivery a no-op."""
+    cs = CurationSink(
+        spark, str(tmp_path / "cur"), domain_cap=10, n_buckets=4,
+        quality_threshold=0.0,
+    )
+    for bid in range(3):
+        cs._apply(_flat(spark, [
+            ("r", f"a{bid}", " ".join(f"w{bid}x{j}" for j in range(60)), "U", bid)
+        ]), bid, "ckptA")
+    before = _verdicts(cs)
+    assert len(before) == 3
+    # fresh checkpoint: batch 0 again, NEW run_id, one new + one re-delivered doc
+    cs._apply(_flat(spark, [
+        ("r", "new", " ".join(f"nz{j}" for j in range(60)), "U", 10),
+        ("r", "a1", " ".join(f"w1x{j}" for j in range(60)), "U", 1),
+    ]), 0, "ckptB")
+    after = _verdicts(cs)
+    assert ("r", "new") in after and len(after) == 4
+    assert {k: after[k] for k in before} == before  # frozen survived
+
+
+def test_update_of_admitted_doc_refreshes_fingerprint(spark, tmp_path):
+    """An UPDATE to an ADMITTED doc must refresh its fingerprint row
+    (old fp freed, new fp owned): a later doc byte-identical to the
+    NEW content is exact_dup; one identical to the OLD content passes
+    the exact stage and is judged on near-dup against CURRENT sigs —
+    and a final delete (via the now-current verdict fp) frees the slot."""
+    cs = CurationSink(
+        spark, str(tmp_path / "cur"), domain_cap=10, n_buckets=4,
+    )
+    cs._apply(_flat(spark, [("r", "x1", GOOD_A + " alpha", "U", 0)]), 0, "run")
+    assert _verdicts(cs)[("r", "x1")].startswith("kept_")
+    # update x1 to a completely different text
+    cs._apply(_flat(spark, [("r", "x1", GOOD_B + " base", "U", 10)]), 1, "run")
+    v = _verdicts(cs)
+    assert v[("r", "x1")].startswith("kept_")  # verdict frozen
+    # new doc == x1's NEW bytes -> exact_dup; == x1's OLD bytes -> the
+    # old fp was freed AND old sigs replaced, so it is admitted fresh
+    cs._apply(_flat(spark, [
+        ("r", "x2", GOOD_B + " base", "U", 20),
+        ("r", "x3", GOOD_A + " alpha", "U", 21),
+    ]), 2, "run")
+    v = _verdicts(cs)
+    assert v[("r", "x2")] == "exact_dup"
+    assert v[("r", "x3")].startswith("kept_")
+    # delete x1: its CURRENT fp row must be freed (stale-fp bug would
+    # leave GOOD_B's fp owned forever) -> same bytes re-admit
+    cs._apply(_flat(spark, [("r", "x1", "", "D", 30)]), 3, "run")
+    cs._apply(_flat(spark, [("r", "x4", GOOD_B + " base", "U", 40)]), 4, "run")
+    assert _verdicts(cs)[("r", "x4")].startswith("kept_")
