@@ -41,13 +41,16 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query (broadcast the small query side)."""
+    """Exact cosine top-k per query (broadcast the small query side).
+    ``dim`` (known embedding width) unrolls the cosine into codegen
+    arithmetic — see :func:`rook_spark.functions.dedup.cosine`."""
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
     scored = corpus.crossJoin(q).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+        F.round(cosine(F.col(vec_col), F.col("__qv"), dim=dim), 4).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -128,19 +131,62 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+def _lit_double_array(values: list[float]) -> Column:
+    """Literal array<double> column in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) for x in values])`` costs 65+ py4j calls per
+    64-dim vector (~0.5 ms each — measured 0.52 s just to build 16
+    centroid arrays, a driver-side serial cost paid on EVERY query
+    build); a single SQL ``array(...)`` string parses JVM-side in one
+    call. ``repr(float)`` round-trips exactly through Java's double
+    parser, so the resulting Literal values are bit-identical to the
+    per-element ``F.lit`` form (asserted in tests)."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in values) + ")")
+
+
+def lsh_bucket(
+    vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
     """Sign-bit sketch: bucket id = bits of sign(v · hyperplane_i).
-    The hyperplanes are literal arrays folded JVM-side — no UDF."""
-    bucket = F.lit(0)
+    The hyperplanes are literal arrays folded JVM-side — no UDF.
+    (Kept as the compact HOF fold on purpose: the r6 unrolling
+    experiment — 64 literal terms per plane — blew up plan size
+    wherever the bucket expression is duplicated, e.g. once per probe
+    mask in ``lsh_topk``, disabling codegen and OOMing the driver;
+    see :func:`rook_spark.functions.dedup.cosine`.)
+
+    With a column NAME (the fast path every internal caller uses), the
+    whole expression is built as ONE SQL string → one py4j round-trip;
+    the Column-API form paid 3 py4j-constructed lambdas per plane on
+    every query build. NB the zip_with product casts only the VECTOR
+    element (the plane literal is already double) — identical in both
+    forms."""
+    if isinstance(vec_col, Column):
+        # Column input: the SQL fast path below needs the column's NAME
+        # (Spark 4's Column wrapper exposes no way back to SQL text);
+        # keep the equivalent Column-API construction for compatibility
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            plane = _lit_double_array(_hyperplane(dim, p, seed))
+            dot = F.aggregate(
+                F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        return bucket.cast("int")
+    if n_planes == 0:
+        return F.lit(0).cast("int")
+    terms = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        plane = "array(" + ",".join(
+            f"{x!r}D" for x in _hyperplane(dim, p, seed)) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {plane}, (a, b) -> "
+            f"CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+    return F.expr("CAST((0 + " + " + ".join(terms) + ") AS INT)")
 
 
 def probe_masks(n_planes: int, hamming: int) -> list[int]:
@@ -174,9 +220,9 @@ def lsh_topk(
     recall ≈ fraction scanned — inherent to any ANN pruning, measured
     honestly by the `ann_lsh_recall` driver query.
     """
-    c = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    c = corpus.withColumn("__bucket", lsh_bucket(vec_col, dim, n_planes, seed))
     masks = probe_masks(n_planes, probe_hamming)
-    qb = lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+    qb = lsh_bucket(vec_col, dim, n_planes, seed)
     q = queries.select(
         query_id_col,
         F.col(vec_col).alias("__qv"),
@@ -187,7 +233,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "__bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+        F.round(cosine(F.col(vec_col), F.col("__qv"), dim=dim), 4).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
@@ -207,15 +253,36 @@ def ivf_cells(
     computed from literal centroid arrays, JVM-side, no UDF. Rounding to
     6 decimals makes the argmax reproducible across engines (FP fold
     order differs; ties then break on centroid id)."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(cosine(F.col(vec_col), F.array(*[F.lit(x) for x in vec])), 6)
-                .alias("s"),
-                F.lit(cid).alias("i"),
-            )
+    # The whole scored array is built as ONE SQL string → one py4j
+    # round-trip. The Column-API form (F.struct/F.round/cosine per
+    # centroid) constructed 3 HOF lambdas per dot × 3 dots × n_centroids
+    # through py4j — measured 1.0-1.5 s of serial driver time on EVERY
+    # query build. The SQL parses to the same resolved expressions
+    # (aggregate/zip_with with cast-to-double products, 0.0D zero,
+    # round to 6), so values are identical — asserted against the same
+    # DuckDB oracle as before.
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p AS DOUBLE) * "
+            f"CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        )
+
+    def cos6(arr_sql: str) -> str:
+        return (
+            f"round({dot(vec_col, arr_sql)} / (sqrt({dot(vec_col, vec_col)})"
+            f" * sqrt({dot(arr_sql, arr_sql)})), 6)"
+        )
+
+    def arr_sql(vec: list[float]) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in vec) + ")"
+
+    scored = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('s', {cos6(arr_sql(vec))}, 'i', {cid})"
             for cid, vec in centroids
-        ]
+        )
+        + ")"
     )
     # sort ascending by (s, i); take the last nprobe = best cells
     best = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
@@ -367,15 +434,15 @@ def ivf_topk(
     else:
         raise ValueError(f"centroids must be 'sample' or 'kmeans', got {centroids!r}")
     if use_arrow:
-        # vectorized cell assignment: interpreted HOF lambdas cost ~100 µs
-        # per cosine; the Arrow twin does one matmul per batch
+        # vectorized cell assignment: one numpy matmul per Arrow batch
         c = _ivf_cells_arrow(corpus, cents, id_col, vec_col)
     else:
-        # round-robin repartition first: the interpreted HOF fold is the
-        # dominant cost and must not inherit the source's input splits
-        # (a single parquet file = one task for the whole corpus scan)
-        par = corpus.sparkSession.sparkContext.defaultParallelism
-        c = corpus.repartition(par).withColumn(
+        # expression twin — now an UNROLLED codegen arithmetic chain
+        # (see ivf_cells), no interpreted lambdas; keep the width floor
+        # so a single-file corpus scan still parallelizes (guide §2.5)
+        from rook_spark.functions.text import widen_narrow_scan
+
+        c = widen_narrow_scan(corpus).withColumn(
             "__cell", F.element_at(ivf_cells(cents, vec_col, nprobe=1), 1)
         )
     q = queries.select(
@@ -386,7 +453,10 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "__cell").select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+        # unrolled: the embedding width is known from the centroids
+        F.round(
+            cosine(F.col(vec_col), F.col("__qv"), dim=len(cents[0][1])), 4
+        ).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rook_spark.functions.text import fingerprint
+from rook_spark.functions.text import fingerprint, widen_narrow_scan
 
 # serializes the session-conf mutation window of connected_components
 _CC_CONF_LOCK = threading.Lock()
@@ -39,7 +39,7 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Keep the min-id representative of each exact-content group
     (whitespace/case-normalized md5 fingerprint)."""
     return (
-        df.withColumn("fingerprint", fingerprint(text_col))
+        widen_narrow_scan(df).withColumn("fingerprint", fingerprint(text_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
     )
@@ -72,7 +72,7 @@ def shingles(
         else [F.col(c) for c in id_col]
     )
     return (
-        df.where(n >= k)
+        widen_narrow_scan(df.where(n >= k))
         .select(*ids, F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -327,7 +327,7 @@ def simhash(
     majority vote of bit b across all token md5 hashes. Linear: one
     explode + one agg; ``bits/4`` hex chars of each md5 are used."""
     assert bits % 4 == 0
-    toks = df.select(
+    toks = widen_narrow_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
@@ -346,9 +346,20 @@ def simhash(
 
 # ------------------------------------------------------------- embeddings
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two float array columns — JVM-side
-    ``zip_with``/``aggregate`` fold, no UDF."""
+    ``zip_with``/``aggregate`` fold, no UDF.
+
+    ``dim`` is accepted for API stability and ignored: an r6 experiment
+    UNROLLED the fold into per-element codegen arithmetic when the
+    width is known — it was value-identical but a plan-size disaster
+    (64 literal terms per dot, duplicated wherever the optimizer copies
+    the expression — e.g. 22× under a multi-probe explode — produced
+    MB-scale generated sources, Janino gave up so whole-stage codegen
+    was DISABLED, task binaries hit 2.2 MiB, and the driver codegen
+    cache OOM'd an 8g heap). The compact HOF fold is interpreted per
+    element but plan-safe; the true dense-math scale path is the Arrow
+    twin (one numpy matmul per batch), not expression unrolling."""
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
@@ -461,8 +472,12 @@ def embedding_near_dup_pairs(
     group_col: str | None = None,
     salt: int = 32,
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b) above threshold.
+    ``dim`` (the known embedding width) unrolls the per-pair cosine into
+    codegen arithmetic instead of the interpreted HOF fold — see
+    :func:`cosine`; value-identical.
 
     Brute force is O(n²) — correct as the oracle/baseline. At scale,
     pass ``group_col`` (an LSH bucket or IVF cell from
@@ -522,7 +537,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim=dim), 4).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -643,10 +658,35 @@ def connected_components(
 
             # materialize the symmetric edge list ONCE — every round joins
             # it, and without this the whole upstream pipeline (e.g. the
-            # MinHash LSH candidate generation) would re-execute per round
-            sym = _ckpt(
-                e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            # MinHash LSH candidate generation) would re-execute per round.
+            # Both directions are emitted in ONE pass (explode of a
+            # 2-struct array) instead of a self-union: the union form put
+            # two copies of the whole candidate-generation subtree in one
+            # plan, and only its exchanges — not the post-exchange join/
+            # distinct work — were reused (r6 plan audit: the LSH band
+            # join and pair distinct executed twice per materialization)
+            # PERSIST (not checkpoint) for sym: localCheckpoint(eager=
+            # False) eagerly converts the plan to an RDD at wrap time —
+            # measured 4.8 s of serial driver work for the LSH candidate
+            # subtree before any job ran; persist() defers planning to
+            # the count() below (0.2 s wrap) and is MORE failure-tolerant
+            # than a local checkpoint (lineage is retained, so a lost
+            # cache block recomputes instead of killing the iteration).
+            # The per-round label frames still use _ckpt — their plans
+            # are small (wrap is cheap) and truncating label lineage each
+            # round is what keeps the iterative plan from growing.
+            sym = (
+                e.select(
+                    F.explode(
+                        F.array(
+                            F.struct(F.col("u"), F.col("v")),
+                            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                        )
+                    ).alias("__e")
+                )
+                .select(F.col("__e.u").alias("u"), F.col("__e.v").alias("v"))
                 .distinct()
+                .persist()
             )
             # Size the iterative phase's shuffle width to the GRAPH, not
             # the session default: every round is 2 joins + 1 agg over the
@@ -661,6 +701,20 @@ def connected_components(
                 1,
                 min(int(sc.defaultParallelism), n_edges // 1_000_000 + 1),
             )
+            # Re-lay the cached graph at the iterative width: when the
+            # graph is small enough for width 1, EVERY per-round operator
+            # (the neighbor join, the min-agg, the pointer-doubling
+            # self-join) runs on SinglePartition inputs, which satisfies
+            # any required distribution — a round becomes ONE stage with
+            # ZERO Exchange nodes instead of 4-6 tiny shuffle stages of
+            # pure scheduling overhead (guide §2.4: remove shuffles
+            # outright). At ≥1M edges iter_parts grows and the exchanges
+            # return — the trade is scale-adaptive, not a local constant.
+            if iter_parts < sym._jdf.queryExecution().toRdd().getNumPartitions():
+                wide = sym
+                sym = wide.coalesce(iter_parts).persist()
+                sym.count()  # materialize from the parent cache (cheap)
+                wide.unpersist()
 
             def finish(lab: DataFrame) -> DataFrame:
                 if nodes is None:
@@ -689,6 +743,12 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             if prev_ckpt_dir is not None:
                 sc.setCheckpointDir(prev_ckpt_dir)
+            try:
+                # safe to drop here: every label frame the result depends
+                # on was materialized (checkpointed) by its round's count
+                sym.unpersist()
+            except NameError:
+                pass
 
 
 def _label_propagation_loop(sym, labels, finish, max_iter, _ckpt) -> DataFrame:

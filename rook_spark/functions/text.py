@@ -28,6 +28,27 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+def widen_narrow_scan(df):
+    """Scale-adaptive parallelism floor for heavy per-row compute
+    (tokenize → shingle → hash): when the input's split count is below
+    the cluster's ``defaultParallelism`` — the classic case being ONE
+    small parquet file, whose scan Spark plans as ONE task (optimization
+    guide §2.5, "input skew: one huge unsplittable file") — round-robin
+    repartition to full width so the per-row work parallelizes instead
+    of running serially on one core. At corpus scale the input already
+    has ≥ parallelism splits and this is a NO-OP (no shuffle added), so
+    the rule is scale-adaptive, not a local-mode constant."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    # partition probe via the JVM plan directly: df.rdd would build the
+    # Python-serializer RDD wrapper (~0.2 s of driver time per call —
+    # material when every query build pays it); toRdd() answers the
+    # same question in ~3 ms and runs no job either way
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 @F.pandas_udf(T.StringType())
 def sha256_udf(s: pd.Series) -> pd.Series:
     """Vectorized Arrow sha256 — the mandated invariant kernel
@@ -285,6 +306,7 @@ def gopher_quality(
     Zero-bigram docs (≤1 token) left-join back as frac 0."""
     from pyspark.sql import Window
 
+    df = widen_narrow_scan(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_words = F.size(toks)
     scal = df.select(
@@ -373,7 +395,7 @@ def gopher_repetition(
     max_n = max(ns)
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
+    base = widen_narrow_scan(df).select(
         id_col,
         F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
         .alias("__tc"),
@@ -470,19 +492,34 @@ def top_ngrams(
     # of the trade everywhere we measured.
     max_n = max(ns)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "t0"))
+    ex = widen_narrow_scan(df).select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "t0")
+    )
     w = Window.partitionBy(id_col).orderBy("__pos")
     led = ex.select(
         "t0", *[F.lead("t0", j).over(w).alias(f"t{j}") for j in range(1, max_n)]
     )
-    frames = []
-    for n in ns:
-        g = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)])
-        f_n = led if n == 1 else led.where(F.col(f"t{n-1}").isNotNull())
-        frames.append(f_n.select(F.lit(n).alias("n"), g.alias("gram")))
-    all_grams = frames[0]
-    for f in frames[1:]:
-        all_grams = all_grams.unionByName(f)
+    # ONE (n, gram) struct array per position, exploded once — the
+    # gopher_repetition shape: the r5 form unioned one frame per n,
+    # paying one Sort+Window pass per n>1 over the same exchange (plan:
+    # 2 Sort+Window + 3-way Union → 1 Sort+Window + 1 Generate); rows
+    # are identical because a null lead at t{n-1} means the doc ended
+    # before position+n, exactly the rows the old per-n filter dropped
+    arr = F.array(*[
+        F.when(
+            F.lit(n == 1) | F.col(f"t{n - 1}").isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.col(f"t{j}") for j in range(n)]).alias("gram"),
+            ),
+        )
+        for n in ns
+    ])
+    all_grams = (
+        led.select(F.explode(arr).alias("ng"))
+        .where(F.col("ng").isNotNull())
+        .select(F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    )
     counts = all_grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return group_cap(
         counts, group_col="n", cap=k,

@@ -1388,7 +1388,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = embs.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann.brute_force_topk(embs, queries_df, k=10)
+    out = ann.brute_force_topk(embs, queries_df, k=10, dim=64)
     return out.select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
 
 
@@ -1414,9 +1414,11 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check was vacuous); the bucket computation itself is reproduced
     in the oracle SQL."""
     embs = _t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", ann.lsh_bucket(F.col("embedding"), dim=64, n_planes=3)
+        "bucket", ann.lsh_bucket("embedding", dim=64, n_planes=3)
     )
-    return dedup.embedding_near_dup_pairs(embs, threshold=0.4, group_col="bucket")
+    return dedup.embedding_near_dup_pairs(
+        embs, threshold=0.4, group_col="bucket", dim=64
+    )
 
 
 @register(
@@ -1457,7 +1459,7 @@ def emb_near_dup_pairs_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed near-dup through the Arrow twin (one numpy matmul per
     bucket via applyInPandas) — same oracle as `emb_near_dup_pairs`."""
     embs = _t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", ann.lsh_bucket(F.col("embedding"), dim=64, n_planes=3)
+        "bucket", ann.lsh_bucket("embedding", dim=64, n_planes=3)
     )
     return dedup.embedding_near_dup_pairs_arrow(
         embs, group_col="bucket", threshold=0.4

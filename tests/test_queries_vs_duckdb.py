@@ -171,7 +171,13 @@ def test_driver_window_rotation_r5():
                       "cdc_check_constraints", "cdc_change_feed_images",
                       "doc_pii_redaction", "doc_gopher_quality",
                       "doc_gopher_repetition",
-                      "dedup_keep_canonical"}
+                      "dedup_keep_canonical",
+                      # session-7 registrations (verdict r5 "What's wrong"
+                      # item 1: these were registered after this allowlist
+                      # was last extended — the guard was right, the list
+                      # was stale)
+                      "doc_source_cap", "doc_top_ngrams",
+                      "doc_curation_funnel"}
     for name in set(q._DRIVER_TAIL) - new_this_round:
         row = r04.get(name)
         assert row and row["hash_match"] and row["err"] is None, (
