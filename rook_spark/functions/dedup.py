@@ -751,58 +751,71 @@ def connected_components(
                 pass
 
 
+def _propagate_once(sym, labels):
+    """One min-label-propagation + pointer-doubling step (pure plan
+    construction, no action): every node takes the min of itself and
+    its neighbors' labels, then jumps to its current label's label."""
+    nbr = (
+        sym.join(
+            labels.select(F.col("id").alias("v"), F.col("component").alias("vc")),
+            "v",
+        )
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("vc").alias("nmin"))
+    )
+    stepped = labels.join(nbr, "id", "left").select(
+        "id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+        ).alias("component"),
+    )
+    # pointer doubling: follow component -> its component (labels are
+    # node ids, so the label table IS the pointer table); halves the
+    # remaining label distance every round
+    jump = stepped.select(
+        F.col("id").alias("component"), F.col("component").alias("cc")
+    )
+    return stepped.join(jump, "component", "left").select(
+        "id",
+        F.least(
+            F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
+        ).alias("component"),
+    )
+
+
 def _label_propagation_loop(sym, labels, finish, max_iter, _ckpt) -> DataFrame:
-    """The per-round body of :func:`connected_components` (runs under
+    """The iterative body of :func:`connected_components` (runs under
     the graph-sized shuffle width its caller sets). ``labels`` arrives
     pre-seeded with the 1-hop minimum; only nodes that touch an edge
     iterate — everything else is its own component by definition and is
     appended after the fixpoint, so the per-round join scales with the
-    candidate graph, not the corpus. ONE action per round: the exact
-    changed-label count, which also materializes that round's lazily
-    checkpointed label frame."""
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("v"), F.col("component").alias("vc")
-                ),
-                "v",
-            )
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("vc").alias("nmin"))
-        )
-        stepped = labels.join(nbr, "id", "left").select(
-            "id",
-            F.col("component").alias("__prev"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer doubling: follow component -> its component (labels are
-        # node ids, so the label table IS the pointer table); halves the
-        # remaining label distance every round
-        jump = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("cc")
-        )
+    candidate graph, not the corpus.
+
+    TWO propagation steps run per synchronization point (one lazily
+    checkpointed frame + one exact changed-count action): every action
+    is a driver round-trip (and, on a noisy host, a stall-tax multiplier
+    — verdict r4 item 3), so halving the action count halves that cost.
+    The fixpoint test stays EXACT because labels are MONOTONE
+    non-increasing: end-of-superstep == start-of-superstep iff neither
+    inner step changed anything (no overflow-prone sum comparison). The
+    worst case does one redundant inner step of work after convergence —
+    plan construction only, it rides the same single action."""
+    for _ in range((max_iter + 1) // 2):
+        prev = labels
         labels = _ckpt(
-            stepped.join(jump, "component", "left")
-            .select(
-                "id",
-                "__prev",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("cc"), F.col("component"))
-                ).alias("component"),
-            )
+            _propagate_once(sym, _propagate_once(sym, labels))
         )
-        # EXACT fixpoint: zero labels changed this round ⇒ the step is
-        # idempotent ⇒ converged (no overflow-prone sum comparison)
+        # EXACT fixpoint: zero labels changed across the superstep ⇒ the
+        # step is idempotent ⇒ converged
         n_changed = (
-            labels.agg(
-                F.sum((F.col("component") != F.col("__prev")).cast("long"))
-            ).first()[0]
+            labels.join(
+                prev.select(F.col("id"), F.col("component").alias("__prev")),
+                "id",
+            )
+            .agg(F.sum((F.col("component") != F.col("__prev")).cast("long")))
+            .first()[0]
             or 0
         )
-        labels = labels.select("id", "component")
         if n_changed == 0:
             return finish(labels)
     raise RuntimeError(

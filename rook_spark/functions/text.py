@@ -173,7 +173,7 @@ def winnow_fingerprints_exploded(
     # filtering) is re-evaluated per exploded row — measured as 43M
     # instead of 147k md5 calls on the sf0.01 corpus. The trailing window
     # + pos filter needs only the position, so no second reference exists.
-    exploded = df.select(
+    exploded = widen_narrow_scan(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(grams).alias("__pos", "__h"),
     )
