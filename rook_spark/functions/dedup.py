@@ -552,6 +552,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    assume_unique_pairs: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list (the step that
     turns near-dup PAIRS into duplicate CLUSTERS so a pipeline can keep
@@ -613,6 +614,14 @@ def connected_components(
     ``nodes``: optional one-column DataFrame of ALL node ids (singletons
     included — they become their own component); defaults to the ids
     present in ``edges``.
+
+    ``assume_unique_pairs``: the caller promises ``edges`` holds each
+    undirected pair at most once with ``id_a < id_b`` (true of every
+    LSH candidate generator in this package — they end in
+    ``.distinct()`` on (id_a, id_b)). The symmetrized edge list is then
+    distinct BY CONSTRUCTION (a<b and b>a rows cannot collide), so the
+    materialization skips one exchange + aggregate over the edge list.
+    Leave False for arbitrary edge lists.
 
     Output: ``(id, component)`` where component = min node id reachable.
     """
@@ -685,9 +694,12 @@ def connected_components(
                     ).alias("__e")
                 )
                 .select(F.col("__e.u").alias("u"), F.col("__e.v").alias("v"))
-                .distinct()
-                .persist()
             )
+            if not assume_unique_pairs:
+                # arbitrary edge lists may repeat pairs (or carry both
+                # directions); a<b-unique inputs skip this exchange+agg
+                sym = sym.distinct()
+            sym = sym.persist()
             # Size the iterative phase's shuffle width to the GRAPH, not
             # the session default: every round is 2 joins + 1 agg over the
             # candidate graph, typically orders of magnitude smaller than
@@ -710,11 +722,11 @@ def connected_components(
             # pure scheduling overhead (guide §2.4: remove shuffles
             # outright). At ≥1M edges iter_parts grows and the exchanges
             # return — the trade is scale-adaptive, not a local constant.
+            # coalesce is LAZY and narrow (each round reads the parent
+            # cache through it — no second materialization action, no
+            # second cached copy).
             if iter_parts < sym._jdf.queryExecution().toRdd().getNumPartitions():
-                wide = sym
-                sym = wide.coalesce(iter_parts).persist()
-                sym.count()  # materialize from the parent cache (cheap)
-                wide.unpersist()
+                sym = sym.coalesce(iter_parts)
 
             def finish(lab: DataFrame) -> DataFrame:
                 if nodes is None:
@@ -729,8 +741,11 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
             # seed = min(id, min 1-hop neighbor): exactly the relabel the
             # first loop round used to compute, folded into one aggregate
-            # at initialization — the fixpoint arrives a round earlier
-            seed = _ckpt(
+            # at initialization — the fixpoint arrives a round earlier.
+            # NOT checkpointed: it feeds only the first superstep, whose
+            # own checkpoint truncates the lineage — wrapping it paid a
+            # plan-to-RDD conversion for zero benefit.
+            seed = (
                 sym.groupBy("u")
                 .agg(F.min("v").alias("nmin"))
                 .select(
@@ -864,6 +879,8 @@ def dedup_keep_canonical(
         nodes=df.select(F.col(id_col).alias(id_col)),
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
+        # minhash_lsh_pairs ends in .distinct() with id_a < id_b
+        assume_unique_pairs=True,
     )
     scored = (
         df.select(F.col(id_col).alias("id"), q.cast("long").alias("__q"))

@@ -1305,7 +1305,9 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, n_bands=8)
     return dedup.connected_components(
-        pairs, nodes=docs.select("doc_id")
+        # LSH pairs are distinct with id_a < id_b by construction, so
+        # the symmetric edge list needs no dedup pass
+        pairs, nodes=docs.select("doc_id"), assume_unique_pairs=True
     )
 
 
